@@ -1,0 +1,74 @@
+"""Cross-engine deterministic hashing primitives.
+
+The dedup/similarity operators need hash functions that produce *identical*
+values in Spark (JVM, whole-stage codegen) and in the DuckDB oracle, so the
+driver's differential check can hash-compare results. We build everything on
+md5 (bit-identical everywhere) + explicit integer arithmetic:
+
+    portable_hash(s) = int(md5(s)[:12 hex], 16)        -- 48-bit, ≥ 0
+
+and Carter–Wegman style universal hashing mod p = 2^31 - 1 on top (products
+stay < 2^62, safe for checked int64 arithmetic in both engines).
+
+This deliberately avoids engine-native hashes (xxhash64, DuckDB hash()) —
+fast but not portable. At 100 TB the md5 cost is visible but stays inside
+whole-stage codegen (no Python); swap in xxhash64 via PORTABLE=False when
+oracle parity is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: (a*x+b) % P with a,x,b < P keeps products < 2^62.
+P31 = 2_147_483_647
+
+
+def spark_portable_hash(col: Column) -> Column:
+    """48-bit non-negative integer hash of a string column (JVM-side)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def duck_portable_hash(expr: str) -> str:
+    """DuckDB SQL fragment equal to :func:`spark_portable_hash`."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 12) AS BIGINT)"
+
+
+def cw_params(n: int, salt: str = "") -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for n universal hash functions.
+
+    Derived from md5 so the same constants can be embedded as literals in
+    both the Spark plan and the oracle SQL text.
+    """
+    import hashlib
+
+    out = []
+    for i in range(n):
+        a = int(hashlib.md5(f"cw-a-{salt}-{i}".encode()).hexdigest()[:12], 16) % (P31 - 1) + 1
+        b = int(hashlib.md5(f"cw-b-{salt}-{i}".encode()).hexdigest()[:12], 16) % P31
+        out.append((a, b))
+    return out
+
+
+def spark_cw_hash(g: Column, a: int, b: int) -> Column:
+    """((a * (g % P) + b) % P) — 2-universal hash of a non-negative int."""
+    return (F.lit(a) * (g % F.lit(P31)) + F.lit(b)) % F.lit(P31)
+
+
+def duck_cw_hash(g_expr: str, a: int, b: int) -> str:
+    return f"(({a} * ({g_expr} % {P31}) + {b}) % {P31})"
+
+
+def plane_signs(n_planes: int, dim: int, salt: str = "rhp") -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane matrix for LSH over embeddings."""
+    import hashlib
+
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"{salt}-{i}-{j}".encode()).hexdigest()[:2], 16)
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    return planes

@@ -1,0 +1,228 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+- brute-force cosine top-k (the correctness baseline): query-set × corpus
+  join, exact quantized-int arithmetic, row_number top-k per query;
+- random-hyperplane LSH-bucketed ANN (the 100 TB scale path): a 10-bit
+  sign code per vector, candidates restricted to the query's bucket — the
+  join is an equi-join on the code, never quadratic. Recall is partial by
+  design and identically reproduced by the oracle (the plane matrix is a
+  deterministic ±1 matrix embedded in both programs).
+
+Both rank with deterministic tie-breaks and quantize vectors (×10⁴ ints)
+so cosine values are bit-identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.functions.hashing import plane_signs
+from compass_query_optimizer_spark.operators.dedup import QUANT, quantized
+from compass_query_optimizer_spark.registry import query
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+N_PLANES = 10  # 2^10 buckets
+EMBED_DIM = 64
+_PLANES = plane_signs(N_PLANES, EMBED_DIM)
+
+
+def _quantized_with_norm(emb: DataFrame) -> DataFrame:
+    q = emb.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    return q.select(
+        "vec_id",
+        "qv",
+        F.aggregate(F.col("qv"), F.lit(0).cast("long"), lambda a, x: a + x * x).alias(
+            "nrm2"
+        ),
+    )
+
+
+def _cos(qa, qb, na, nb):
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+@query(
+    "sim_topk_bruteforce",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
+               / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos_raw
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos_raw, 6) AS cos
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="brute-force cosine top-k ANN baseline: exact quantized arithmetic, "
+    "per-query row_number ranking (at scale: broadcast the query set, "
+    "scan the corpus once)",
+    tags=("similarity",),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n = _quantized_with_norm(t["embeddings"])
+    queries = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("nrm2").alias("na"),
+    )
+    corpus = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qb"),
+        F.col("nrm2").alias("nb"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cos"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _spark_lsh_code(qv_col):
+    """10-bit random-hyperplane sign code of a quantized vector.
+
+    plane dot = Σ ±qv[j]; bit i = 1 if dot ≥ 0. The ±1 plane matrix is a
+    compile-time literal → pure codegen arithmetic, no shuffle.
+    """
+    code = F.lit(0).cast("long")
+    for i, plane in enumerate(_PLANES):
+        dot = F.aggregate(
+            F.zip_with(
+                qv_col,
+                F.array(*[F.lit(s).cast("long") for s in plane]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return code
+
+
+def _duck_lsh_code(qv_expr: str) -> str:
+    terms = []
+    for i, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(str(s) for s in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {EMBED_DIM} + 1), "
+            f"j -> {qv_expr}[j] * ({arr}::BIGINT[])[j]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "sim_ann_lsh",
+    None,  # generated below
+    doc="LSH-bucketed ANN (scale path): 10-bit random-hyperplane code, "
+    "candidates = same-bucket vectors only, then exact cosine rank. "
+    "Equi-join on the code → shuffle is O(corpus), never quadratic",
+    tags=("similarity", "lsh"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n = _quantized_with_norm(t["embeddings"]).withColumn(
+        "code", _spark_lsh_code(F.col("qv"))
+    )
+    queries = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("nrm2").alias("na"),
+        "code",
+    )
+    corpus = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qb"),
+        F.col("nrm2").alias("nb"),
+        "code",
+    )
+    scored = (
+        queries.join(corpus, "code")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cos"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lsh_oracle() -> str:
+    code = _duck_lsh_code("qv")
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2,
+             {code} AS code
+      FROM q
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
+               / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos_raw
+      FROM n a JOIN n b ON a.code = b.code AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos_raw, 6) AS cos
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+from compass_query_optimizer_spark import registry as _registry  # noqa: E402
+
+_registry._REGISTRY["sim_ann_lsh"].oracle = _lsh_oracle()

@@ -1,0 +1,258 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-hit heuristic), quality scoring, token counting, and
+document fingerprinting over the `documents` table — all expressed with
+JVM-side built-ins (split / higher-order array functions / regexp), no
+Python UDFs, so they scale to 100 TB of text: each is a narrow projection
+plus (for langid) one broadcast join against a tiny stopword lexicon.
+
+Every operator is oracle-checked against an equivalent DuckDB SQL program.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.functions.hashing import (
+    P31,
+    duck_portable_hash,
+    spark_portable_hash,
+)
+from compass_query_optimizer_spark.registry import query
+
+# Tiny per-language stopword lexicon (public, common function words). The
+# heuristic is: predicted language = argmax over languages of the fraction
+# of tokens that hit that language's stopword set (ties → lexicographically
+# first language). Deterministic and cheap; a production system would use
+# character n-gram profiles — same Spark shape (broadcast lexicon join).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "en": ("the", "a", "of", "and", "is", "not", "to", "in", "on", "for"),
+    "es": ("el", "la", "de", "y", "es", "no", "un", "con", "por", "para"),
+    "fr": ("le", "la", "de", "et", "est", "pas", "un", "avec", "pour", "sur"),
+    "zh": ("de", "shi", "bu", "le", "zai", "you", "he", "wo", "ta", "men"),
+}
+
+_TOKEN_RE = "[a-z0-9]+"
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+@query(
+    "text_langid",
+    None,  # set below (generated SQL) — see _langid_oracle()
+    doc="language-ID via stopword-hit ratio; broadcast lexicon join, "
+    "argmax per doc with deterministic tie-break",
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws],
+        "cand_lang string, word string",
+    )
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("word")
+    )
+    n_tok = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    hits = (
+        toks.join(F.broadcast(lex), "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # every (doc, candidate-language) row, 0-filled, so argmax is total
+    langs = spark.createDataFrame(
+        [(lang,) for lang in sorted(STOPWORDS)], "cand_lang string"
+    )
+    scored = (
+        n_tok.crossJoin(F.broadcast(langs))
+        .join(hits, ["doc_id", "cand_lang"], "left")
+        .select(
+            "doc_id",
+            "cand_lang",
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_tokens")).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cand_lang").alias("predicted_lang"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _langid_oracle() -> str:
+    lex_rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in sorted(STOPWORDS.items()) for w in ws
+    )
+    langs = ", ".join(f"('{lang}')" for lang in sorted(STOPWORDS))
+    return f"""
+    WITH lex(cand_lang, word) AS (VALUES {lex_rows}),
+    langs(cand_lang) AS (VALUES {langs}),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    ntok AS (
+      SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, l.cand_lang, COUNT(*) AS hits
+      FROM toks t JOIN lex l ON t.word = l.word
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT n.doc_id, g.cand_lang,
+             COALESCE(h.hits, 0) * 1.0 / n.n_tokens AS score
+      FROM ntok n CROSS JOIN langs g
+      LEFT JOIN hits h ON h.doc_id = n.doc_id AND h.cand_lang = g.cand_lang
+    ),
+    ranked AS (
+      SELECT doc_id, cand_lang AS predicted_lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand_lang) AS rn
+      FROM scored
+    )
+    SELECT doc_id, predicted_lang, ROUND(score, 6) AS score
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_txt,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+           ROUND((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                 * 1.0 / length(text), 6) AS punct_ratio,
+           ROUND(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                 * 1.0 / len(regexp_extract_all(lower(text), '[a-z0-9]+')), 6) AS avg_token_len,
+           CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) BETWEEN 20 AND 1000
+                 AND (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                     * 1.0 / length(text) < 0.2
+                THEN 1 ELSE 0 END AS keep
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="quality scoring: length / punctuation ratio / mean token length "
+    "+ keep flag, all JVM-side regexp built-ins",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    n_tokens = F.size(F.regexp_extract_all(txt, F.lit(_TOKEN_RE), 0))
+    punct = F.length("text") - F.length(F.regexp_replace(txt, "[^a-z0-9 ]", ""))
+    punct_ratio = punct * F.lit(1.0) / F.length("text")
+    alnum_len = F.length(F.regexp_replace(txt, "[^a-z0-9]", ""))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars_txt"),
+            n_tokens.alias("n_tokens"),
+            F.round(punct_ratio, 6).alias("punct_ratio"),
+            F.round(alnum_len * F.lit(1.0) / n_tokens, 6).alias("avg_token_len"),
+            F.when(
+                n_tokens.between(20, 1000) & (punct_ratio < 0.2), 1
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS INTEGER) AS re_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS INTEGER)
+               AS uniq_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="token counting: whitespace split + BPE-ish regexp tokenizer + "
+    "distinct-token count",
+    tags=("text",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    re_toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+"), 0)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+            F.size(re_toks).alias("re_tokens"),
+            F.size(F.array_distinct(re_toks)).alias("uniq_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '))
+               AS norm_md5,
+           CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0
+                ELSE list_reduce(
+                  list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                 tok -> {duck_portable_hash('tok')} % {P31}),
+                  (acc, x) -> (acc * 31 + x) % {P31})
+           END AS rolling_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="document fingerprinting: md5 of normalized text + 31-ary rolling "
+    "hash over token hashes (mod 2^31-1), both engines bit-identical",
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    tok_hashes = F.transform(toks, lambda s: spark_portable_hash(s) % F.lit(P31))
+    # fold matches DuckDB list_reduce (no init): f(0, x0) = x0 since x0 < P
+    rolling = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(P31),
+    )
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.md5(F.array_join(toks, " ")).alias("norm_md5"),
+            F.when(F.size(toks) == 0, F.lit(0).cast("long"))
+            .otherwise(rolling)
+            .alias("rolling_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# patch in the generated langid oracle (needs Python-side string building)
+from compass_query_optimizer_spark import registry as _registry  # noqa: E402
+
+_registry._REGISTRY["text_langid"].oracle = _langid_oracle()

@@ -1,0 +1,80 @@
+"""SparkSession factory with engine-wide configuration.
+
+The reference engine's session-level knobs (CPU/GPU mode, COMPASS toggle
+``\\fpd``, watchdog) map here to Spark confs. Key choices:
+
+- AQE **on**: runtime coalescing / skew-join handling replaces the
+  reference's fragment dispatch heuristics (mapd-core/QueryEngine/
+  Execute.cpp:1172 dispatchFragments).
+- CBO join reordering **off**: the COMPASS planner (plans/) must own the
+  join order, exactly as the reference feeds its sketch-chosen permutation
+  into the left-deep executor (RelAlgExecutor.cpp:2662-2670).
+- UTC session timezone: deterministic timestamp semantics for the
+  differential oracle (the reference stores epoch seconds, sqltypes.h:51-55).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf defaults applied to every engine session. Sized for local[32] test
+# runs but chosen to scale: shuffle partition count tracks cluster cores via
+# AQE coalescing, maxPartitionBytes keeps scan tasks balanced at 100 TB.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # COMPASS owns multi-way join order; keep Spark's static reorder off.
+    "spark.sql.cbo.enabled": "false",
+    "spark.sql.cbo.joinReorder.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    # testdata parquet carries isAdjustedToUTC=false timestamps; keep all
+    # timestamp literals/casts NTZ so they compare against the scans and
+    # against DuckDB's naive timestamps without zone conversion
+    "spark.sql.timestampType": "TIMESTAMP_NTZ",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "compass-query-optimizer-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured — on a real cluster, leave it None
+    and submit with ``--master``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(ENGINE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an externally created
+    session (the driver harness passes us its own SparkSession)."""
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # static confs (e.g. arrow already enabled) can't be reset; fine
+            pass
+    return spark

@@ -1,0 +1,779 @@
+"""Relational operator surface (SURVEY.md §2) as oracle-checked queries.
+
+Each query exercises a cluster of reference operators and maps them to the
+idiomatic Spark DataFrame form. Reference parity citations are given per
+query. All run against the driver testdata star schema (TESTDATA.md).
+
+Scale notes (100 TB design intent):
+- Every filter is expressed declaratively so Catalyst pushes it into the
+  parquet scan (PushedFilters) and prunes columns (ReadSchema).
+- Dimension-side joins (region/nation/supplier at real TPC-H ratios) are
+  broadcast by Spark automatically under autoBroadcastJoinThreshold; fact-
+  fact joins shuffle on the join key and benefit from AQE skew handling.
+- Aggregations rely on partial (map-side) aggregation; no Python touches
+  the hot path in any query here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Aggregation / scan / filter (reference: GroupByAndAggregate.cpp strategy
+# table, SURVEY §2.4; filter qual splitting RelAlgExecutor.cpp:2679-2684)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2)                              AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2)                         AS avg_price,
+           ROUND(AVG(l_discount), 4)                              AS avg_disc,
+           COUNT(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="scan+filter+hash agg: SUM/AVG/COUNT, partial+final reduction "
+    "(ref ResultSetReduction.cpp:116)",
+    tags=("agg", "filter"),
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_topk_parts",
+    """
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part
+    WHERE p_size > 10
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 15
+    """,
+    doc="ORDER BY + LIMIT top-k (ref StreamingTopN.cpp, TopKSort.cu → Spark "
+    "TakeOrderedAndProject)",
+    tags=("sort", "topk"),
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_size") > 10)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(15)
+    )
+
+
+@query(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="3-way equi hash join + agg + top-k (ref JoinHashTable.cpp, "
+    "left-deep probe chain IRCodegen.cpp:527)",
+    tags=("join", "agg", "topk"),
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q04_semi_join_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05)
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="IN-subquery → left semi join (ref rewrites IN-subquery to a "
+    "materialized InIntegerSet filter, RelAlgTranslator.cpp:427; Spark "
+    "plans a SMJ/BHJ semi join instead)",
+    tags=("join", "subquery"),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    keys = t["lineitem"].filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .join(keys, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q05_local_supplier_volume",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="6-way join with cycle (c_nationkey=s_nationkey), broadcast dims + "
+    "shuffled fact joins; the JOB-like shape COMPASS optimizes",
+    tags=("join", "agg"),
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    region = F.broadcast(t["region"].filter(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(t["nation"])
+    supplier = t["supplier"]
+    orders = t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    return (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="single-table scan w/ range + BETWEEN (ref kBW_EQ, sqldefs.h:29-54) "
+    "predicates pushed to parquet; ungrouped agg",
+    tags=("filter", "agg"),
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# The JOB workload shape: SELECT COUNT(*) over a multi-way join with string
+# predicates (ref queries/*.sql.sq.cnt are all of this form).
+FLAGSHIP_SQL = """
+    SELECT COUNT(*) AS cnt
+    FROM region, nation, customer, orders, lineitem, part
+    WHERE r_regionkey = n_regionkey
+      AND n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_partkey = p_partkey
+      AND r_name <> 'EUROPE'
+      AND (p_name LIKE '%gear%' OR p_name LIKE '%widget%')
+      AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND o_orderstatus = 'F'
+"""
+
+
+@query(
+    "q07_count_star_multijoin",
+    FLAGSHIP_SQL,
+    doc="JOB-shaped COUNT(*) 6-way join with LIKE/IN/<> predicates — the "
+    "reference's benchmark query form (queries/1a.sql.sq.cnt)",
+    tags=("join", "job"),
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(FLAGSHIP_SQL)
+
+
+@query(
+    "q08_group_having",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_cust, ROUND(AVG(c_acctbal), 2) AS avg_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 40
+    ORDER BY c_nationkey
+    """,
+    doc="HAVING = post-agg filter (ref ParserNode.cpp:1030)",
+    tags=("agg",),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .filter(F.col("n_cust") > 40)
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q09_distinct",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    WHERE c_acctbal > 0
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+    doc="SELECT DISTINCT = aggregate on all projected cols (ref "
+    "RelAlgAbstractInterpreter.cpp:1558)",
+    tags=("agg",),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+@query(
+    "q10_agg_kinds",
+    """
+    SELECT o_orderstatus,
+           COUNT(*)                              AS n,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           ROUND(MIN(o_totalprice), 2)           AS min_price,
+           ROUND(MAX(o_totalprice), 2)           AS max_price,
+           ROUND(SUM(o_totalprice), 2)           AS sum_price,
+           ROUND(AVG(o_totalprice), 2)           AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="every reference agg kind except sketch: COUNT/COUNT DISTINCT/MIN/"
+    "MAX/SUM/AVG (ref sqldefs.h:66; precise count-distinct bitmap "
+    "CountDistinct.h → Spark hash-based distinct agg)",
+    tags=("agg",),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q11_approx_count_distinct",
+    None,  # HLL implementations differ across engines → rows-only check
+    doc="APPROX_COUNT_DISTINCT (ref HyperLogLog.h:88 → Spark "
+    "approx_count_distinct); sanity-tested against exact count in tests/",
+    tags=("agg", "approx"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["events"].agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
+    "q12_case_cast_in",
+    """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+                ELSE 'cold' END                        AS heat,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price_dec,
+           COUNT(*)                                    AS n
+    FROM orders
+    WHERE CAST(o_orderkey AS VARCHAR) NOT LIKE '%999'
+    GROUP BY 1
+    ORDER BY heat
+    """,
+    doc="CASE WHEN (ref CaseIR.cpp) + CAST incl. decimal (CastIR.cpp) + IN "
+    "value list (InValues, Analyzer.h:502); decimal sums are exact so no "
+    "rounding epsilon is involved",
+    tags=("expr",),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    heat = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "warm")
+        .otherwise("cold")
+    )
+    return (
+        t["orders"]
+        .filter(~F.col("o_orderkey").cast("string").like("%999"))
+        .groupBy(heat.alias("heat"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_price_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("heat")
+    )
+
+
+@query(
+    "q13_date_functions",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)    AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS mon,
+           COUNT(*)                                           AS n,
+           CAST(MIN(EXTRACT(doy FROM o_orderdate)) AS INTEGER) AS first_doy,
+           CAST(MAX(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS INTEGER) AS max_days_since
+    FROM orders
+    WHERE o_orderdate + INTERVAL 30 DAY < TIMESTAMP '2001-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY yr, qtr, mon
+    """,
+    doc="EXTRACT/DATE_TRUNC/DATEDIFF/interval arithmetic (ref "
+    "ExtractFromTime.h:64-78, DateTruncate.h:42-57, DateAdd.h, "
+    "DateTimePlusRewrite.cpp)",
+    tags=("datetime",),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    od = F.col("o_orderdate")
+    return (
+        t["orders"]
+        .filter(
+            od + F.expr("INTERVAL 30 DAY")
+            < F.lit("2001-01-01 00:00:00").cast("timestamp")
+        )
+        .groupBy(
+            F.year(od).alias("yr"),
+            F.quarter(od).alias("qtr"),
+            F.date_trunc("month", od).alias("mon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.dayofyear(od)).alias("first_doy"),
+            F.max(F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date"))).alias(
+                "max_days_since"
+            ),
+        )
+        .orderBy("yr", "qtr", "mon")
+    )
+
+
+@query(
+    "q14_string_functions",
+    """
+    SELECT p_partkey, p_name,
+           CAST(LENGTH(p_name) AS INTEGER)      AS name_len,
+           UPPER(p_brand)                       AS brand_u,
+           SUBSTR(p_type, 1, 3)                 AS type3
+    FROM part
+    WHERE p_name LIKE '%gear%'
+       OR p_name ILIKE '%WIDGET%'
+       OR regexp_matches(p_name, '^(red|blue) ')
+    ORDER BY p_partkey
+    """,
+    doc="LIKE/ILIKE/REGEXP + LENGTH/CHAR_LENGTH (ref StringLike.cpp:225, "
+    "Regexp.cpp, StringOpsIR.cpp, ILIKE translate RelAlgTranslator.cpp:751)",
+    tags=("string",),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(
+            F.col("p_name").like("%gear%")
+            | F.col("p_name").ilike("%WIDGET%")
+            | F.col("p_name").rlike("^(red|blue) ")
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.length("p_name").alias("name_len"),
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_type", 1, 3).alias("type3"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q15_left_outer_join",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderstatus = 'P'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="LEFT OUTER equi join w/ extra join-side predicate (ref "
+    "JoinType::LEFT, RelAlgExecutor.cpp:2635-2644). NOTE counts customers "
+    "×matching-P-orders plus unmatched customers",
+    tags=("join", "outer"),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    return (
+        t["customer"]
+        .join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderstatus") == "P"),
+            "left",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_inactive"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q16_scalar_subquery",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_big
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="scalar subquery executed first, constant substituted (ref "
+    "RelAlgTranslator.cpp:257; Spark plans a subquery broadcast)",
+    tags=("subquery",),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_big
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q17_limit_offset",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 100
+    """,
+    doc="ORDER BY LIMIT OFFSET (ref RelSort{collation,limit,offset}, "
+    "RelAlgExecutor.cpp:1201 executeSort)",
+    tags=("sort",),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(20)
+    )
+
+
+@query(
+    "q18_array_ops",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                  AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6)           AS first_val,
+           ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 4)  AS vec_sum
+    FROM embeddings
+    WHERE label = 1
+    ORDER BY vec_id
+    """,
+    doc="array ops: subscript/ITEM, array_size, array fold (ref kARRAY, "
+    "ArrayOps.cpp:32-64, UNNEST → explode covered in tests)",
+    tags=("array",),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = F.col("embedding")
+    return (
+        t["embeddings"]
+        .filter(F.col("label") == 1)
+        .select(
+            "vec_id",
+            F.size(emb).alias("dim"),
+            F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_val"),
+            F.round(F.element_at(emb, F.size(emb)).cast("double"), 6).alias("last_val"),
+            F.round(
+                F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 4
+            ).alias("vec_sum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q19_in_integer_set",
+    """
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_partkey IN (3, 17, 33, 64, 129, 257, 511, 733, 1024, 1337,
+                        1513, 1777, 1801, 1899, 1951)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="large integer IN list (ref InIntegerSet / InValuesBitmap.cpp → "
+    "Spark isin over a pushed-down OR set)",
+    tags=("filter",),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    keys = [3, 17, 33, 64, 129, 257, 511, 733, 1024, 1337, 1513, 1777, 1801, 1899, 1951]
+    return (
+        t["lineitem"]
+        .filter(F.col("l_partkey").isin(keys))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q20_null_semantics",
+    """
+    SELECT c_mktsegment,
+           COUNT(*)            AS n_rows,
+           COUNT(bal_or_null)  AS n_notnull,
+           CAST(SUM(CASE WHEN bal_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           ROUND(AVG(bal_or_null), 2) AS avg_notnull
+    FROM (
+      SELECT c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+      FROM customer
+    ) t
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="3VL null semantics: IS NULL / null-skipping aggs (ref "
+    "NullableValue.h sentinel nulls, *_skip_val agg variants "
+    "RuntimeFunctions.cpp:459)",
+    tags=("nulls",),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return (
+        t["customer"]
+        .select("c_mktsegment", bal.alias("bal_or_null"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("bal_or_null").alias("n_notnull"),
+            F.sum(F.when(F.col("bal_or_null").isNull(), 1).otherwise(0)).alias("n_null"),
+            F.round(F.avg("bal_or_null"), 2).alias("avg_notnull"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q21_cross_join_small",
+    """
+    SELECT r_name, s.seg, COUNT(*) AS n
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+    GROUP BY r_name, s.seg
+    ORDER BY r_name, s.seg
+    """,
+    doc="cartesian/loop join (ref JoinLoop.h nested-loop fallback, "
+    "allow_loop_joins for trivially small inputs → Spark BNLJ)",
+    tags=("join", "cross"),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    segs = t["customer"].select(F.col("c_mktsegment").alias("seg")).distinct()
+    return (
+        t["region"]
+        .crossJoin(segs)
+        .groupBy("r_name", "seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("r_name", "seg")
+    )
+
+
+@query(
+    "q22_math_functions",
+    """
+    SELECT p_size,
+           ROUND(ABS(MIN(p_retailprice - 1000)), 4)          AS abs_min,
+           ROUND(SUM(FLOOR(p_retailprice) + CEIL(p_retailprice)), 2) AS floor_ceil_sum,
+           CAST(SUM(CAST(p_partkey AS BIGINT) % 7) AS BIGINT) AS mod_sum,
+           ROUND(AVG(LN(p_retailprice + 1)), 6)              AS avg_ln,
+           ROUND(AVG(SQRT(p_retailprice)), 6)                AS avg_sqrt,
+           ROUND(AVG(POWER(p_retailprice, 0.5)), 6)          AS avg_pow
+    FROM part
+    GROUP BY p_size
+    ORDER BY p_size
+    """,
+    doc="math extension functions: ABS/FLOOR/CEIL/MOD/LN/POWER (ref "
+    "ExtensionFunctions.hpp:35-235, ArithmeticIR.cpp)",
+    tags=("expr", "math"),
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = F.col("p_retailprice")
+    return (
+        t["part"]
+        .groupBy("p_size")
+        .agg(
+            F.round(F.abs(F.min(p - 1000)), 4).alias("abs_min"),
+            F.round(
+                F.sum(F.floor(p).cast("double") + F.ceil(p).cast("double")), 2
+            ).alias("floor_ceil_sum"),
+            F.sum(F.col("p_partkey").cast("bigint") % 7).alias("mod_sum"),
+            F.round(F.avg(F.log(p + 1)), 6).alias("avg_ln"),
+            F.round(F.avg(F.sqrt(p)), 6).alias("avg_sqrt"),
+            F.round(F.avg(F.pow(p, F.lit(0.5))), 6).alias("avg_pow"),
+        )
+        .orderBy("p_size")
+    )
+
+
+@query(
+    "q23_events_rollup",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS hr, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY 1, 2
+    ORDER BY hr, event_type
+    LIMIT 200
+    """,
+    doc="event-stream batch rollup: the batch-view equivalent of the "
+    "streaming ingest path (ref only ingests streams, StreamImporter.cpp; "
+    "our streaming/ module adds true readStream ingest)",
+    tags=("agg", "events"),
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hr", "event_type")
+        .limit(200)
+    )
