@@ -1,0 +1,137 @@
+"""CompassOptimizer: end-to-end sketch-driven join planning on Spark.
+
+Pipeline (the Spark-first rebuild of SURVEY.md §3.2 / §4.2):
+
+    JoinQuerySpec (or JOB-style SQL)
+      → JoinGraph + equality classes            (plans/graph.py)
+      → per-table push-down: count + sketches    (plans/pushdown.py)
+      → DFS join-order search                    (plans/search.py)
+      → left-deep df.join chain in chosen order  (here)
+
+The output permutation is enforced *syntactically*: the chain is built
+join-by-join in the chosen order — exactly the lever the reference has
+(it fixes the left-deep input permutation, RelAlgExecutor.cpp:2662-2670,
+and leaves physical details to the engine). Spark still picks
+broadcast/shuffle sides per join; CBO join reordering is disabled in
+session.py so the logical order sticks, and selective filtered tables get
+explicit broadcast hints (they are exactly the ≤10k-row inputs COMPASS
+materializes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.plans.graph import JoinGraph, JoinQuerySpec, parse_join_query
+from compass_query_optimizer_spark.plans.pushdown import (
+    PushdownConfig,
+    PushdownResult,
+    run_pushdown,
+)
+from compass_query_optimizer_spark.plans.search import (
+    SearchResult,
+    choose_join_order,
+    fallback_order,
+    order_cost,
+)
+
+
+@dataclass
+class CompassPlan:
+    spec: JoinQuerySpec
+    graph: JoinGraph
+    pushdown: PushdownResult
+    search: SearchResult
+    fallback_cost: float | None = None  # cost of size-descending order
+    extras: dict = field(default_factory=dict)
+
+
+class CompassOptimizer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: PushdownConfig | None = None,
+        budget: int = 100,
+    ):
+        self.spark = spark
+        self.config = config or PushdownConfig()
+        self.budget = budget
+
+    # -- planning ----------------------------------------------------------
+
+    def plan(
+        self, spec_or_sql: JoinQuerySpec | str, sf_dir: str
+    ) -> CompassPlan:
+        spec = (
+            parse_join_query(spec_or_sql)
+            if isinstance(spec_or_sql, str)
+            else spec_or_sql
+        )
+        graph = JoinGraph(spec)
+        tables = load_tables(self.spark, sf_dir, register=False)
+        base = {alias: tables[t] for alias, t in spec.tables.items()}
+        # base cardinalities: parquet row-group metadata makes .count() a
+        # metadata-only job (no column IO)
+        counts = {alias: base[alias].count() for alias in base}
+        pd = run_pushdown(self.spark, graph, base, counts, self.config)
+        search = choose_join_order(graph, pd.stats, budget=self.budget)
+        fb = fallback_order(pd.stats)
+        fb_cost = (
+            order_cost(graph, pd.stats, fb) if not search.fallback else None
+        )
+        return CompassPlan(spec, graph, pd, search, fallback_cost=fb_cost)
+
+    # -- execution ---------------------------------------------------------
+
+    def build_join(self, plan: CompassPlan) -> DataFrame:
+        """Left-deep chain in the chosen order; every edge between the next
+        table and the current prefix becomes part of that join's condition
+        (composite keys coalesce exactly like EquiJoinCondition.cpp:97)."""
+        order = plan.search.order
+        frames = {}
+        for alias in order:
+            f = plan.pushdown.frames[alias]
+            # alias-prefix every column so self-joins and shared column
+            # names stay unambiguous in the chain
+            frames[alias] = f.select(
+                *[F.col(c).alias(f"{alias}__{c}") for c in f.columns]
+            )
+            if (
+                alias in plan.pushdown.materialized
+                and plan.pushdown.stats[alias].rows <= self.config.broadcast_rows
+            ):
+                frames[alias] = F.broadcast(frames[alias])
+
+        joined = frames[order[0]]
+        in_chain = {order[0]}
+        for alias in order[1:]:
+            conds = []
+            for a, ca, b, cb in plan.spec.join_preds:
+                if a == alias and b in in_chain:
+                    conds.append(F.col(f"{alias}__{ca}") == F.col(f"{b}__{cb}"))
+                elif b == alias and a in in_chain:
+                    conds.append(F.col(f"{a}__{ca}") == F.col(f"{alias}__{cb}"))
+            if not conds:  # disconnected fallback only
+                joined = joined.crossJoin(frames[alias])
+            else:
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c
+                joined = joined.join(frames[alias], cond)
+            in_chain.add(alias)
+
+        for residual in plan.spec.post_filters:
+            import re as _re
+
+            rewritten = _re.sub(r"\b(\w+)\.(\w+)\b", r"\1__\2", residual)
+            joined = joined.filter(rewritten)
+        return joined
+
+    def execute_count(self, spec_or_sql: JoinQuerySpec | str, sf_dir: str) -> DataFrame:
+        """The reference's benchmark form: COUNT(*) of the join."""
+        plan = self.plan(spec_or_sql, sf_dir)
+        return self.build_join(plan).agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,117 @@
+"""Selection push-down with sketch feedback (COMPASS step 1).
+
+For each base table of a join query, ascending by size (FilterPushDownSketch
+.cpp:125-304 evaluateAndPushDown):
+
+1. apply the table's own conjuncts;
+2. run ONE distributed aggregation that both counts survivors and builds a
+   Fast-AGMS sketch per join column (the kFAGMS_SKETCH pseudo-aggregate,
+   RelAlgExecutor.cpp:1623);
+3. if survivors ≤ min(max_selectivity·|T|, max_size) the filtered table is
+   considered selective: it is cached (Spark's analog of the reference
+   splicing the materialized filtered table into the DAG) and the final
+   join chain reuses the cached scan. Otherwise only the sketch is kept
+   and the filter stays a lazy predicate (the reference reverts the
+   push-down, FilterPushDownSketch.cpp:273-284);
+4. tables below min_table_rows skip filtering and reuse template sketches
+   (sketch templates: Catalog.h:579 uploadSketches, sketch-templates/).
+
+Thresholds mirror COMPASS_init_variables.txt:3-5 (200 rows / 5% / 10,000).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from compass_query_optimizer_spark.plans.fagms import (
+    Sketch,
+    build_sketches,
+    seeds_for_class,
+)
+from compass_query_optimizer_spark.plans.graph import JoinGraph
+from compass_query_optimizer_spark.plans.search import TableStats
+
+
+@dataclass
+class PushdownConfig:
+    min_table_rows: int = 200  # PUSH_DOWN_MIN_TABLE_SIZE_SK
+    max_selectivity: float = 0.05  # PUSH_DOWN_MAX_SELECTIVITY_SK
+    max_size: int = 10_000  # PUSH_DOWN_MAX_SIZE
+    broadcast_rows: int = 1_000_000  # selective sides below this get a hint
+
+
+@dataclass
+class PushdownResult:
+    stats: dict[str, TableStats]
+    frames: dict[str, DataFrame]  # alias -> (possibly cached) filtered frame
+    materialized: set[str] = field(default_factory=set)  # aliases kept cached
+
+
+# (table, filter_sql, sorted class keys) -> (count, sketches); predicate-free
+# tables of repeated queries reuse their sketches across plans, the analog of
+# the reference's persisted sketch templates.
+_TEMPLATE_CACHE: dict[tuple, tuple[int, dict[str, Sketch]]] = {}
+
+
+def clear_template_cache() -> None:
+    _TEMPLATE_CACHE.clear()
+
+
+def run_pushdown(
+    spark: SparkSession,
+    graph: JoinGraph,
+    base_tables: dict[str, DataFrame],
+    base_counts: dict[str, int],
+    config: PushdownConfig | None = None,
+) -> PushdownResult:
+    """base_tables/base_counts are keyed by *alias* (self-joins get one
+    entry per alias, sharing the underlying scan)."""
+    config = config or PushdownConfig()
+    spec = graph.spec
+    stats: dict[str, TableStats] = {}
+    frames: dict[str, DataFrame] = {}
+    materialized: set[str] = set()
+
+    for alias in sorted(spec.tables, key=lambda a: base_counts[a]):
+        base = base_tables[alias]
+        filter_sql = spec.filters.get(alias)
+        join_cols = graph.join_cols(alias)
+        col_seeds = {c: seeds_for_class(graph.class_key(alias, c)) for c in join_cols}
+
+        filtered = base.filter(filter_sql) if filter_sql else base
+        tiny = base_counts[alias] < config.min_table_rows
+
+        cache_key = (
+            spec.tables[alias],
+            None if tiny else filter_sql,
+            tuple(sorted((c, graph.class_key(alias, c)) for c in join_cols)),
+        )
+        if cache_key in _TEMPLATE_CACHE:
+            count, sketches = _TEMPLATE_CACHE[cache_key]
+        else:
+            # tiny tables skip the filter for sketching (template behavior)
+            count, sketches = build_sketches(base if tiny else filtered, col_seeds)
+            _TEMPLATE_CACHE[cache_key] = (count, sketches)
+
+        if tiny and filter_sql:
+            # sketch is the template's, but the query still filters
+            frames[alias] = filtered
+            count_for_stats = count
+        else:
+            frames[alias] = filtered
+            count_for_stats = count
+
+        selective = (
+            filter_sql is not None
+            and not tiny
+            and count <= min(config.max_selectivity * base_counts[alias], config.max_size)
+        )
+        if selective:
+            frames[alias] = filtered.cache()
+            materialized.add(alias)
+
+        stats[alias] = TableStats(rows=count_for_stats, sketches=sketches)
+
+    return PushdownResult(stats=stats, frames=frames, materialized=materialized)

@@ -1,0 +1,207 @@
+"""COMPASS planner tests: parser/graph, sketch properties, distributed
+build exactness, search quality, end-to-end semantics preservation.
+
+Mirrors the reference's validation approach (SURVEY.md §5: property tests —
+sketch estimate within error bounds; chosen order never worse than the
+size-descending fallback)."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pytest
+
+from compass_query_optimizer_spark.plans.fagms import (
+    SKETCH_BUCKETS,
+    SKETCH_ROWS,
+    Sketch,
+    build_sketches,
+    estimate_two_way,
+    numpy_update,
+    seeds_for_class,
+)
+from compass_query_optimizer_spark.plans.graph import JoinGraph, parse_join_query
+from compass_query_optimizer_spark.plans.search import (
+    TableStats,
+    choose_join_order,
+    fallback_order,
+    order_cost,
+)
+from compass_query_optimizer_spark.workload import FLAGSHIP_SQL
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------- graph
+def test_parse_flagship():
+    spec = parse_join_query(FLAGSHIP_SQL)
+    assert set(spec.tables) == {"region", "nation", "customer", "orders", "lineitem", "part"}
+    assert len(spec.join_preds) == 5
+    assert set(spec.filters) == {"region", "part", "customer", "orders"}
+    assert not spec.post_filters
+    g = JoinGraph(spec)
+    assert g.is_connected()
+    # custkey and o_custkey share one equality class → same seeds
+    assert g.class_key("customer", "c_custkey") == g.class_key("orders", "o_custkey")
+
+
+def test_parse_aliased_job_style():
+    sql = """
+    SELECT COUNT(*) FROM info_type AS it1, info_type AS it2, movie_info AS mi
+    WHERE it1.id = mi.info_type_id AND it2.id = mi.movie_id
+      AND it1.info = 'rating' AND mi.note LIKE '%x%'
+    """
+    spec = parse_join_query(sql)
+    assert spec.tables == {"it1": "info_type", "it2": "info_type", "mi": "movie_info"}
+    assert ("it1", "id", "mi", "info_type_id") in spec.join_preds
+    assert spec.filters["it1"] == "info = 'rating'"
+    assert "note LIKE '%x%'" in spec.filters["mi"]
+
+
+def test_seed_sharing_is_deterministic():
+    a = seeds_for_class("eq:x")
+    b = seeds_for_class("eq:x")
+    c = seeds_for_class("eq:y")
+    assert np.array_equal(a.a, b.a) and np.array_equal(a.sv, b.sv)
+    assert not np.array_equal(a.a, c.a)
+
+
+# --------------------------------------------------------------------- sketch
+def _true_join(k1, k2):
+    c1, c2 = collections.Counter(k1.tolist()), collections.Counter(k2.tolist())
+    return sum(v * c2.get(k, 0) for k, v in c1.items())
+
+
+@pytest.mark.parametrize("dist", ["uniform", "skewed"])
+def test_sketch_estimate_accuracy(dist):
+    rng = np.random.default_rng(11)
+    if dist == "uniform":
+        k1 = rng.integers(0, 2000, 30000)
+        k2 = rng.integers(0, 2000, 20000)
+    else:  # zipf-ish skew: the case sketches exist for
+        k1 = (rng.zipf(1.5, 30000) % 2000)
+        k2 = (rng.zipf(1.5, 20000) % 2000)
+    seeds = seeds_for_class("eq:acc")
+    s1 = Sketch(np.zeros((SKETCH_ROWS, SKETCH_BUCKETS)), seeds)
+    s2 = Sketch(np.zeros((SKETCH_ROWS, SKETCH_BUCKETS)), seeds)
+    numpy_update(s1, k1)
+    numpy_update(s2, k2)
+    est, true = estimate_two_way(s1, s2), _true_join(k1, k2)
+    assert true > 0
+    assert abs(est - true) / true < 0.25, f"{dist}: est={est} true={true}"
+
+
+def test_distributed_build_matches_numpy(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(-100, 5000, 20000)  # include negatives
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    seeds = {"k": seeds_for_class("eq:z")}
+    cnt, sk = build_sketches(df, seeds)
+    twin = Sketch(np.zeros((SKETCH_ROWS, SKETCH_BUCKETS)), seeds["k"])
+    numpy_update(twin, keys)
+    assert cnt == len(keys)
+    assert np.array_equal(sk["k"].counters, twin.counters)
+
+
+# --------------------------------------------------------------------- search
+def _mini_graph():
+    sql = """
+    SELECT COUNT(*) FROM region, nation, customer, orders
+    WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+    """
+    return JoinGraph(parse_join_query(sql))
+
+
+def _stats_from_keys(graph, keysets):
+    stats = {}
+    for alias, cols in keysets.items():
+        sketches = {}
+        for col, keys in cols.items():
+            s = Sketch(
+                np.zeros((SKETCH_ROWS, SKETCH_BUCKETS)),
+                seeds_for_class(graph.class_key(alias, col)),
+            )
+            numpy_update(s, np.asarray(keys))
+            sketches[col] = s
+        stats[alias] = TableStats(
+            rows=len(next(iter(cols.values()))), sketches=sketches
+        )
+    return stats
+
+
+def test_search_beats_or_ties_fallback():
+    rng = np.random.default_rng(5)
+    g = _mini_graph()
+    stats = _stats_from_keys(
+        g,
+        {
+            "region": {"r_regionkey": np.arange(5)},
+            "nation": {
+                "n_regionkey": rng.integers(0, 5, 25),
+                "n_nationkey": np.arange(25),
+            },
+            "customer": {
+                "c_nationkey": rng.integers(0, 25, 1500),
+                "c_custkey": np.arange(1500),
+            },
+            "orders": {"o_custkey": rng.integers(0, 1500, 15000)},
+        },
+    )
+    res = choose_join_order(g, stats, budget=100)
+    assert not res.fallback
+    assert sorted(res.order) == sorted(g.spec.tables)
+    fb_cost = order_cost(g, stats, fallback_order(stats))
+    assert res.cost <= fb_cost + 1e-9
+    # connectivity: each prefix joins something already present
+    seen = {res.order[0]}
+    for a in res.order[1:]:
+        assert any(b in seen for (b, _, _) in g.adj[a]), "cartesian prefix"
+        seen.add(a)
+
+
+def test_search_budget_respected():
+    g = _mini_graph()
+    stats = _stats_from_keys(
+        g,
+        {
+            "region": {"r_regionkey": np.arange(5)},
+            "nation": {
+                "n_regionkey": np.arange(25) % 5,
+                "n_nationkey": np.arange(25),
+            },
+            "customer": {
+                "c_nationkey": np.arange(100) % 25,
+                "c_custkey": np.arange(100),
+            },
+            "orders": {"o_custkey": np.arange(300) % 100},
+        },
+    )
+    res = choose_join_order(g, stats, budget=3)
+    assert res.expansions <= 3 or res.fallback
+
+
+# ----------------------------------------------------------------- end-to-end
+def test_compass_preserves_semantics(spark):
+    from compass_query_optimizer_spark.catalog import load_tables
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    opt = CompassOptimizer(spark)
+    got = opt.execute_count(FLAGSHIP_SQL, SF).collect()[0].cnt
+    load_tables(spark, SF)
+    want = spark.sql(FLAGSHIP_SQL).collect()[0].cnt
+    assert got == want
+
+
+def test_compass_plan_shape(spark):
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    plan = CompassOptimizer(spark).plan(FLAGSHIP_SQL, SF)
+    assert not plan.search.fallback
+    assert plan.fallback_cost is not None
+    assert plan.search.cost <= plan.fallback_cost + 1e-9
+    # the filtered selective tables should be the string-predicate dims
+    assert plan.pushdown.stats["lineitem"].rows > 0
