@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+The headline set spans the engine surface: scan-heavy aggregation, top-k,
+multi-way joins (plain and COMPASS-optimized), the events rollup, and the
+training-data operators (dedup, similarity, text). Timing is end-to-end per
+query: plan build + execution + driver collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q01_pricing_summary",        # scan-heavy group-by aggregation
+    "q02_topk_parts",             # join + top-k (TakeOrderedAndProject)
+    "q05_local_supplier_volume",  # 6-table join + agg
+    "q07_count_star_multijoin",   # JOB-shaped COUNT(*) multi-join
+    "compass_count_multijoin",    # same shape through the COMPASS optimizer
+    "q23_events_rollup",          # event-time windowed rollup
+    "dedup_exact",                # hash-groupBy dedup on documents
+    "dedup_minhash_lsh",          # MinHash+LSH near-dup
+    "sim_topk_bruteforce",        # brute-force cosine top-k on embeddings
+    "text_quality",               # text quality scoring
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from compass_query_optimizer_spark.session import get_spark
+    from compass_query_optimizer_spark.registry import all_queries
+
+    spark = get_spark(app_name="compass-bench")
+    specs = all_queries()
+
+    # warm-up: JVM codegen + parquet footer reads are one-time costs that
+    # would otherwise land entirely on the first timed query
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        spec.build(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -87,22 +87,51 @@ class Sketch:
 
 def numpy_update(sketch: Sketch, keys: np.ndarray) -> None:
     """Reference-semantics sketch update, vectorized (driver-side twin of
-    the Spark build; used by tests to prove the distributed build exact)."""
-    x = (keys.astype(np.int64) & _MASK32)[:, None]  # (n, 1)
+    the Spark build; also the kernel inside the mapInPandas build).
+
+    Kernel shape is dictated by measured numpy behavior on the target
+    hardware: 64-bit integer multiply, stride-0 broadcast multiply, and
+    large-quotient fmod are all pathological there, while flat contiguous
+    float64 mul/add and int64 bitwise ops run at full speed. So: loop the 73
+    estimator rows in Python; per row do flat float64 hash arithmetic with
+    exact mod-by-reciprocal (products < 2^53 stay exact in float64) and an
+    int64 XOR-fold parity; accumulate with one ``np.bincount`` per row."""
     s = sketch.seeds
-    bucket = ((s.a[None, :] * (x % P31) + s.b[None, :]) % P31) % SKETCH_BUCKETS
-    par_lin = _popcount64(s.sv[None, :] & x) & 1
-    par_pair = _popcount64((x >> 1) & x & _PAIR_MASK) & 1
-    sign = 1 - 2 * ((s.s0[None, :] + par_lin + par_pair) & 1)
-    rows = np.broadcast_to(np.arange(SKETCH_ROWS)[None, :], bucket.shape)
-    np.add.at(sketch.counters, (rows.ravel(), bucket.ravel()), sign.ravel())
+    x_i = keys.astype(np.int64) & _MASK32
+    # a*(x mod P) reaches 2^62 — beyond float64's exact 2^53 range — so
+    # split x mod P into 16-bit halves: a*(hi<<16 + lo) ≡ ((a*hi mod P)<<16
+    # + a*lo) mod P with every intermediate < 2^48, exact in float64.
+    xm = _exact_mod(x_i.astype(np.float64), float(P31)).astype(np.int64)
+    x_hi = (xm >> 16).astype(np.float64)
+    x_lo = (xm & 0xFFFF).astype(np.float64)
+    # pair-bit parity of (x>>1)&x&0x5555... is row-independent: hoist it
+    pp = (x_i >> 1) & x_i & _PAIR_MASK
+    for sh in (16, 8, 4, 2, 1):
+        pp ^= pp >> sh
+    pp &= 1
+    a = s.a.astype(np.float64)
+    b = s.b.astype(np.float64)
+    for r in range(SKETCH_ROWS):
+        t1 = _exact_mod(a[r] * x_hi, float(P31))
+        m = _exact_mod(t1 * 65536.0 + a[r] * x_lo + b[r], float(P31))
+        bucket = _exact_mod(m, float(SKETCH_BUCKETS)).astype(np.int64)
+        lin = int(s.sv[r]) & x_i
+        for sh in (16, 8, 4, 2, 1):
+            lin ^= lin >> sh
+        sign = 1.0 - 2.0 * ((int(s.s0[r]) + lin + pp) & 1)
+        sketch.counters[r] += np.bincount(
+            bucket, weights=sign, minlength=SKETCH_BUCKETS
+        )
 
 
-def _popcount64(arr: np.ndarray) -> np.ndarray:
-    # numpy<2 has no bitwise_count; unpack bytes and sum bits
-    u = np.ascontiguousarray(arr, dtype=np.uint64)
-    b = u.view(np.uint8).reshape(u.shape + (8,))
-    return np.unpackbits(b, axis=-1).sum(axis=-1).astype(np.int64)
+def _exact_mod(m: np.ndarray, p: float) -> np.ndarray:
+    """m mod p for exact-integer-valued float64 m < 2^53: reciprocal-multiply
+    + floor, with a one-ulp correction pass (plain ``%`` hits a slow fmod
+    path for large quotients on the target CPU)."""
+    r = m - np.floor(m * (1.0 / p)) * p
+    r[r >= p] -= p
+    r[r < 0] += p
+    return r
 
 
 def estimate_two_way(s1: Sketch, s2: Sketch) -> float:
@@ -191,4 +220,90 @@ def build_sketches(
             count += row["n"]
     if not cols:
         count = df.count()
+    return count, sketches
+
+
+def build_sketches_arrow(
+    df: DataFrame,
+    col_seeds: dict[str, SketchSeeds],
+    nrows_hint: int | None = None,
+) -> tuple[int, dict[str, Sketch]]:
+    """Arrow-batched sketch build: ``mapInPandas`` computes a per-partition
+    partial counter matrix with the vectorized numpy update, the driver sums
+    partials. One scan, no shuffle at all — each task ships back exactly one
+    ROWS×BUCKETS matrix per join column (≈0.6 MB) regardless of partition
+    size. This is the Spark analog of the reference's per-GPU-block sketch
+    copies merged host-side (cuda_mapd_rt.cu:766-804, Execute.cpp:1820-1835),
+    and beats the JVM groupBy build ~10× at sf0.1 (see bench notes).
+    """
+    cols = list(col_seeds)
+    if not cols:
+        return df.count(), {}
+    proj = df.select(
+        *[F.col(c).cast("long").alias(f"_k{j}") for j, c in enumerate(cols)]
+    )
+    # Partition goal: ~100k keys per task — enough to amortize the Python
+    # worker round-trip, few enough tasks that collecting one 0.6 MB counter
+    # blob per (task, column) stays small. Small-SF parquet often lands in
+    # one partition (kernel would run single-threaded); cluster-scale inputs
+    # already have plenty, so we only repartition when it pays.
+    if nrows_hint is not None:
+        target = max(1, min(
+            df.sparkSession.sparkContext.defaultParallelism,
+            -(-nrows_hint // 100_000),
+        ))
+        cur = proj.rdd.getNumPartitions()
+        if cur < target:
+            proj = proj.repartition(target)
+        elif cur > 4 * target:
+            proj = proj.coalesce(target)
+    seeds_list = [col_seeds[c] for c in cols]
+
+    def partial_sketches(batches):
+        import pandas as pd
+
+        # concatenate the partition's batches first: one kernel pass per
+        # column over the whole partition, not 73 rows × per-10k-batch
+        # ufunc overhead
+        chunks: list[list[np.ndarray]] = [[] for _ in cols]
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            for j in range(len(cols)):
+                keys = pdf[f"_k{j}"].to_numpy()
+                keys = keys[~pd.isna(keys)]  # null keys never join; skip
+                if len(keys):
+                    chunks[j].append(keys.astype(np.int64))
+        partials = [
+            Sketch(np.zeros((SKETCH_ROWS, SKETCH_BUCKETS)), s) for s in seeds_list
+        ]
+        for j in range(len(cols)):
+            if chunks[j]:
+                numpy_update(partials[j], np.concatenate(chunks[j]))
+        # raw little-endian bytes: ~100× cheaper through Arrow than a
+        # 74k-element list column
+        yield pd.DataFrame(
+            {
+                "c": list(range(len(cols))),
+                "n": [n] * len(cols),
+                "counters": [
+                    p.counters.astype("<i8").tobytes() for p in partials
+                ],
+            }
+        )
+
+    out = proj.mapInPandas(
+        partial_sketches, schema="c int, n long, counters binary"
+    ).collect()
+
+    sketches = {
+        c: Sketch(np.zeros((SKETCH_ROWS, SKETCH_BUCKETS)), col_seeds[c]) for c in cols
+    }
+    count = 0
+    for row in out:
+        sketches[cols[row["c"]]].counters += np.frombuffer(
+            row["counters"], dtype="<i8"
+        ).reshape(SKETCH_ROWS, SKETCH_BUCKETS)
+        if row["c"] == 0:
+            count += row["n"]
     return count, sketches

@@ -21,6 +21,8 @@ Thresholds mirror COMPASS_init_variables.txt:3-5 (200 rows / 5% / 10,000).
 
 from __future__ import annotations
 
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from compass_query_optimizer_spark.plans.fagms import (
     Sketch,
     build_sketches,
+    build_sketches_arrow,
     seeds_for_class,
 )
 from compass_query_optimizer_spark.plans.graph import JoinGraph
@@ -40,6 +43,8 @@ class PushdownConfig:
     max_selectivity: float = 0.05  # PUSH_DOWN_MAX_SELECTIVITY_SK
     max_size: int = 10_000  # PUSH_DOWN_MAX_SIZE
     broadcast_rows: int = 1_000_000  # selective sides below this get a hint
+    arrow_build: bool = True  # mapInPandas sketch build (vs JVM groupBy)
+    parallel_tables: int = 8  # concurrent per-table sketch passes
 
 
 @dataclass
@@ -73,8 +78,9 @@ def run_pushdown(
     stats: dict[str, TableStats] = {}
     frames: dict[str, DataFrame] = {}
     materialized: set[str] = set()
+    cache_lock = threading.Lock()
 
-    for alias in sorted(spec.tables, key=lambda a: base_counts[a]):
+    def one_table(alias: str) -> tuple[str, int, dict[str, Sketch], DataFrame, bool]:
         base = base_tables[alias]
         filter_sql = spec.filters.get(alias)
         join_cols = graph.join_cols(alias)
@@ -88,30 +94,44 @@ def run_pushdown(
             None if tiny else filter_sql,
             tuple(sorted((c, graph.class_key(alias, c)) for c in join_cols)),
         )
-        if cache_key in _TEMPLATE_CACHE:
-            count, sketches = _TEMPLATE_CACHE[cache_key]
+        with cache_lock:
+            cached = _TEMPLATE_CACHE.get(cache_key)
+        if cached is not None:
+            count, sketches = cached
         else:
             # tiny tables skip the filter for sketching (template behavior)
-            count, sketches = build_sketches(base if tiny else filtered, col_seeds)
-            _TEMPLATE_CACHE[cache_key] = (count, sketches)
-
-        if tiny and filter_sql:
-            # sketch is the template's, but the query still filters
-            frames[alias] = filtered
-            count_for_stats = count
-        else:
-            frames[alias] = filtered
-            count_for_stats = count
+            if config.arrow_build:
+                count, sketches = build_sketches_arrow(
+                    base if tiny else filtered,
+                    col_seeds,
+                    nrows_hint=base_counts[alias],
+                )
+            else:
+                count, sketches = build_sketches(
+                    base if tiny else filtered, col_seeds
+                )
+            with cache_lock:
+                _TEMPLATE_CACHE[cache_key] = (count, sketches)
 
         selective = (
             filter_sql is not None
             and not tiny
             and count <= min(config.max_selectivity * base_counts[alias], config.max_size)
         )
+        return alias, count, sketches, filtered, selective
+
+    # the per-table passes are independent Spark jobs; run them concurrently
+    # (the reference runs them ascending by size on one device — on a
+    # cluster, concurrent small jobs overlap their scheduling latency)
+    aliases = sorted(spec.tables, key=lambda a: base_counts[a])
+    with ThreadPoolExecutor(max_workers=max(1, config.parallel_tables)) as pool:
+        results = list(pool.map(one_table, aliases))
+
+    for alias, count, sketches, filtered, selective in results:
+        frames[alias] = filtered
         if selective:
             frames[alias] = filtered.cache()
             materialized.add(alias)
-
-        stats[alias] = TableStats(rows=count_for_stats, sketches=sketches)
+        stats[alias] = TableStats(rows=count, sketches=sketches)
 
     return PushdownResult(stats=stats, frames=frames, materialized=materialized)
