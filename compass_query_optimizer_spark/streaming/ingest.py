@@ -1,0 +1,101 @@
+"""Streaming ingest: append-only stream → table.
+
+The reference's only streaming surface is append ingest — stdin or Kafka
+rows parsed and inserted into a catalog table (Import/StreamImporter.cpp,
+Import/KafkaImporter.cpp; SURVEY.md §2.9: no stream queries, no watermarks).
+Spark-first: Structured Streaming `readStream` → `writeStream`, append
+mode, checkpointed. File-source ingest covers the stdin/file case; the
+Kafka source is the same call shape behind `format("kafka")` (available
+when the kafka connector jar ships with the cluster — gated here).
+
+Design for scale: ingest partitions by arrival; `maxFilesPerTrigger`
+bounds per-batch work, checkpointing gives exactly-once into the sink
+table. Downstream batch queries read the sink table like any other.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from compass_query_optimizer_spark.sources.copy_io import CopyParams
+
+
+@dataclass
+class StreamParams:
+    """Ingest knobs (analog of StreamInsert's batch size / poll interval)."""
+
+    max_files_per_trigger: int = 16
+    checkpoint_dir: str | None = None
+    available_now: bool = False  # drain-what-exists-then-stop (tests/backfill)
+
+
+def stream_csv_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    sink_path: str,
+    copy_params: CopyParams | None = None,
+    stream_params: StreamParams | None = None,
+) -> StreamingQuery:
+    """File-drop CSV ingest → parquet table at ``sink_path`` (the analog of
+    StreamImporter's delimited stdin rows appended into a table)."""
+    cp = copy_params or CopyParams()
+    sp = stream_params or StreamParams()
+    src = (
+        spark.readStream.schema(schema)
+        .option("sep", cp.delimiter)
+        .option("header", cp.has_header)
+        .option("nullValue", cp.null_str)
+        .option("maxFilesPerTrigger", sp.max_files_per_trigger)
+        .csv(source_dir)
+    )
+    writer = (
+        src.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_path)
+        .option(
+            "checkpointLocation",
+            sp.checkpoint_dir or f"{sink_path}_checkpoint",
+        )
+    )
+    if sp.available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_kafka_ingest(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    sink_path: str,
+    stream_params: StreamParams | None = None,
+) -> StreamingQuery:
+    """Kafka append ingest (Import/KafkaImporter.cpp analog): raw
+    key/value bytes with Kafka metadata appended to a parquet table.
+    Requires the spark-sql-kafka connector on the cluster classpath."""
+    sp = stream_params or StreamParams()
+    try:
+        src = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - no kafka jar in test env
+        raise NotImplementedError(
+            "kafka source requires the spark-sql-kafka connector jar"
+        ) from e
+    return (
+        src.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_path)
+        .option(
+            "checkpointLocation",
+            sp.checkpoint_dir or f"{sink_path}_checkpoint",
+        )
+        .start()
+    )

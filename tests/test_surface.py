@@ -1,0 +1,153 @@
+"""Sources / DDL / streaming / dialect surface tests (SURVEY.md §2.1, §2.8,
+§2.9): COPY FROM/TO round-trip with reject handling, Arrow sink, DDL + CTAS
++ INSERT, file-stream ingest, and the MapD dialect rewriter."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import types as T
+
+from compass_query_optimizer_spark.functions.dialect import to_spark_sql
+from compass_query_optimizer_spark.sources.copy_io import (
+    CopyParams,
+    copy_from,
+    copy_to,
+    to_arrow,
+)
+from compass_query_optimizer_spark.sources import ddl
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------- dialect
+def test_dialect_dateadd_nested():
+    out = to_spark_sql("SELECT DATEADD('day', DATEPART('day', a), b) FROM t")
+    assert out == "SELECT TIMESTAMPADD(DAY, EXTRACT(DAY FROM a), b) FROM t"
+
+
+def test_dialect_datediff_datepart_now():
+    assert (
+        to_spark_sql("SELECT DATEDIFF('month', x, NOW())")
+        == "SELECT TIMESTAMPDIFF(MONTH, x, CURRENT_TIMESTAMP)"
+    )
+    assert to_spark_sql("SELECT DATETIME('NOW')") == "SELECT CURRENT_TIMESTAMP"
+
+
+def test_dialect_truncate_and_round():
+    assert to_spark_sql("SELECT ROUND_TO_DIGIT(x, 2)") == "SELECT ROUND(x, 2)"
+    assert "FLOOR" in to_spark_sql("SELECT TRUNCATE(x, 1)")
+    assert "CEIL" in to_spark_sql("SELECT TRUNCATE(x, 1)")  # toward-zero
+
+
+def test_dialect_unnest_and_quotes_survive():
+    out = to_spark_sql("SELECT UNNEST(arr) FROM t WHERE s = 'DATEADD(x)'")
+    assert out.startswith("SELECT EXPLODE(arr)")
+    assert "'DATEADD(x)'" in out  # string literal untouched
+
+
+def test_dialect_executes(spark):
+    rows = spark.sql(
+        to_spark_sql(
+            "SELECT TRUNCATE(-1.57, 1) AS a, ROUND_TO_DIGIT(2.345, 2) AS b, "
+            "DATEDIFF('day', TIMESTAMP '2024-01-01', TIMESTAMP '2024-03-01') AS d"
+        )
+    ).collect()
+    assert rows[0]["a"] == -1.5  # toward zero, not floor
+    assert float(rows[0]["b"]) == 2.35
+    assert rows[0]["d"] == 60
+
+
+# ---------------------------------------------------------------------- copy
+def test_copy_roundtrip(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    src = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, 2.5), (3, 'q"uote', None)], schema
+    )
+    out = str(tmp_path / "csv_out")
+    copy_to(src, out)
+    back, rejected = copy_from(spark, out, schema)
+    assert rejected == 0
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_copy_max_reject(spark, tmp_path):
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("k,v\n1,a\nnot_an_int,b\nalso_bad,c\n")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    good, rejected = copy_from(spark, p, schema, CopyParams(max_reject=5))
+    assert rejected == 2 and good.count() == 1
+    with pytest.raises(ValueError, match="COPY aborted"):
+        copy_from(spark, p, schema, CopyParams(max_reject=1))
+
+
+def test_arrow_sink(spark):
+    tbl = to_arrow(spark.range(5).selectExpr("id", "id * 2 AS dbl"))
+    assert tbl.num_rows == 5 and tbl.column_names == ["id", "dbl"]
+
+
+# ----------------------------------------------------------------------- ddl
+def test_ddl_lifecycle(spark, tmp_path):
+    name = "t_ddl_test"
+    ddl.drop_table(spark, name)
+    ddl.create_table(
+        spark,
+        name,
+        T.StructType(
+            [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+        ),
+    )
+    ddl.insert_values(spark, name, [(1, "x"), (2, "y")])
+    ddl.insert_select(spark, name, "SELECT 3, 'z'")
+    assert spark.table(name).count() == 3
+    ddl.create_view(spark, "v_ddl_test", f"SELECT a FROM {name} WHERE a > 1")
+    assert spark.table("v_ddl_test").count() == 2
+    ddl.create_table_as(spark, f"{name}_ctas", f"SELECT * FROM {name} WHERE a >= 2")
+    assert spark.table(f"{name}_ctas").count() == 2
+    ddl.truncate_table(spark, name)
+    assert spark.table(name).count() == 0
+    ddl.drop_view(spark, "v_ddl_test")
+    ddl.drop_table(spark, f"{name}_ctas")
+    ddl.drop_table(spark, name)
+
+
+# ----------------------------------------------------------------- streaming
+def test_stream_csv_ingest(spark, tmp_path):
+    from compass_query_optimizer_spark.streaming.ingest import (
+        StreamParams,
+        stream_csv_ingest,
+    )
+
+    src_dir = tmp_path / "drops"
+    src_dir.mkdir()
+    for i in range(3):
+        with open(src_dir / f"batch{i}.csv", "w") as f:
+            f.write("k,v\n")
+            for j in range(10):
+                f.write(f"{i * 10 + j},val{j}\n")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    sink = str(tmp_path / "sink")
+    q = stream_csv_ingest(
+        spark,
+        str(src_dir),
+        schema,
+        sink,
+        stream_params=StreamParams(available_now=True),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 30
+    assert got.schema.fieldNames() == ["k", "v"]
