@@ -47,9 +47,22 @@ def _strip_quotes(s: str) -> str:
 
 
 def _split_top_level_and(expr: str) -> list[str]:
-    """Split a WHERE clause on top-level ANDs (paren- and quote-aware)."""
-    parts, depth, cur, i = [], 0, [], 0
+    """Split a WHERE clause on top-level ANDs (paren-, quote- and
+    BETWEEN-aware: the AND inside ``x BETWEEN a AND b`` binds to the
+    predicate, not the conjunction)."""
+    parts, depth, between, cur, i = [], 0, 0, [], 0
     s = expr
+
+    def word_at(pos: int, w: str) -> bool:
+        return (
+            s[pos : pos + len(w)].upper() == w
+            and (pos == 0 or not (s[pos - 1].isalnum() or s[pos - 1] == "_"))
+            and (
+                pos + len(w) >= len(s)
+                or not (s[pos + len(w)].isalnum() or s[pos + len(w)] == "_")
+            )
+        )
+
     while i < len(s):
         ch = s[i]
         if ch == "'":
@@ -66,9 +79,15 @@ def _split_top_level_and(expr: str) -> list[str]:
         elif ch == ")":
             depth -= 1
             cur.append(ch)
-        elif depth == 0 and s[i : i + 3].upper() == "AND" and (i == 0 or not s[i - 1].isalnum()) and (
-            i + 3 >= len(s) or not s[i + 3].isalnum()
-        ):
+        elif word_at(i, "BETWEEN"):
+            between += 1
+            cur.append(s[i : i + 7])
+            i += 6
+        elif word_at(i, "AND") and between > 0:
+            between -= 1
+            cur.append(s[i : i + 3])
+            i += 2
+        elif depth == 0 and word_at(i, "AND"):
             parts.append("".join(cur).strip())
             cur = []
             i += 2

@@ -64,15 +64,22 @@ class CompassOptimizer:
     # -- planning ----------------------------------------------------------
 
     def plan(
-        self, spec_or_sql: JoinQuerySpec | str, sf_dir: str
+        self,
+        spec_or_sql: JoinQuerySpec | str,
+        sf_dir: str | None = None,
+        tables: dict[str, DataFrame] | None = None,
     ) -> CompassPlan:
+        """``tables`` (name -> DataFrame) overrides the default catalog load
+        from ``sf_dir`` — any star schema (e.g. the mini-IMDB JOB fixture)
+        plans through the same pipeline."""
         spec = (
             parse_join_query(spec_or_sql)
             if isinstance(spec_or_sql, str)
             else spec_or_sql
         )
         graph = JoinGraph(spec)
-        tables = load_tables(self.spark, sf_dir, register=False)
+        if tables is None:
+            tables = load_tables(self.spark, sf_dir, register=False)
         base = {alias: tables[t] for alias, t in spec.tables.items()}
         # base cardinalities: parquet row-group metadata makes .count() a
         # metadata-only job (no column IO)
@@ -131,7 +138,12 @@ class CompassOptimizer:
             joined = joined.filter(rewritten)
         return joined
 
-    def execute_count(self, spec_or_sql: JoinQuerySpec | str, sf_dir: str) -> DataFrame:
+    def execute_count(
+        self,
+        spec_or_sql: JoinQuerySpec | str,
+        sf_dir: str | None = None,
+        tables: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
         """The reference's benchmark form: COUNT(*) of the join."""
-        plan = self.plan(spec_or_sql, sf_dir)
+        plan = self.plan(spec_or_sql, sf_dir, tables=tables)
         return self.build_join(plan).agg(F.count(F.lit(1)).alias("cnt"))
