@@ -1,0 +1,99 @@
+"""Structured Streaming queries in the correctness gate.
+
+The reference has ingest-only streaming (SURVEY.md §2.9); the Spark engine
+goes further with real stream queries: event-time tumbling-window rollups
+with a watermark. ``stream_window_rollup`` runs the events table through
+readStream → withWatermark → window() → writeStream (availableNow, complete
+mode into a memory sink) and returns the settled result — the oracle is the
+equivalent batch GROUP BY date_trunc, so the gate proves stream/batch
+consistency (the Dataflow-model property Structured Streaming guarantees).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from compass_query_optimizer_spark.catalog import table_path
+from compass_query_optimizer_spark.registry import query
+
+_ORACLE = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws,
+       event_type,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY ws, event_type
+"""
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS) → read as long
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@query(
+    "stream_window_rollup",
+    _ORACLE,
+    doc="Structured Streaming event-time rollup: readStream over events, "
+    "1h watermark, tumbling 1h window, availableNow drain to a memory "
+    "sink; oracle is the equivalent batch GROUP BY (stream/batch "
+    "consistency)",
+    tags=("streaming",),
+)
+def stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # stateful-agg state is partitioned by the shuffle-partition count at
+    # first run; 200 default = 200 tiny state stores for this volume
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # the testdata table is a single parquet FILE; the file stream source
+    # wants a directory or glob, so address it as a glob under sf_dir
+    src = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .parquet(table_path(sf_dir, "events").replace("events.parquet", "*events.parquet"))
+        .withColumn(
+            # plain TIMESTAMP (not NTZ): EventTimeWatermark requires it, and
+            # the session is pinned to UTC so the instant is unchanged
+            "ts",
+            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")),
+        )
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    sink = f"rollup_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("ws", "event_type")
