@@ -98,6 +98,83 @@ def featurize(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
 
 
+FRAME_BYTES = 64  # frame group size for the deterministic text-kind sampler
+FRAME_STRIDE = 2  # sample every 2nd frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas frame sampler: one output row per sampled frame — the
+    row-exploding shape a video frame-sampler has (N input rows → M output
+    rows). Frames = consecutive FRAME_BYTES-byte windows, every
+    FRAME_STRIDE-th kept."""
+    import hashlib
+
+    for pdf in batches:
+        ids, idxs, md5s = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for k in range(0, (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES, FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(k)
+                md5s.append(
+                    hashlib.md5(
+                        payload[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+                    ).hexdigest()
+                )
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame_md5": md5s}
+        )
+
+
+def resize_image(kind: str, payload: bytes, w: int, h: int) -> bytes:
+    """Image resize stub. Real decoders (PIL/opencv) are absent in this
+    container — STUB: the deterministic "image/fake" kind treats the payload
+    as a row-major grayscale square and average-pools it to w×h; real image
+    kinds raise until a codec is plugged in."""
+    import math
+
+    import numpy as np
+
+    if kind != "image/fake":
+        raise NotImplementedError(
+            f"image decode for kind={kind!r} requires external codecs"
+        )
+    side = int(math.isqrt(len(payload)))
+    img = np.frombuffer(payload[: side * side], dtype=np.uint8).reshape(side, side)
+    ys = (np.arange(h) * side) // h
+    xs = (np.arange(w) * side) // w
+    return img[np.ix_(ys, xs)].tobytes()
+
+
+@query(
+    "mm_frame_sample",
+    f"""
+    SELECT doc_id, CAST(s.k AS INTEGER) AS frame_idx,
+           md5(substr(text, CAST(s.k * {FRAME_BYTES} + 1 AS INTEGER), {FRAME_BYTES})) AS frame_md5
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT), {FRAME_STRIDE})) AS s(k)
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="multimodal frame sampling: mapInPandas explodes each payload into "
+    "every-2nd 64-byte frame row (the video frame-sample shape); oracle "
+    "rebuilds frames with substr+md5",
+    tags=("multimodal", "pandas-udf"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    payloads = payloads_from_documents(t["documents"])
+    return payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 @query(
     "mm_payload_features",
     """

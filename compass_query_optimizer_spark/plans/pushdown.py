@@ -56,12 +56,19 @@ class PushdownResult:
 
 # (table, filter_sql, sorted class keys) -> (count, sketches); predicate-free
 # tables of repeated queries reuse their sketches across plans, the analog of
-# the reference's persisted sketch templates.
+# the reference's persisted sketch templates (round-trip to disk via
+# plans/templates.py).
 _TEMPLATE_CACHE: dict[tuple, tuple[int, dict[str, Sketch]]] = {}
+_TEMPLATE_LOCK = threading.Lock()
+
+
+def _template_lock() -> threading.Lock:
+    return _TEMPLATE_LOCK
 
 
 def clear_template_cache() -> None:
-    _TEMPLATE_CACHE.clear()
+    with _TEMPLATE_LOCK:
+        _TEMPLATE_CACHE.clear()
 
 
 def run_pushdown(
@@ -78,7 +85,6 @@ def run_pushdown(
     stats: dict[str, TableStats] = {}
     frames: dict[str, DataFrame] = {}
     materialized: set[str] = set()
-    cache_lock = threading.Lock()
 
     def one_table(alias: str) -> tuple[str, int, dict[str, Sketch], DataFrame, bool]:
         base = base_tables[alias]
@@ -94,7 +100,7 @@ def run_pushdown(
             None if tiny else filter_sql,
             tuple(sorted((c, graph.class_key(alias, c)) for c in join_cols)),
         )
-        with cache_lock:
+        with _TEMPLATE_LOCK:
             cached = _TEMPLATE_CACHE.get(cache_key)
         if cached is not None:
             count, sketches = cached
@@ -110,7 +116,7 @@ def run_pushdown(
                 count, sketches = build_sketches(
                     base if tiny else filtered, col_seeds
                 )
-            with cache_lock:
+            with _TEMPLATE_LOCK:
                 _TEMPLATE_CACHE[cache_key] = (count, sketches)
 
         selective = (
