@@ -13,12 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: JOB-shaped COUNT(*) multi-way join on sf0.001."""
+    """Flagship: the JOB-shaped COUNT(*) multi-way join planned by the
+    COMPASS sketch optimizer (sketch push-down → join-order search →
+    enforced left-deep chain) on sf0.001."""
     from compass_query_optimizer_spark.session import configure
     from compass_query_optimizer_spark.registry import all_queries
 
     configure(spark)
-    return all_queries()["q07_count_star_multijoin"].build(
+    return all_queries()["compass_count_multijoin"].build(
         spark, "/root/testdata/sf0.001"
     )
 

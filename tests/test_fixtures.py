@@ -141,6 +141,37 @@ WHERE mc.movie_id = t.id AND mk.movie_id = t.id
   AND mk.keyword_id = k.id AND mc.company_id = cn.id
 """
 
+# 6a family: keyword + cast + gender, IN-list over keywords
+JOB_6A = """
+SELECT COUNT(*) AS cnt
+FROM cast_info ci, keyword k, movie_keyword mk, name n, title t
+WHERE k.keyword IN ('character-name-in-title', 'keyword-7', 'keyword-31')
+  AND n.gender = 'm' AND t.production_year > 1990
+  AND k.id = mk.keyword_id AND t.id = mk.movie_id AND t.id = ci.movie_id
+  AND ci.person_id = n.id
+"""
+
+# 11-ish family: OR-chain country codes + company join + link tables
+JOB_11 = """
+SELECT COUNT(*) AS cnt
+FROM company_name cn, company_type ct, movie_companies mc, movie_link ml,
+     link_type lt, title t
+WHERE (cn.country_code = '[us]' OR cn.country_code = '[de]')
+  AND ct.kind = 'production companies'
+  AND cn.id = mc.company_id AND ct.id = mc.company_type_id
+  AND mc.movie_id = t.id AND ml.movie_id = t.id AND ml.link_type_id = lt.id
+"""
+
+# 13-ish family: ratings range + year BETWEEN over two fact tables
+JOB_13 = """
+SELECT COUNT(*) AS cnt
+FROM movie_info_idx mii, info_type it, title t, kind_type kt, movie_info mi
+WHERE it.info = 'rating' AND mii.info > '8.0'
+  AND t.production_year BETWEEN 1960 AND 2005 AND kt.kind = 'movie'
+  AND mii.info_type_id = it.id AND mii.movie_id = t.id
+  AND t.kind_id = kt.id AND mi.movie_id = t.id
+"""
+
 
 @pytest.fixture(scope="module")
 def imdb(spark, tmp_path_factory):
@@ -154,7 +185,9 @@ def imdb(spark, tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "sql", [JOB_1A, JOB_29A, JOB_TEMPLATE], ids=["1a", "29a_self_alias", "template"]
+    "sql",
+    [JOB_1A, JOB_29A, JOB_TEMPLATE, JOB_6A, JOB_11, JOB_13],
+    ids=["1a", "29a_self_alias", "template", "6a_inlist", "11_orchain", "13_ranges"],
 )
 def test_job_corpus_golden_counts(spark, imdb, sql):
     tables, con = imdb
