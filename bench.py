@@ -25,10 +25,15 @@ HEADLINE = [
     "q07_count_star_multijoin",   # JOB-shaped COUNT(*) multi-join
     "compass_count_multijoin",    # same shape through the COMPASS optimizer
     "q23_events_rollup",          # event-time windowed rollup
+    "compass_self_join",          # self-join aliases through the planner
     "dedup_exact",                # hash-groupBy dedup on documents
     "dedup_minhash_lsh",          # MinHash+LSH near-dup
+    "dedup_simhash",              # simhash fingerprint + pigeonhole join
     "sim_topk_bruteforce",        # brute-force cosine top-k on embeddings
+    "sim_ann_lsh",                # LSH-bucketed ANN (scale path)
     "text_quality",               # text quality scoring
+    "mm_frame_sample",            # multimodal frame sampling via Arrow
+    "stream_window_rollup",       # Structured Streaming windowed rollup
 ]
 
 

@@ -163,19 +163,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (session id, sf_dir) -> loaded frames. A DataFrame is a reusable logical
+# plan; caching skips re-reading ten parquet footers + schema validation on
+# every query build (the reference's catalog similarly keeps descriptors
+# resident, Catalog/Catalog.cpp).
+_LOADED: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: bool = True
 ) -> dict[str, DataFrame]:
     """Load every catalog table from ``sf_dir``; optionally register each as
     a temp view (the analog of the reference's persistent catalog tables —
     queries address them by name via spark.sql)."""
-    tables = {}
-    for name in TABLE_NAMES:
-        path = table_path(sf_dir, name)
-        if not os.path.exists(path):
-            continue
-        df = load_table(spark, sf_dir, name)
-        if register:
+    key = (id(spark), sf_dir)
+    tables = _LOADED.get(key)
+    if tables is None:
+        tables = {}
+        for name in TABLE_NAMES:
+            path = table_path(sf_dir, name)
+            if not os.path.exists(path):
+                continue
+            tables[name] = load_table(spark, sf_dir, name)
+        _LOADED[key] = tables
+    if register:
+        for name, df in tables.items():
             df.createOrReplaceTempView(name)
-        tables[name] = df
-    return tables
+    return dict(tables)

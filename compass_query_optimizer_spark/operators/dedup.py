@@ -197,35 +197,30 @@ SIMHASH_MAXDIST = 3
 
 
 def simhash_codes(docs: DataFrame) -> DataFrame:
-    """(doc_id, code): 32-bit simhash over word tokens (with multiplicity)."""
+    """(doc_id, code): 32-bit simhash over word tokens (with multiplicity).
+
+    One shuffle: 32 conditional-sum aggregates (one per bit) in a single
+    groupBy — no per-bit explode, so the pre-shuffle row count is the token
+    count, not 32× it, and map-side partial aggregation reduces each
+    partition to one row per doc before the exchange."""
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
     )
     h = spark_portable_hash(F.col("word"))
-    bit_signs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-                .alias("s"),
-            )
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    per_bit = (
-        toks.select("doc_id", F.explode(bit_signs).alias("js"))
-        .groupBy("doc_id", F.col("js.j").alias("j"))
-        .agg(F.sum("js.s").alias("tot"))
-    )
-    return per_bit.groupBy("doc_id").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.col("tot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("code")
-    )
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    code = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        code = code + F.when(
+            F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", code.alias("code"))
 
 
 @query(
