@@ -148,11 +148,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[c].dataType, T.LongType):
+            # integer `div`, not `/`: float division of nanos (≈1.7e18)
+            # exceeds double's 2^53 exact range and drifts by ±1 µs
             df = df.withColumn(
                 c,
-                F.timestamp_micros(
-                    (F.col(c) / F.lit(1000)).cast("long")
-                ).cast("timestamp_ntz"),
+                F.timestamp_micros(F.expr(f"{c} div 1000")).cast("timestamp_ntz"),
             )
     declared = SCHEMAS.get(name)
     if declared is not None:

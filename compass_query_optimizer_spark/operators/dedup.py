@@ -95,27 +95,21 @@ def _spark_shingles(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, i, minh): K minhash values per doc.
+    """(doc_id, h0..h{K-1}): K minhash values per doc, wide format.
 
-    One explode to K hash evaluations per shingle (all codegen'd bit
-    arithmetic), then a map-side-combining min aggregation — the shuffle
-    carries only K rows per doc.
+    K min-aggregates over the shingle hashes in ONE groupBy — no per-hash
+    explode, so the pre-shuffle row count is the shingle count (not K×) and
+    map-side partial aggregation reduces each partition to one row per doc
+    before the exchange. All hash arithmetic is codegen'd integer math.
     """
     grams = _spark_shingles(docs).select(
         "doc_id", spark_portable_hash(F.col("shingle")).alias("g")
     )
-    hashes = F.array(
+    return grams.groupBy("doc_id").agg(
         *[
-            F.struct(
-                F.lit(i).alias("i"), spark_cw_hash(F.col("g"), a, b).alias("h")
-            )
+            F.min(spark_cw_hash(F.col("g"), a, b)).alias(f"h{i}")
             for i, (a, b) in enumerate(_MH_PARAMS)
         ]
-    )
-    return (
-        grams.select("doc_id", F.explode(hashes).alias("ih"))
-        .groupBy("doc_id", F.col("ih.i").alias("i"))
-        .agg(F.min("ih.h").alias("minh"))
     )
 
 
@@ -129,18 +123,25 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     sigs = minhash_signatures(t["documents"])
-    bands = (
-        sigs.groupBy("doc_id", (F.col("i") / MINHASH_R).cast("int").alias("band"))
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("i", "minh"))),
-                    lambda s: s["minh"].cast("string"),
-                ),
-            ).alias("band_key")
-        )
+    n_bands = MINHASH_K // MINHASH_R
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{band * MINHASH_R + r}").cast("string")
+                        for r in range(MINHASH_R)
+                    ],
+                ).alias("band_key"),
+            )
+            for band in range(n_bands)
+        ]
     )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_key"
     )

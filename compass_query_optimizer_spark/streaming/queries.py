@@ -65,9 +65,10 @@ def stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(table_path(sf_dir, "events").replace("events.parquet", "*events.parquet"))
         .withColumn(
             # plain TIMESTAMP (not NTZ): EventTimeWatermark requires it, and
-            # the session is pinned to UTC so the instant is unchanged
+            # the session is pinned to UTC so the instant is unchanged.
+            # integer `div`: float division of nanos drifts by ±1 µs
             "ts",
-            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")),
+            F.timestamp_micros(F.expr("ts div 1000")),
         )
     )
     agg = (
