@@ -98,3 +98,71 @@ def stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(sink).orderBy("ws", "event_type")
+
+
+_STATEFUL_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query(
+    "stream_stateful_user_totals",
+    _STATEFUL_ORACLE,
+    doc="custom stateful streaming operator: per-user running totals via "
+    "applyInPandasWithState (arbitrary state, Arrow batches); drained "
+    "with availableNow so the emitted state equals the batch GROUP BY",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    src = spark.readStream.schema(_RAW_SCHEMA).parquet(
+        table_path(sf_dir, "events").replace("events.parquet", "*events.parquet")
+    )
+
+    def update_totals(key, pdfs, state: GroupState):
+        cnt, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "sum_value": [round(tot, 2)],
+            }
+        )
+
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="cnt long, tot double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"totals_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # single-batch drain: the last update per user IS the total; dedup by
+    # keeping the max n_events per user to stay correct under multi-batch
+    # replays too
+    latest = spark.table(sink).groupBy("user_id").agg(
+        F.max(F.struct("n_events", "sum_value")).alias("s")
+    )
+    return latest.select(
+        "user_id", F.col("s.n_events").alias("n_events"), F.col("s.sum_value").alias("sum_value")
+    ).orderBy("user_id")
