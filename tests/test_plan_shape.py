@@ -1,0 +1,59 @@
+"""Physical-plan shape guards: the scale properties (predicate pushdown,
+column pruning, broadcast dims, codegen) must survive refactors. These are
+the properties the 100 TB design depends on — a plan that silently stops
+pushing filters would still pass value checks on 60k rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from compass_query_optimizer_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = all_queries()[name].build(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q01_scan_is_pruned_and_pushed(spark):
+    plan = formatted_plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned to exactly the 7 needed columns — no full-width scan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_q05_dims_broadcast(spark):
+    plan = formatted_plan(spark, "q05_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4  # all dims broadcast at this SF
+    assert "EqualTo(r_name,ASIA)" in plan  # literal filter reached the scan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q07_count_has_no_wide_columns(spark):
+    plan = formatted_plan(spark, "q07_count_star_multijoin")
+    # COUNT(*) multijoin must not read any non-key, non-predicate column
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines and all("o_totalprice" not in l for l in read_lines)
+    assert all("l_extendedprice" not in l for l in read_lines)
+
+
+def test_whole_stage_codegen_present(spark):
+    # AQE finalizes the plan only at execution; codegen spans appear there
+    df = all_queries()["q01_pricing_summary"].build(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final  # '*(n)' prefixes = whole-stage-codegen spans
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+def test_lsh_joins_are_equijoins(spark, name):
+    """Candidate generation must stay an equi-join (never a cartesian)."""
+    plan = formatted_plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
