@@ -1,0 +1,57 @@
+"""Bucketed & partitioned table layout for co-located joins and pruning.
+
+The reference fragments tables by insert order only (Fragmenter/
+InsertOrderFragmenter.h:39) and rebuilds join hash tables per query; at
+100 TB the Spark-native answers are:
+
+- **bucketing**: pre-shuffle both fact tables into the same number of
+  buckets on the join key at write time → repeated joins on that key skip
+  the exchange entirely (SortMergeJoin with zero ShuffleExchange);
+- **partitioned layout**: directory-partition on a low-cardinality column
+  → static partition pruning for literal predicates and dynamic partition
+  pruning (DPP) when the filter arrives through a dim-table join.
+
+Both are write-time declarations; every downstream query benefits with no
+code changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed managed parquet table. Joins between
+    tables bucketed identically on the join key are exchange-free."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *cols)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sc)
+    w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, table: str, partition_cols: list[str] | str
+) -> None:
+    """Persist ``df`` directory-partitioned (hive layout) for partition
+    pruning: static for literal filters, dynamic through joins (DPP)."""
+    cols = (
+        [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    )
+    df.write.mode("overwrite").format("parquet").partitionBy(*cols).saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str] | str
+) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key — planner
+    produces a shuffle-free SortMergeJoin."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return spark.table(left_table).join(spark.table(right_table), keys)

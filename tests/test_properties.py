@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis): the SQL-text manipulating layers must
+hold invariants on arbitrary inputs, not just the corpus queries."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from compass_query_optimizer_spark.functions.dialect import to_spark_sql
+from compass_query_optimizer_spark.plans.graph import _split_top_level_and
+
+_RESERVED = {"and", "or", "not", "between", "in", "is", "null", "like", "select", "from", "where"}
+ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s not in _RESERVED
+)
+literal = st.one_of(
+    st.integers(-1000, 1000).map(str),
+    ident.map(lambda s: f"'{s}'"),
+)
+
+
+@st.composite
+def simple_predicate(draw):
+    col = draw(ident)
+    op = draw(st.sampled_from(["=", "<", ">", "<=", ">=", "<>"]))
+    return f"{col} {op} {draw(literal)}"
+
+
+@st.composite
+def between_predicate(draw):
+    return f"{draw(ident)} BETWEEN {draw(st.integers(0, 50))} AND {draw(st.integers(51, 99))}"
+
+
+@st.composite
+def or_group(draw):
+    preds = draw(st.lists(simple_predicate(), min_size=2, max_size=3))
+    return "(" + " OR ".join(preds) + ")"
+
+
+conjunct = st.one_of(simple_predicate(), between_predicate(), or_group())
+
+
+@given(st.lists(conjunct, min_size=1, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_split_and_rejoin_roundtrip(conjuncts):
+    """Splitting a conjunction recovers exactly the conjuncts — BETWEEN's
+    AND and parenthesized ORs never split."""
+    expr = " AND ".join(conjuncts)
+    assert _split_top_level_and(expr) == conjuncts
+
+
+@given(st.lists(conjunct, min_size=1, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_split_never_loses_content(conjuncts):
+    expr = " AND ".join(conjuncts)
+    parts = _split_top_level_and(expr)
+    strip = lambda s: re.sub(r"\s+|AND", "", s)
+    assert strip("".join(parts)) == strip(expr)
+
+
+@given(ident, st.integers(0, 100), ident)
+@settings(max_examples=100, deadline=None)
+def test_dialect_string_literals_never_rewritten(col, n, word):
+    """Function names inside string literals survive every rewrite."""
+    sql = f"SELECT DATEADD('day', {n}, {col}) FROM t WHERE s = 'DATEADD({word})' AND q = 'NOW()'"
+    out = to_spark_sql(sql)
+    assert f"'DATEADD({word})'" in out
+    assert "'NOW()'" in out
+    assert out.count("TIMESTAMPADD") == 1
+
+
+@given(st.integers(0, 1000))
+@settings(max_examples=50, deadline=None)
+def test_dialect_idempotent_on_ansi(n):
+    """ANSI SQL with no MapD-isms passes through byte-identical."""
+    sql = f"SELECT a, COUNT(*) FROM t WHERE b >= {n} GROUP BY a ORDER BY a LIMIT 5"
+    assert to_spark_sql(sql) == sql
