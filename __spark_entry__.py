@@ -27,8 +27,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from compass_query_optimizer_spark.registry import all_queries
+    from compass_query_optimizer_spark.session import configure
 
-    return {name: spec.build for name, spec in all_queries().items()}
+    def with_conf(build):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver hands us its own plain session; apply the engine's
+            # runtime-settable confs (shuffle partitions, AQE, UTC) first
+            configure(spark)
+            return build(spark, sf_dir)
+
+        return run
+
+    return {name: with_conf(spec.build) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
