@@ -64,6 +64,31 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # plan-quality metric (BASELINE.md): Σ estimated intermediate sizes of
+    # the sketch-chosen order vs the size-descending fallback on the
+    # flagship join — ratio ≤ 1.0 means the optimizer's order is no worse
+    plan_quality = None
+    try:
+        from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+        from compass_query_optimizer_spark.plans.search import (
+            fallback_order,
+            order_cost,
+        )
+        from compass_query_optimizer_spark.workload import FLAGSHIP_SQL
+
+        plan = CompassOptimizer(spark).plan(FLAGSHIP_SQL, sf_dir)
+        if not plan.search.fallback:
+            fb_cost = order_cost(
+                plan.graph, plan.pushdown.stats, fallback_order(plan.pushdown.stats)
+            )
+            plan_quality = {
+                "chosen_cost": round(plan.search.cost, 1),
+                "fallback_cost": round(fb_cost, 1),
+                "ratio": round(plan.search.cost / fb_cost, 4) if fb_cost else None,
+            }
+    except Exception as e:  # bench must still emit its line
+        print(f"  plan-quality skipped: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -73,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "plan_quality": plan_quality,
             }
         )
     )
