@@ -163,6 +163,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Widen a narrow scan before per-row-expensive transforms.
+
+    A dimension-sized parquet table arrives as one input split, which
+    serializes CPU-heavy per-row work (shingling, md5 hashing, vector
+    arithmetic) on a single core while the other 31 idle. When the scan has
+    fewer partitions than the session's shuffle parallelism, round-robin
+    repartition to the shuffle width — the extra exchange moves only the
+    narrow base rows, far cheaper than the serialized compute it unlocks.
+    At production scale the input already has thousands of splits and this
+    is a no-op (we never *shrink* a wide input).
+    """
+    sess = df.sparkSession
+    if target is None:
+        target = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # (session id, sf_dir) -> loaded frames. A DataFrame is a reusable logical
 # plan; caching skips re-reading ten parquet footers + schema validation on
 # every query build (the reference's catalog similarly keeps descriptors

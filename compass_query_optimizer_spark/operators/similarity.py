@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.catalog import load_tables, spread
 from compass_query_optimizer_spark.functions.hashing import plane_signs
 from compass_query_optimizer_spark.operators.dedup import QUANT, quantized
 from compass_query_optimizer_spark.registry import query
@@ -32,7 +32,7 @@ _PLANES = plane_signs(N_PLANES, EMBED_DIM)
 
 
 def _quantized_with_norm(emb: DataFrame) -> DataFrame:
-    q = emb.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    q = spread(emb).select("vec_id", quantized(F.col("embedding")).alias("qv"))
     return q.select(
         "vec_id",
         "qv",

@@ -42,6 +42,14 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
 }
 
+# Static confs: only apply when *we* launch the JVM (get_spark); a
+# driver-provided session already has these fixed.
+STATIC_CONF: dict[str, str] = {
+    # default 1g driver heap OOMs on wide intermediate joins at sf0.1;
+    # in local mode the driver JVM hosts all 32 executor threads
+    "spark.driver.memory": "16g",
+}
+
 
 def get_spark(
     app_name: str = "compass-query-optimizer-spark",
@@ -60,7 +68,7 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
-    conf = dict(ENGINE_CONF)
+    conf = {**ENGINE_CONF, **STATIC_CONF}
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
