@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_simhash",              # simhash fingerprint + pigeonhole join
     "sim_topk_bruteforce",        # brute-force cosine top-k on embeddings
     "sim_ann_lsh",                # LSH-bucketed ANN (scale path)
+    "sim_ann_ivf",                # IVF-flat ANN (bounded-scan scale path)
     "text_quality",               # text quality scoring
     "mm_frame_sample",            # multimodal frame sampling via Arrow
     "stream_window_rollup",       # Structured Streaming windowed rollup

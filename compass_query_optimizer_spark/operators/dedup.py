@@ -208,7 +208,10 @@ def simhash_codes(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
     )
-    h = spark_portable_hash(F.col("word"))
+    # materialize the hash once per token — referencing the raw expression
+    # inside all 32 aggregates would re-run md5 32× per row
+    toks = toks.select("doc_id", spark_portable_hash(F.col("word")).alias("h"))
+    h = F.col("h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

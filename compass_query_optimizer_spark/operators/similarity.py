@@ -190,6 +190,138 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 16  # coarse-quantizer cells
+IVF_NPROBE = 2  # cells probed per query
+
+
+@query(
+    "sim_ann_ivf",
+    None,  # generated below
+    doc="IVF-flat ANN (scale path): deterministic sampled coarse quantizer "
+    f"(every ⌈N/{IVF_K}⌉-th vector by id-rank), cell assignment = argmin "
+    "exact quantized L2 over a broadcast centroid table, queries probe "
+    f"{IVF_NPROBE} nearest cells, exact cosine rerank inside the probed "
+    "cells. Candidate set is O(corpus/K·nprobe) per query — the classic "
+    "inverted-file trade of recall for a bounded scan",
+    tags=("similarity", "ivf"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n = _quantized_with_norm(t["embeddings"])
+    # deterministic "training": every ⌈N/K⌉-th vector by vec_id rank (a
+    # sampling-based coarse quantizer; k-means iterations would add recall
+    # but break cross-engine determinism)
+    w_all = Window.orderBy("vec_id")
+    ranked = n.select(
+        "vec_id",
+        "qv",
+        F.row_number().over(w_all).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    cents = ranked.filter(
+        (F.col("rn") - 1) % F.ceil(F.col("cnt") / IVF_K).cast("long") == 0
+    ).select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    # exact quantized squared-L2 to every centroid (broadcast: K rows)
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = n.join(F.broadcast(cents), how="cross").select(
+        "vec_id", "qv", "nrm2", "cid", d2.alias("d2")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    cells = dists.withColumn("crk", F.row_number().over(w_cell))
+    corpus = cells.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qb"),
+        F.col("nrm2").alias("nb"),
+        "cid",
+    )
+    probes = (
+        cells.filter(F.col("crk") <= IVF_NPROBE)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qa"),
+            F.col("nrm2").alias("na"),
+            "cid",
+        )
+    )
+    scored = (
+        probes.join(corpus, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cos"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
+    ),
+    ranked AS (
+      SELECT vec_id, qv,
+             ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM n
+    ),
+    cents AS (
+      SELECT vec_id AS cid, qv AS cv FROM ranked
+      WHERE (rn - 1) % CAST(ceil(cnt / {IVF_K}.0) AS BIGINT) = 0
+    ),
+    dists AS (
+      SELECT n.vec_id, n.qv, n.nrm2, c.cid,
+             list_sum(list_transform(range(1, len(n.qv) + 1),
+                                     i -> (n.qv[i] - c.cv[i]) * (n.qv[i] - c.cv[i]))) AS d2
+      FROM n CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
+      FROM dists
+    ),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, qv AS qb, nrm2 AS nb, cid
+      FROM cells WHERE crk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, qv AS qa, nrm2 AS na, cid
+      FROM cells WHERE crk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, len(p.qa) + 1), i -> p.qa[i] * c.qb[i]))
+               / (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(c.nb AS DOUBLE))) AS cos_raw
+      FROM probes p JOIN corpus c USING (cid)
+      WHERE c.neighbor_id <> p.query_id
+    ),
+    rankd AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos_raw, 6) AS cos
+    FROM rankd WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
 def _lsh_oracle() -> str:
     code = _duck_lsh_code("qv")
     return f"""
@@ -226,3 +358,4 @@ def _lsh_oracle() -> str:
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["sim_ann_lsh"].oracle = _lsh_oracle()
+_registry._REGISTRY["sim_ann_ivf"].oracle = _ivf_oracle()
