@@ -83,12 +83,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct word-W shingles, JVM higher-order fns."""
+    """(doc_id, shingle) distinct word-W shingles, JVM higher-order fns.
+
+    Docs with fewer than SHINGLE_W tokens produce NO shingles (empty array
+    guard): Spark's sequence(1, 0) is the descending [1, 0], whose 0 index
+    would crash slice(); the DuckDB oracle's range(1, ...) is empty for the
+    same docs, so the guard also keeps both engines aligned."""
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (SHINGLE_W - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_W)),
-    )
+    shingles = F.when(
+        F.size(toks) >= SHINGLE_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SHINGLE_W - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return spread(docs).select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
@@ -308,6 +316,20 @@ JACCARD_N = 3
 JACCARD_THRESHOLD = 0.8
 
 
+def char_gram_array(txt):
+    """array of all character-N-grams of ``txt``. Texts shorter than N chars
+    yield NO grams: sequence(1, 0) would be the descending [1, 0]
+    (position-0 substr emits a short gram the oracle's length(...)=N
+    predicate rejects), so guard with an empty array instead."""
+    return F.when(
+        F.length(txt) >= JACCARD_N,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - (JACCARD_N - 1)),
+            lambda i: txt.substr(i, F.lit(JACCARD_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @query(
     "dedup_ngram_jaccard",
     None,  # generated below (hashed-gram oracle)
@@ -324,13 +346,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir)
-    txt = F.lower(F.col("text"))
-    grams_arr = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.length(txt) - (JACCARD_N - 1), F.lit(0))
-        ),
-        lambda i: txt.substr(i, F.lit(JACCARD_N)),
-    )
+    grams_arr = char_gram_array(F.lower(F.col("text")))
     # Grams are hashed to 48-bit ints (portable md5 scheme, mirrored in the
     # oracle) — narrower shuffles and integer set ops downstream. The gram
     # table feeds five consumers, so materialize it once (localCheckpoint)

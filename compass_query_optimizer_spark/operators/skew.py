@@ -31,8 +31,18 @@ def salted_join(
 
     The salt is derived from a hash of the large side's full row (xxhash64,
     deterministic), so repeated runs shuffle identically; the small side is
-    exploded n_salt×. Output columns equal a plain ``large.join(small, on,
-    how)``."""
+    exploded n_salt×. Output is row-identical to a plain ``large.join(small,
+    on, how)`` for ``how`` in {inner, left, left_semi, cross} — large-side
+    rows appear once per salt value they hash to (exactly one). Right/full
+    outer joins are rejected: the replicated small side would emit each
+    unmatched small row n_salt times instead of once."""
+    if how not in {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side is "
+            "replicated n_salt times, so right/full-outer unmatched rows "
+            "would be duplicated"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salt))
     big = large.withColumn(SALT_COL, salt.cast("int"))

@@ -196,9 +196,14 @@ def build_sketches(
             )
         ) % F.lit(2)
         sign = F.lit(1) - F.lit(2) * parity
+        # null join keys never join (the Arrow build drops them the same
+        # way): route them to sentinel bucket -1 with sign 0 so they still
+        # count as survivors but never touch a counter
         per_col.append(
             F.struct(
-                F.lit(j).alias("c"), bucket.alias("bucket"), sign.cast("long").alias("sign")
+                F.lit(j).alias("c"),
+                F.coalesce(bucket, F.lit(-1).cast("long")).alias("bucket"),
+                F.coalesce(sign.cast("long"), F.lit(0).cast("long")).alias("sign"),
             )
         )
 
@@ -215,7 +220,8 @@ def build_sketches(
     sketches = {c: Sketch(np.zeros((SKETCH_ROWS, SKETCH_BUCKETS)), col_seeds[c]) for c in cols}
     count = 0
     for row in agg:
-        sketches[cols[row["c"]]].counters[row["r"], row["bucket"]] = row["v"]
+        if row["bucket"] >= 0:  # -1 = null-key sentinel: count-only
+            sketches[cols[row["c"]]].counters[row["r"], row["bucket"]] = row["v"]
         if row["c"] == 0 and row["r"] == 0:
             count += row["n"]
     if not cols:

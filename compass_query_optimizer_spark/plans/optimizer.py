@@ -40,6 +40,22 @@ from compass_query_optimizer_spark.plans.search import (
 )
 
 
+def _rewrite_residual(residual: str, spec: JoinQuerySpec) -> str:
+    """Rewrite ``alias.col`` → ``alias__col`` in a post-join residual.
+
+    Only known aliases are rewritten (the naive ``\\b(\\w+)\\.(\\w+)\\b``
+    would mangle numeric literals like ``0.5`` into ``0__5``), and string
+    literals are left untouched by splitting on quoted segments first."""
+    import re as _re
+
+    aliases = "|".join(_re.escape(a) for a in sorted(spec.tables, key=len, reverse=True))
+    pat = _re.compile(rf"\b({aliases})\.([A-Za-z_]\w*)\b")
+    out = []
+    for i, seg in enumerate(_re.split(r"('(?:[^']|'')*')", residual)):
+        out.append(seg if i % 2 else pat.sub(r"\1__\2", seg))
+    return "".join(out)
+
+
 @dataclass
 class CompassPlan:
     spec: JoinQuerySpec
@@ -132,10 +148,7 @@ class CompassOptimizer:
             in_chain.add(alias)
 
         for residual in plan.spec.post_filters:
-            import re as _re
-
-            rewritten = _re.sub(r"\b(\w+)\.(\w+)\b", r"\1__\2", residual)
-            joined = joined.filter(rewritten)
+            joined = joined.filter(_rewrite_residual(residual, plan.spec))
         return joined
 
     def execute_count(

@@ -42,6 +42,34 @@ WHERE l1.l_partkey = p.p_partkey AND l2.l_partkey = p.p_partkey
 """
 
 
+# A genuine cross-alias residual predicate (with a float literal AND string
+# literals) — not expressible as a per-table filter or an equi-join edge, so
+# it must survive the planner's alias.col → alias__col rewrite untouched
+# inside literals and numbers (plans/optimizer.py _rewrite_residual).
+RESIDUAL_SQL = """
+SELECT COUNT(*) AS cnt
+FROM lineitem l, orders o, customer c
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_mktsegment = 'BUILDING'
+  AND l.l_extendedprice > 0.5 * o.o_totalprice
+  AND (l.l_returnflag = 'R' OR o.o_orderpriority = '1-URGENT')
+"""
+
+
+@query(
+    "compass_residual_filter",
+    RESIDUAL_SQL,
+    doc="COMPASS-planned join with a cross-alias post-join residual "
+    "(float literal + string literals): exercises the schema-aware "
+    "residual rewrite the naive \\w+\\.\\w+ substitution would corrupt",
+    tags=("compass", "join", "residual"),
+)
+def compass_residual_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    return CompassOptimizer(spark).execute_count(RESIDUAL_SQL, sf_dir)
+
+
 @query(
     "compass_self_join",
     SELF_JOIN_SQL,

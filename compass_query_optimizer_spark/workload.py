@@ -365,16 +365,35 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q11_approx_count_distinct",
-    None,  # HLL implementations differ across engines → rows-only check
+    # HLL register layouts differ across engines, so the approx value itself
+    # is not comparable — but its error bound IS: oracle the exact count plus
+    # the |approx−exact| ≤ 3·rsd·exact acceptance boolean (a real check: a
+    # broken HLL fails it, and both engines agree on the exact side)
+    """
+    SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_rsd
+    FROM events
+    """,
     doc="APPROX_COUNT_DISTINCT (ref HyperLogLog.h:88 → Spark "
-    "approx_count_distinct); sanity-tested against exact count in tests/",
+    "approx_count_distinct); gate checks exact count + the 3·rsd error "
+    "bound holding, since raw HLL values legitimately differ per engine",
     tags=("agg", "approx"),
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rsd = 0.02
     t = load_tables(spark, sf_dir)
-    return t["events"].agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    return (
+        t["events"]
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 3 * rsd * F.col("exact_users")
+            ).alias("within_rsd"),
+        )
     )
 
 
