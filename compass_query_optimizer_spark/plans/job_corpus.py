@@ -1,0 +1,151 @@
+"""The reference's full benchmark workload: all 113 JOB queries through the
+COMPASS planner, differentially checked against DuckDB.
+
+The Join Order Benchmark is public (Leis et al., "How Good Are Query
+Optimizers, Really?", PVLDB 9(3), 2015; github.com/gregrahn/
+join-order-benchmark). The reference ships COUNT(*) variants of all 113
+queries as its validation + benchmark corpus (queries/*.sql.sq.cnt,
+README.md:56-57) and runs each through sketch push-down + join-order
+search; ``job_queries.json`` vendors those public count-form texts so this
+repo is standalone.
+
+Execution model: the corpus runs over the deterministic mini-IMDB fixture
+(fixtures.ensure_job_fixture — pyarrow-materialized parquet both engines
+read byte-identically). Planning artifacts are shared across the corpus:
+base cardinalities come from parquet footer metadata (zero Spark jobs) and
+Fast-AGMS sketches hit the in-memory template cache keyed by
+(table, filter, join-class) — the analog of the reference's persisted
+sketch templates, which exist precisely because JOB re-plans the same
+tables 113 times (Catalog/Catalog.h:579 uploadSketches).
+
+The ``job_corpus`` registry entry is the correctness gate: one row per
+query, COMPASS-planned Spark count vs DuckDB running the identical SQL
+over the identical parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+
+from compass_query_optimizer_spark.fixtures import ensure_job_fixture
+from compass_query_optimizer_spark.registry import query
+
+_CORPUS_PATH = os.path.join(os.path.dirname(__file__), "job_queries.json")
+_corpus_cache: dict[str, str] | None = None
+
+
+def load_corpus() -> dict[str, str]:
+    """query id ('1a'…'33c') -> COUNT(*) SQL text."""
+    global _corpus_cache
+    if _corpus_cache is None:
+        with open(_CORPUS_PATH) as fh:
+            _corpus_cache = json.load(fh)
+    return _corpus_cache
+
+
+def families() -> dict[str, list[str]]:
+    """JOB family number -> its query ids ('1' -> ['1a','1b','1c','1d'])."""
+    fams: dict[str, list[str]] = {}
+    for qid in load_corpus():
+        fams.setdefault(re.match(r"(\d+)", qid).group(1), []).append(qid)
+    return {k: sorted(v) for k, v in sorted(fams.items(), key=lambda kv: int(kv[0]))}
+
+
+def fixture_counts(paths: dict[str, str]) -> dict[str, int]:
+    """Base cardinalities from parquet footers — no Spark jobs at all (the
+    scan-free path a catalog would use for table-level stats)."""
+    import pyarrow.parquet as pq
+
+    return {n: pq.ParquetFile(p).metadata.num_rows for n, p in paths.items()}
+
+
+def job_tables(spark: SparkSession, scale: int = 1) -> tuple[dict[str, DataFrame], dict[str, int]]:
+    paths = ensure_job_fixture(scale=scale)
+    tables = {n: spark.read.parquet(p) for n, p in paths.items()}
+    return tables, fixture_counts(paths)
+
+
+def run_corpus(
+    spark: SparkSession,
+    mode: str = "compass",
+    query_ids: list[str] | None = None,
+    scale: int = 1,
+    max_workers: int = 6,
+    tables: dict[str, DataFrame] | None = None,
+    counts: dict[str, int] | None = None,
+) -> list[tuple[str, int]]:
+    """Execute (a subset of) the corpus; returns sorted (query_id, cnt).
+
+    mode='compass'  — sketch-chosen join order (the engine's planner)
+    mode='fallback' — size-descending order (MapD default heuristic), same
+                      push-down, for A/B join-order comparisons
+    mode='sparksql' — plain spark.sql over the original text (Catalyst's
+                      own plan; CBO reordering is off per session.py)
+    """
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    corpus = load_corpus()
+    ids = sorted(query_ids if query_ids is not None else corpus)
+    if tables is None or counts is None:
+        tables, counts = job_tables(spark, scale=scale)
+
+    if mode == "sparksql":
+        for n, df in tables.items():
+            df.createOrReplaceTempView(n)
+
+        def one(qid: str) -> tuple[str, int]:
+            row = spark.sql(corpus[qid]).collect()[0]
+            return qid, int(row[0])
+
+    elif mode in ("compass", "fallback"):
+        opt = CompassOptimizer(spark)
+
+        def one(qid: str) -> tuple[str, int]:
+            df = opt.execute_count(
+                corpus[qid],
+                tables=tables,
+                counts=counts,
+                use_fallback=(mode == "fallback"),
+            )
+            return qid, int(df.collect()[0]["cnt"])
+
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # concurrent Spark actions: each query is a small job chain; threads
+    # overlap scheduling latency exactly like concurrent cluster clients
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return sorted(pool.map(one, ids))
+
+
+def job_oracle_sql() -> str:
+    """One DuckDB statement covering the whole corpus: CTE views over the
+    fixture parquet + one scalar-subquery COUNT per query."""
+    paths = ensure_job_fixture()
+    ctes = ",\n".join(
+        f"{n} AS (SELECT * FROM read_parquet('{p}'))" for n, p in sorted(paths.items())
+    )
+    subs = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, ({sql}) AS cnt"
+        for qid, sql in sorted(load_corpus().items())
+    )
+    return f"WITH {ctes}\nSELECT * FROM (\n{subs}\n) ORDER BY query_id"
+
+
+@query(
+    "job_corpus",
+    job_oracle_sql(),
+    doc="all 113 JOB queries (the reference's entire benchmark corpus, "
+    "queries/*.sql.sq.cnt) planned by COMPASS sketch push-down + join-order "
+    "search over the mini-IMDB fixture; oracle = DuckDB running the "
+    "identical SQL on the identical parquet",
+    tags=("compass", "join", "job", "corpus"),
+)
+def job_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = run_corpus(spark, mode="compass")
+    return spark.createDataFrame(rows, "query_id string, cnt long").orderBy("query_id")

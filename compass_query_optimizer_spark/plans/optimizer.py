@@ -66,16 +66,42 @@ class CompassPlan:
     extras: dict = field(default_factory=dict)
 
 
+# (sf_dir | table-set tag, table name) -> base row count. Parquet metadata
+# makes .count() cheap but it is still a Spark job per table per plan —
+# repeated planning over the same catalog (the 113-query JOB corpus, or the
+# reference's repeated-benchmark loop) must not re-run it.
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def clear_count_cache() -> None:
+    _COUNT_CACHE.clear()
+
+
 class CompassOptimizer:
     def __init__(
         self,
         spark: SparkSession,
         config: PushdownConfig | None = None,
         budget: int = 100,
+        template_path: str | None = None,
     ):
+        """``template_path``: persisted sketch-template store. Loaded into
+        the in-memory cache at construction and re-saved after planning —
+        the lifecycle of the reference's catalog-level uploadSketches /
+        saveSketches (Catalog/Catalog.h:579, sketch-templates/README.md)."""
         self.spark = spark
         self.config = config or PushdownConfig()
         self.budget = budget
+        self.template_path = template_path
+        self._loaded_templates = 0
+        if template_path is not None:
+            import os
+
+            from compass_query_optimizer_spark.plans.templates import load_templates
+
+            p = template_path if template_path.endswith(".npz") else template_path + ".npz"
+            if os.path.exists(p):
+                self._loaded_templates = load_templates(p)
 
     # -- planning ----------------------------------------------------------
 
@@ -84,10 +110,15 @@ class CompassOptimizer:
         spec_or_sql: JoinQuerySpec | str,
         sf_dir: str | None = None,
         tables: dict[str, DataFrame] | None = None,
+        counts: dict[str, int] | None = None,
+        use_fallback: bool = False,
+        count_cache_tag: str | None = None,
     ) -> CompassPlan:
         """``tables`` (name -> DataFrame) overrides the default catalog load
         from ``sf_dir`` — any star schema (e.g. the mini-IMDB JOB fixture)
-        plans through the same pipeline."""
+        plans through the same pipeline. ``counts`` (table name -> rows)
+        skips the base-cardinality jobs; ``use_fallback`` forces the
+        size-descending order (MapD's default heuristic) for A/B runs."""
         spec = (
             parse_join_query(spec_or_sql)
             if isinstance(spec_or_sql, str)
@@ -98,15 +129,50 @@ class CompassOptimizer:
             tables = load_tables(self.spark, sf_dir, register=False)
         base = {alias: tables[t] for alias, t in spec.tables.items()}
         # base cardinalities: parquet row-group metadata makes .count() a
-        # metadata-only job (no column IO)
-        counts = {alias: base[alias].count() for alias in base}
-        pd = run_pushdown(self.spark, graph, base, counts, self.config)
-        search = choose_join_order(graph, pd.stats, budget=self.budget)
-        fb = fallback_order(pd.stats)
-        fb_cost = (
-            order_cost(graph, pd.stats, fb) if not search.fallback else None
-        )
-        return CompassPlan(spec, graph, pd, search, fallback_cost=fb_cost)
+        # metadata-only job (no column IO); cached across plans per catalog
+        tag = count_cache_tag or sf_dir
+        alias_counts: dict[str, int] = {}
+        for alias, tbl in spec.tables.items():
+            if counts is not None and tbl in counts:
+                alias_counts[alias] = counts[tbl]
+                continue
+            key = (tag, tbl)
+            if tag is not None and key in _COUNT_CACHE:
+                alias_counts[alias] = _COUNT_CACHE[key]
+                continue
+            c = base[alias].count()
+            alias_counts[alias] = c
+            if tag is not None:
+                _COUNT_CACHE[key] = c
+        pd = run_pushdown(self.spark, graph, base, alias_counts, self.config)
+        if use_fallback:
+            fb = fallback_order(pd.stats)
+            search = SearchResult(
+                fb, order_cost(graph, pd.stats, fb), 0, False, fallback=True
+            )
+            fb_cost = search.cost
+        else:
+            search = choose_join_order(graph, pd.stats, budget=self.budget)
+            fb = fallback_order(pd.stats)
+            fb_cost = (
+                order_cost(graph, pd.stats, fb) if not search.fallback else None
+            )
+        plan = CompassPlan(spec, graph, pd, search, fallback_cost=fb_cost)
+        if self.template_path is not None:
+            self._maybe_save_templates()
+        return plan
+
+    def _maybe_save_templates(self) -> None:
+        """Auto-save the template store when new sketches were built since
+        the last save (debounced on cache size)."""
+        from compass_query_optimizer_spark.plans import pushdown as _pd
+        from compass_query_optimizer_spark.plans.templates import save_templates
+
+        with _pd._template_lock():
+            size = len(_pd._TEMPLATE_CACHE)
+        if size != self._loaded_templates:
+            save_templates(self.template_path)
+            self._loaded_templates = size
 
     # -- execution ---------------------------------------------------------
 
@@ -156,7 +222,17 @@ class CompassOptimizer:
         spec_or_sql: JoinQuerySpec | str,
         sf_dir: str | None = None,
         tables: dict[str, DataFrame] | None = None,
+        counts: dict[str, int] | None = None,
+        use_fallback: bool = False,
+        count_cache_tag: str | None = None,
     ) -> DataFrame:
         """The reference's benchmark form: COUNT(*) of the join."""
-        plan = self.plan(spec_or_sql, sf_dir, tables=tables)
+        plan = self.plan(
+            spec_or_sql,
+            sf_dir,
+            tables=tables,
+            counts=counts,
+            use_fallback=use_fallback,
+            count_cache_tag=count_cache_tag,
+        )
         return self.build_join(plan).agg(F.count(F.lit(1)).alias("cnt"))

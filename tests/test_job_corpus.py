@@ -1,0 +1,93 @@
+"""The reference's full validation surface: all 113 JOB queries
+(queries/*.sql.sq.cnt — the corpus COMPASS was built and benchmarked on,
+README.md:56-57) parsed, planned and executed against DuckDB goldens.
+
+The driver correctness gate runs the complete corpus (plans/job_corpus.py
+`job_corpus` entry); here we keep a fast representative subset green in
+pytest plus structural checks over all 113, and the full sweep behind
+SPARK_GRAFT_FULL_JOB=1.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from compass_query_optimizer_spark.fixtures import ensure_job_fixture
+from compass_query_optimizer_spark.plans.graph import JoinGraph, parse_join_query
+from compass_query_optimizer_spark.plans.job_corpus import (
+    families,
+    fixture_counts,
+    job_oracle_sql,
+    load_corpus,
+    run_corpus,
+)
+
+
+def test_corpus_loads_and_parses():
+    corpus = load_corpus()
+    assert len(corpus) == 113
+    assert len(families()) == 33
+    for qid, sql in corpus.items():
+        assert "COUNT(*)" in sql.upper(), qid
+        spec = parse_join_query(sql)
+        g = JoinGraph(spec)
+        # every JOB query is a connected equi-join graph with per-alias
+        # filters only (no cross-alias residuals in this corpus)
+        assert g.is_connected(), qid
+        assert not spec.post_filters, qid
+        assert len(spec.tables) >= 4, qid
+
+
+def test_fixture_covers_every_filter():
+    """Each corpus query selects ≥1 row on the fixture (the correlated
+    'franchise cluster' guarantees non-trivial differential evidence —
+    a query that returns 0 everywhere can't catch a join that loses rows)."""
+    con = duckdb.connect()
+    res = con.execute(job_oracle_sql()).fetchall()
+    assert len(res) == 113
+    zeros = [q for q, c in res if not c]
+    assert zeros == [], f"queries with empty results on fixture: {zeros}"
+
+
+@pytest.fixture(scope="module")
+def oracle_counts():
+    return {q: c for q, c in duckdb.connect().execute(job_oracle_sql()).fetchall()}
+
+
+# one query per family keeps the pytest loop < ~40 s; the driver gate and
+# SPARK_GRAFT_FULL_JOB=1 cover all 113
+_SUBSET = [qs[0] for qs in families().values()]
+
+
+def test_job_subset_matches_duckdb(spark, oracle_counts):
+    got = dict(run_corpus(spark, mode="compass", query_ids=_SUBSET))
+    bad = {q: (got[q], oracle_counts[q]) for q in _SUBSET if got[q] != oracle_counts[q]}
+    assert not bad, f"COMPASS vs DuckDB mismatches: {bad}"
+
+
+def test_fallback_mode_same_answers(spark, oracle_counts):
+    """Join order must never change semantics: the size-descending
+    fallback order returns identical counts on a sample."""
+    sample = _SUBSET[::8]
+    got = dict(run_corpus(spark, mode="fallback", query_ids=sample))
+    assert got == {q: oracle_counts[q] for q in sample}
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FULL_JOB"),
+    reason="full 113-query sweep (~2 min) — driver gate covers it; set SPARK_GRAFT_FULL_JOB=1",
+)
+def test_job_full_corpus(spark, oracle_counts):
+    got = dict(run_corpus(spark, mode="compass"))
+    bad = {q: (c, oracle_counts[q]) for q, c in got.items() if c != oracle_counts[q]}
+    assert not bad
+
+
+def test_fixture_counts_metadata_only():
+    paths = ensure_job_fixture()
+    counts = fixture_counts(paths)
+    assert counts["cast_info"] >= 36000
+    assert set(counts) == set(paths)
