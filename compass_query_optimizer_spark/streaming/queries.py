@@ -30,17 +30,51 @@ GROUP BY 1, 2
 ORDER BY ws, event_type
 """
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS) → read as long
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the `ts` column normalised to a
+    plain TIMESTAMP regardless of the file's physical timestamp unit.
+
+    The testdata generator has shipped `ts` both as TIMESTAMP(NANOS)
+    (which Spark can only read as long via nanosAsLong) and as
+    TIMESTAMP(MICROS) (a native timestamp). A file stream source needs an
+    explicit schema, so probe the parquet footer (pyarrow) and declare the
+    matching type — the same defensive posture as the batch loader
+    (catalog.load_table), which converts only when the scanned type is
+    LongType.
+    """
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, "events")
+    unit = None
+    ts_field = pq.read_schema(path).field("ts")
+    if ts_field.type.id == 18:  # pyarrow TIMESTAMP type id
+        unit = ts_field.type.unit  # 's' | 'ms' | 'us' | 'ns'
+    nanos_as_long = unit == "ns" or unit is None
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(
+                "ts", T.LongType() if nanos_as_long else T.TimestampType()
+            ),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the testdata table is a single parquet FILE; the file stream source
+    # wants a directory or glob, so address it as a glob under sf_dir
+    src = spark.readStream.schema(raw_schema).parquet(
+        path.replace("events.parquet", "*events.parquet")
+    )
+    if nanos_as_long:
+        # plain TIMESTAMP (not NTZ): EventTimeWatermark requires it, and
+        # the session is pinned to UTC so the instant is unchanged.
+        # integer `div`: float division of nanos drifts by ±1 µs
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
 
 
 @query(
@@ -53,24 +87,10 @@ _RAW_SCHEMA = T.StructType(
     tags=("streaming",),
 )
 def stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # stateful-agg state is partitioned by the shuffle-partition count at
     # first run; 200 default = 200 tiny state stores for this volume
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    # the testdata table is a single parquet FILE; the file stream source
-    # wants a directory or glob, so address it as a glob under sf_dir
-    src = (
-        spark.readStream.schema(_RAW_SCHEMA)
-        .parquet(table_path(sf_dir, "events").replace("events.parquet", "*events.parquet"))
-        .withColumn(
-            # plain TIMESTAMP (not NTZ): EventTimeWatermark requires it, and
-            # the session is pinned to UTC so the instant is unchanged.
-            # integer `div`: float division of nanos drifts by ±1 µs
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")),
-        )
-    )
+    src = _events_stream_source(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "1 hour")
         .groupBy(
@@ -121,11 +141,8 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    src = spark.readStream.schema(_RAW_SCHEMA).parquet(
-        table_path(sf_dir, "events").replace("events.parquet", "*events.parquet")
-    )
+    src = _events_stream_source(spark, sf_dir)
 
     def update_totals(key, pdfs, state: GroupState):
         cnt, tot = state.get if state.exists else (0, 0.0)

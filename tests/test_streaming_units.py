@@ -1,0 +1,69 @@
+"""stream queries must survive either physical timestamp unit in
+events.parquet.
+
+The testdata generator has shipped `ts` as TIMESTAMP(NANOS) (rounds 1-2)
+and TIMESTAMP(MICROS) (round 3+). The stream source probes the parquet
+footer and adapts; these tests pin that behaviour for both units so a
+future regeneration can't silently break it again (round-3 regression:
+all events collapsed into 1970 because nanos were assumed).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from compass_query_optimizer_spark.streaming.queries import (
+    stream_stateful_user_totals,
+    stream_window_rollup,
+)
+
+_BASE = dt.datetime(2024, 3, 1, 10, 15, 0)
+_ROWS = [
+    # (event_id, ts, user_id, event_type, value)
+    (1, _BASE, 7, "click", 1.5),
+    (2, _BASE + dt.timedelta(minutes=10), 7, "click", 2.0),
+    (3, _BASE + dt.timedelta(hours=1), 8, "view", 4.0),
+    (4, _BASE + dt.timedelta(hours=2, minutes=5), 7, "view", 8.0),
+]
+
+
+def _write_events(dirpath: str, unit: str) -> None:
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in _ROWS], pa.int64()),
+            "ts": pa.array([r[1] for r in _ROWS], pa.timestamp(unit)),
+            "user_id": pa.array([r[2] for r in _ROWS], pa.int64()),
+            "event_type": pa.array([r[3] for r in _ROWS], pa.string()),
+            "value": pa.array([r[4] for r in _ROWS], pa.float64()),
+            "props": pa.array(["{}"] * len(_ROWS), pa.string()),
+        }
+    )
+    # version 2.6 keeps nanos as TIMESTAMP(NANOS) instead of coercing
+    pq.write_table(tbl, os.path.join(dirpath, "events.parquet"), version="2.6")
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_window_rollup_any_unit(spark, tmp_path, unit):
+    _write_events(str(tmp_path), unit)
+    got = stream_window_rollup(spark, str(tmp_path)).collect()
+    # 3 windows x event_type: (10:00 click x2), (11:00 view), (12:00 view)
+    assert [(r.ws, r.event_type, r.cnt, r.sum_value) for r in got] == [
+        (dt.datetime(2024, 3, 1, 10), "click", 2, 3.5),
+        (dt.datetime(2024, 3, 1, 11), "view", 1, 4.0),
+        (dt.datetime(2024, 3, 1, 12), "view", 1, 8.0),
+    ]
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_stateful_totals_any_unit(spark, tmp_path, unit):
+    _write_events(str(tmp_path), unit)
+    got = stream_stateful_user_totals(spark, str(tmp_path)).collect()
+    assert [(r.user_id, r.n_events, r.sum_value) for r in got] == [
+        (7, 3, 11.5),
+        (8, 1, 4.0),
+    ]
