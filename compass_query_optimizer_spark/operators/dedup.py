@@ -11,7 +11,9 @@ registered oracle-checked query:
   (guarantees full recall for hamming ≤ 3)
 - ngram_jaccard: character-3-gram Jaccard via gram-level equi-join
 - embedding cosine near-dup: quantized-int dot products (bit-identical
-  across engines), pair generation by self-join
+  across engines). The all-pairs variant here is a TEST-ONLY baseline;
+  the registered scale entry is dedup_embedding_lsh in
+  operators/similarity.py (multi-table hyperplane candidates)
 
 Determinism note: all hashing is the portable md5-based scheme from
 functions/hashing.py so the DuckDB oracle reproduces results bit-for-bit;
@@ -341,8 +343,6 @@ def char_gram_array(txt):
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir)
@@ -394,60 +394,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nb") >= JACCARD_THRESHOLD * F.col("na"))
         .filter(F.col("na") >= JACCARD_THRESHOLD * F.col("nb"))
         .select("doc_a", "doc_b", "na", "nb")
+        # a pair can share several prefix grams → dedup before verify so
+        # the intersect counts aren't multiplied
         .distinct()
-        # explicit width: AQE would coalesce these tiny rows into ~2
-        # partitions, serializing the compute-heavy verify stage
-        .repartition(64)
-        .localCheckpoint()
     )
-    # Exact verification. Each doc's gram set becomes one row of a dense
-    # bitmap over the (bounded, ~|charset|³) gram vocabulary; the whole
-    # matrix (docs × vocab/64 int64 words, ~30 MB here) rides a broadcast
-    # variable, and workers verify an Arrow batch of pairs with pure
-    # vectorized AND + byte-table popcount — no per-pair Python calls
-    # (np.intersect1d costs ~100 µs/call in overhead alone) and no int64
-    # multiplies (pathologically slow numpy path on this host). Only
-    # (doc_a, doc_b, na, nb) rows flow through Arrow. At corpus sizes past
-    # broadcast range, switch to a bucketed join on doc id.
-    gs_pd = grams.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("gram")).alias("gs")
-    ).toPandas()
-    doc_ids = np.sort(gs_pd["doc_id"].to_numpy().astype(np.int64))
-    order = np.argsort(gs_pd["doc_id"].to_numpy().astype(np.int64))
-    all_grams = np.concatenate(
-        [np.asarray(v, dtype=np.int64) for v in gs_pd["gs"]]
+    # Exact verification, fully distributed: count shared grams per
+    # candidate pair by joining the pair list back into the gram table on
+    # each side (the oracle's own `inter` CTE shape). Each pair fans out by
+    # |grams(doc_a)| rows — the same work the oracle does — but sharded by
+    # the (doc_b, gram) shuffle across executors. No driver-side bitmap and
+    # no whole-corpus broadcast, so verify capacity scales with the cluster
+    # instead of with driver memory (the previous design collected every
+    # gram set to the driver: OOM long before 100 TB).
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cands.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("i"))
     )
-    vocab = np.unique(all_grams)
-    words = (len(vocab) + 63) // 64
-    bitmaps = np.zeros((len(doc_ids), words), dtype=np.int64)
-    for row, i in enumerate(order):
-        ids = np.searchsorted(vocab, np.asarray(gs_pd["gs"][i], dtype=np.int64))
-        np.bitwise_or.at(bitmaps[row], ids >> 6, np.int64(1) << (ids & 63))
-    bc = spark.sparkContext.broadcast((doc_ids, bitmaps))
-    thr = JACCARD_THRESHOLD
-    popc = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-
-    def verify(batches):
-        ids, bm = bc.value
-        for pdf in batches:
-            ia = np.searchsorted(ids, pdf["doc_a"].to_numpy())
-            ib = np.searchsorted(ids, pdf["doc_b"].to_numpy())
-            inter = popc[(bm[ia] & bm[ib]).view(np.uint8)].sum(
-                axis=1, dtype=np.int64
-            )
-            jac = inter / (pdf["na"].to_numpy() + pdf["nb"].to_numpy() - inter)
-            m = jac >= thr
-            yield pd.DataFrame(
-                {
-                    "doc_a": pdf["doc_a"][m],
-                    "doc_b": pdf["doc_b"][m],
-                    "jaccard": np.round(jac[m], 6),
-                }
-            )
-
-    return cands.mapInPandas(
-        verify, "doc_a long, doc_b long, jaccard double"
-    ).orderBy("doc_a", "doc_b")
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def _jaccard_oracle() -> str:
@@ -489,9 +462,12 @@ def quantized(col):
     return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
 
 
-@query(
-    "dedup_embedding_cosine",
-    f"""
+# Test-only correctness/recall baseline — NOT a registered gate entry.
+# The all-pairs theta join is O(n²) (a BroadcastNestedLoopJoin): exact and
+# useful to validate the LSH candidates at test scale, but wrong as a shipped
+# dedup path — the registered scale entry is dedup_embedding_lsh
+# (operators/similarity.py), whose candidates come from bucketed equi-joins.
+EMBEDDING_COSINE_BASELINE_ORACLE = f"""
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
@@ -510,12 +486,9 @@ def quantized(col):
     WHERE list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
           / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) >= {COSINE_DUP_THRESHOLD}
     ORDER BY id_a, id_b
-    """,
-    doc="embedding near-dup pairs: quantized-int dot product + cosine ≥ "
-    f"{COSINE_DUP_THRESHOLD}; brute-force pair join (correctness baseline "
-    "for the LSH-bucketed ANN in operators/similarity.py)",
-    tags=("dedup", "embedding"),
-)
+    """
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     q = t["embeddings"].select("vec_id", quantized(F.col("embedding")).alias("qv"))

@@ -114,14 +114,14 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spark_lsh_code(qv_col):
-    """10-bit random-hyperplane sign code of a quantized vector.
+def _spark_lsh_code(qv_col, planes=_PLANES):
+    """Random-hyperplane sign code of a quantized vector.
 
     plane dot = Σ ±qv[j]; bit i = 1 if dot ≥ 0. The ±1 plane matrix is a
     compile-time literal → pure codegen arithmetic, no shuffle.
     """
     code = F.lit(0).cast("long")
-    for i, plane in enumerate(_PLANES):
+    for i, plane in enumerate(planes):
         dot = F.aggregate(
             F.zip_with(
                 qv_col,
@@ -137,9 +137,9 @@ def _spark_lsh_code(qv_col):
     return code
 
 
-def _duck_lsh_code(qv_expr: str) -> str:
+def _duck_lsh_code(qv_expr: str, planes=_PLANES) -> str:
     terms = []
-    for i, plane in enumerate(_PLANES):
+    for i, plane in enumerate(planes):
         arr = "[" + ", ".join(str(s) for s in plane) + "]"
         dot = (
             f"list_sum(list_transform(range(1, {EMBED_DIM} + 1), "
@@ -198,7 +198,7 @@ IVF_NPROBE = 2  # cells probed per query
     "sim_ann_ivf",
     None,  # generated below
     doc="IVF-flat ANN (scale path): deterministic sampled coarse quantizer "
-    f"(every ⌈N/{IVF_K}⌉-th vector by id-rank), cell assignment = argmin "
+    f"(vectors whose id ≡ 0 mod ⌈N/{IVF_K}⌉), cell assignment = argmin "
     "exact quantized L2 over a broadcast centroid table, queries probe "
     f"{IVF_NPROBE} nearest cells, exact cosine rerank inside the probed "
     "cells. Candidate set is O(corpus/K·nprobe) per query — the classic "
@@ -206,21 +206,20 @@ IVF_NPROBE = 2  # cells probed per query
     tags=("similarity", "ivf"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     t = load_tables(spark, sf_dir)
     n = _quantized_with_norm(t["embeddings"])
-    # deterministic "training": every ⌈N/K⌉-th vector by vec_id rank (a
-    # sampling-based coarse quantizer; k-means iterations would add recall
-    # but break cross-engine determinism)
-    w_all = Window.orderBy("vec_id")
-    ranked = n.select(
-        "vec_id",
-        "qv",
-        F.row_number().over(w_all).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    # deterministic "training": id-modulo stride sampling (k-means
+    # iterations would add recall but break cross-engine determinism).
+    # The stride comes from a plain .count() — a cheap distributed
+    # metadata scan — NOT from a row_number over a global Window, which
+    # would funnel the whole corpus through one task at scale.
+    cnt = t["embeddings"].count()
+    stride = max(1, math.ceil(cnt / IVF_K))
+    cents = n.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    cents = ranked.filter(
-        (F.col("rn") - 1) % F.ceil(F.col("cnt") / IVF_K).cast("long") == 0
-    ).select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
     # exact quantized squared-L2 to every centroid (broadcast: K rows)
     d2 = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
@@ -274,15 +273,10 @@ def _ivf_oracle() -> str:
     n AS (
       SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
     ),
-    ranked AS (
-      SELECT vec_id, qv,
-             ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
-             COUNT(*) OVER () AS cnt
-      FROM n
-    ),
     cents AS (
-      SELECT vec_id AS cid, qv AS cv FROM ranked
-      WHERE (rn - 1) % CAST(ceil(cnt / {IVF_K}.0) AS BIGINT) = 0
+      SELECT vec_id AS cid, qv AS cv FROM n
+      WHERE vec_id % GREATEST(1, (SELECT CAST(ceil(COUNT(*) / {IVF_K}.0) AS BIGINT)
+                                  FROM embeddings)) = 0
     ),
     dists AS (
       SELECT n.vec_id, n.qv, n.nrm2, c.cid,
@@ -355,7 +349,121 @@ def _lsh_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# embedding near-dup via multi-table LSH candidates (the shipped dedup path)
+# ---------------------------------------------------------------------------
+DUP_TABLES = 4  # independent hash tables (bands)
+DUP_BITS = 8  # planes per table
+# Recall for a pair at cosine c: per-plane agreement p = 1 - acos(c)/π,
+# per-table collision p^BITS, overall 1-(1-p^BITS)^TABLES. With 4×8:
+#   c=0.99 → ~0.997,  c=0.95 → ~0.90,  c=0.90 → ~0.67.
+# More tables buy recall linearly in shuffle volume; more bits cut candidate
+# fan-out geometrically. Both are compile-time literals — retune per corpus.
+_DUP_PLANES = [
+    plane_signs(DUP_BITS, EMBED_DIM, salt=f"dup-{l}") for l in range(DUP_TABLES)
+]
+
+from compass_query_optimizer_spark.operators.dedup import (  # noqa: E402
+    COSINE_DUP_THRESHOLD,
+)
+
+
+@query(
+    "dedup_embedding_lsh",
+    None,  # generated below
+    doc="embedding near-dup, scale path: candidates from "
+    f"{DUP_TABLES} independent {DUP_BITS}-bit hyperplane hash tables "
+    "(equi-join on (table, code) — shuffle is O(corpus·tables), never "
+    "quadratic), then exact quantized-cosine verification ≥ "
+    f"{COSINE_DUP_THRESHOLD}. The brute-force all-pairs variant "
+    "(operators/dedup.py dedup_embedding_cosine) is its test-only recall "
+    "baseline",
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n = _quantized_with_norm(t["embeddings"])
+    # one row per (vector, hash table): an equi-join key of (table, code)
+    codes = n.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(l).alias("t"),
+                        _spark_lsh_code(F.col("qv"), _DUP_PLANES[l]).alias("c"),
+                    )
+                    for l in range(DUP_TABLES)
+                ]
+            )
+        ).alias("tc"),
+    ).select("vec_id", F.col("tc.t").alias("t"), F.col("tc.c").alias("c"))
+    ca = codes.select(F.col("vec_id").alias("id_a"), "t", "c")
+    cb = codes.select(F.col("vec_id").alias("id_b"), "t", "c")
+    cands = (
+        ca.join(cb, ["t", "c"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        # a pair can collide in several tables → dedup before verify
+        .distinct()
+    )
+    # exact verification: join the pair list back to the vectors (two
+    # shuffle hash joins on the ids), compute the exact quantized cosine
+    a = n.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nrm2").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"), F.col("nrm2").alias("nb")
+    )
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")))
+        .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("cos_raw", 6).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
+def _dup_lsh_oracle() -> str:
+    code_selects = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {l} AS t, {_duck_lsh_code('qv', _DUP_PLANES[l])} AS c FROM n"
+        for l in range(DUP_TABLES)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
+    ),
+    codes AS (
+{code_selects}
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM codes a JOIN codes b ON a.t = b.t AND a.c = b.c AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             list_sum(list_transform(range(1, len(x.qv) + 1), i -> x.qv[i] * y.qv[i]))
+               / (sqrt(CAST(x.nrm2 AS DOUBLE)) * sqrt(CAST(y.nrm2 AS DOUBLE))) AS cos_raw
+      FROM cands c
+      JOIN n x ON x.vec_id = c.id_a
+      JOIN n y ON y.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos
+    FROM scored
+    WHERE cos_raw >= {COSINE_DUP_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["sim_ann_lsh"].oracle = _lsh_oracle()
 _registry._REGISTRY["sim_ann_ivf"].oracle = _ivf_oracle()
+_registry._REGISTRY["dedup_embedding_lsh"].oracle = _dup_lsh_oracle()

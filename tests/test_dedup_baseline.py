@@ -1,0 +1,79 @@
+"""Test-only brute-force embedding-dedup baseline.
+
+``dedup_embedding_cosine`` is exact but O(n²) (BroadcastNestedLoopJoin), so
+it is NOT a registered gate entry — the shipped path is
+``dedup_embedding_lsh`` (bucketed candidates). Here the brute force earns
+its keep: (a) it still matches its DuckDB oracle, and (b) it bounds the LSH
+entry's recall — every LSH pair must be a brute-force pair, and at the
+4-table x 8-bit setting the corpus' near-dup pairs should mostly survive.
+"""
+
+from __future__ import annotations
+
+from compass_query_optimizer_spark.operators.dedup import (
+    EMBEDDING_COSINE_BASELINE_ORACLE,
+    dedup_embedding_cosine,
+)
+from compass_query_optimizer_spark.operators.similarity import dedup_embedding_lsh
+
+from .conftest import SF_DIR_ORACLE
+
+
+def test_bruteforce_matches_oracle(spark, duck):
+    got = sorted(
+        (r.id_a, r.id_b, r.cos)
+        for r in dedup_embedding_cosine(spark, SF_DIR_ORACLE).collect()
+    )
+    want = sorted(
+        (a, b, c)
+        for a, b, c in duck.execute(EMBEDDING_COSINE_BASELINE_ORACLE).fetchall()
+    )
+    assert got == want
+
+
+def test_lsh_pairs_subset_of_bruteforce(spark):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine(spark, SF_DIR_ORACLE).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b) for r in dedup_embedding_lsh(spark, SF_DIR_ORACLE).collect()
+    }
+    assert lsh <= exact  # verification is exact: no false positives
+
+
+def test_lsh_recall_on_planted_neardups(spark, tmp_path):
+    """The sf testdata has no >=0.95-cosine pairs (both entries return 0
+    rows — an empty-vs-empty differential proves little), so plant some:
+    100 random vectors plus 20 near-copies at cosine ~0.999. The brute
+    force must find all planted pairs; the 4x8-bit LSH must recall nearly
+    all of them and nothing that the brute force doesn't."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(100, 64).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    near = base[:20] + 0.02 * rng.randn(20, 64).astype(np.float32)
+    near /= np.linalg.norm(near, axis=1, keepdims=True)
+    vecs = np.vstack([base, near])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine(spark, str(tmp_path)).collect()
+    }
+    planted = {(i, 100 + i) for i in range(20)}
+    assert planted <= exact
+    lsh = {
+        (r.id_a, r.id_b) for r in dedup_embedding_lsh(spark, str(tmp_path)).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh & planted) >= 18  # ~0.997 expected recall at cos≈0.999

@@ -51,9 +51,29 @@ def test_whole_stage_codegen_present(spark):
     assert "*(" in final  # '*(n)' prefixes = whole-stage-codegen spans
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh"]
+)
 def test_lsh_joins_are_equijoins(spark, name):
     """Candidate generation must stay an equi-join (never a cartesian)."""
     plan = formatted_plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_verify_is_distributed(spark):
+    """Exact Jaccard verification must be join-based: no Python eval stage
+    (the round-1..3 design collected every gram set into a driver-built
+    broadcast bitmap — driver OOM at scale)."""
+    plan = formatted_plan(spark, "dedup_ngram_jaccard")
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "PythonMapInArrow"):
+        assert node not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_has_no_single_partition_exchange(spark):
+    """Centroid sampling must not funnel the corpus through one task (the
+    old global-Window row_number plan had Exchange SinglePartition)."""
+    plan = formatted_plan(spark, "sim_ann_ivf")
+    assert "SinglePartition" not in plan
