@@ -45,7 +45,7 @@ def oracle_sql() -> dict[str, str]:
     from compass_query_optimizer_spark.registry import all_queries
 
     return {
-        name: spec.oracle
+        name: spec.oracle_text()
         for name, spec in all_queries().items()
         if spec.oracle is not None
     }

@@ -22,6 +22,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 import shutil
+import tempfile
 import threading
 from decimal import Decimal
 
@@ -848,14 +849,28 @@ def ensure_job_fixture(
                                 ".fixtures")
     tag = f"mini_imdb_v{FIXTURE_VERSION}_seed{seed}_x{scale}"
     final = os.path.join(base_dir, tag)
+    marker = os.path.join(final, "_FIXTURE_OK")
     names = list(_IMDB_DIM_SIZES) + list(_IMDB_FACT_SIZES)
-    with _FIXTURE_LOCK:
-        if not os.path.isfile(os.path.join(final, "_FIXTURE_OK")):
-            tmp = final + ".tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            write_mini_imdb_arrow(tmp, seed=seed, scale=scale)
-            with open(os.path.join(tmp, "_FIXTURE_OK"), "w") as f:
-                f.write(tag)
-            shutil.rmtree(final, ignore_errors=True)
-            os.rename(tmp, final)
+    with _FIXTURE_LOCK:  # serialize within this process; cheap fast path
+        if not os.path.isfile(marker):
+            # Cross-PROCESS safety (pytest-xdist, the driver's separate
+            # oracle process): stage into a mkdtemp-unique dir — two writers
+            # can never share a staging path — then publish with one atomic
+            # rename. A lost race leaves `final` already present; the loser
+            # just discards its staging copy. The old deterministic
+            # `final + ".tmp"` path let a second writer rmtree/overwrite the
+            # first one's half-written files and still publish the marker.
+            os.makedirs(base_dir, exist_ok=True)
+            tmp = tempfile.mkdtemp(prefix=tag + ".stage-", dir=base_dir)
+            try:
+                write_mini_imdb_arrow(tmp, seed=seed, scale=scale)
+                with open(os.path.join(tmp, "_FIXTURE_OK"), "w") as f:
+                    f.write(tag)
+                try:
+                    os.rename(tmp, final)
+                except OSError:
+                    if not os.path.isfile(marker):
+                        raise  # final exists but is not a valid fixture
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
     return {n: os.path.join(final, f"{n}.parquet") for n in names}

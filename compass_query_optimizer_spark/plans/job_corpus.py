@@ -32,7 +32,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
-from compass_query_optimizer_spark.fixtures import ensure_job_fixture
+from compass_query_optimizer_spark.fixtures import FIXTURE_VERSION, ensure_job_fixture
 from compass_query_optimizer_spark.registry import query
 
 _CORPUS_PATH = os.path.join(os.path.dirname(__file__), "job_queries.json")
@@ -91,8 +91,13 @@ def run_corpus(
 
     corpus = load_corpus()
     ids = sorted(query_ids if query_ids is not None else corpus)
+    cache_tag = None
     if tables is None or counts is None:
         tables, counts = job_tables(spark, scale=scale)
+        # known catalog → tag the sketch/count caches with version+scale so
+        # templates amortize across the 113 queries but never leak between
+        # differently-scaled fixtures in one process
+        cache_tag = f"mini_imdb_v{FIXTURE_VERSION}_x{scale}"
 
     if mode == "sparksql":
         for n, df in tables.items():
@@ -111,6 +116,7 @@ def run_corpus(
                 tables=tables,
                 counts=counts,
                 use_fallback=(mode == "fallback"),
+                count_cache_tag=cache_tag,
             )
             return qid, int(df.collect()[0]["cnt"])
 
@@ -139,7 +145,8 @@ def job_oracle_sql() -> str:
 
 @query(
     "job_corpus",
-    job_oracle_sql(),
+    job_oracle_sql,  # deferred: materializing the fixture at import would
+    # make `import registry` write parquet and bake absolute paths
     doc="all 113 JOB queries (the reference's entire benchmark corpus, "
     "queries/*.sql.sq.cnt) planned by COMPASS sketch push-down + join-order "
     "search over the mini-IMDB fixture; oracle = DuckDB running the "

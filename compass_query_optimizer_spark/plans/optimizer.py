@@ -125,12 +125,21 @@ class CompassOptimizer:
             else spec_or_sql
         )
         graph = JoinGraph(spec)
+        caller_tables = tables is not None
         if tables is None:
             tables = load_tables(self.spark, sf_dir, register=False)
         base = {alias: tables[t] for alias, t in spec.tables.items()}
         # base cardinalities: parquet row-group metadata makes .count() a
-        # metadata-only job (no column IO); cached across plans per catalog
-        tag = count_cache_tag or sf_dir
+        # metadata-only job (no column IO); cached across plans per catalog.
+        # With caller-supplied `tables` and no explicit tag there is no
+        # dataset identity to key on — sf_dir may describe a DIFFERENT
+        # catalog than the override, so caching would cross-contaminate.
+        if count_cache_tag is not None:
+            tag = count_cache_tag
+        elif not caller_tables:
+            tag = sf_dir
+        else:
+            tag = None
         alias_counts: dict[str, int] = {}
         for alias, tbl in spec.tables.items():
             if counts is not None and tbl in counts:
@@ -144,7 +153,9 @@ class CompassOptimizer:
             alias_counts[alias] = c
             if tag is not None:
                 _COUNT_CACHE[key] = c
-        pd = run_pushdown(self.spark, graph, base, alias_counts, self.config)
+        pd = run_pushdown(
+            self.spark, graph, base, alias_counts, self.config, dataset_tag=tag
+        )
         if use_fallback:
             fb = fallback_order(pd.stats)
             search = SearchResult(

@@ -54,7 +54,8 @@ class PushdownResult:
     materialized: set[str] = field(default_factory=set)  # aliases kept cached
 
 
-# (table, filter_sql, sorted class keys) -> (count, sketches); predicate-free
+# (dataset_tag, table, filter_sql, sorted class keys) -> (count, sketches);
+# predicate-free
 # tables of repeated queries reuse their sketches across plans, the analog of
 # the reference's persisted sketch templates (round-trip to disk via
 # plans/templates.py).
@@ -77,9 +78,16 @@ def run_pushdown(
     base_tables: dict[str, DataFrame],
     base_counts: dict[str, int],
     config: PushdownConfig | None = None,
+    dataset_tag: str | None = None,
 ) -> PushdownResult:
     """base_tables/base_counts are keyed by *alias* (self-joins get one
-    entry per alias, sharing the underlying scan)."""
+    entry per alias, sharing the underlying scan).
+
+    ``dataset_tag`` identifies the catalog the tables came from (sf_dir,
+    fixture version+scale, …) and keys the template cache; with no tag the
+    cache is bypassed entirely — a table name alone is NOT a safe key when
+    one process plans the same schema at several scales (scale-1 sketches
+    silently reused for scale-2 would corrupt plan quality)."""
     config = config or PushdownConfig()
     spec = graph.spec
     stats: dict[str, TableStats] = {}
@@ -96,12 +104,16 @@ def run_pushdown(
         tiny = base_counts[alias] < config.min_table_rows
 
         cache_key = (
+            dataset_tag,
             spec.tables[alias],
             None if tiny else filter_sql,
             tuple(sorted((c, graph.class_key(alias, c)) for c in join_cols)),
         )
-        with _TEMPLATE_LOCK:
-            cached = _TEMPLATE_CACHE.get(cache_key)
+        if dataset_tag is None:
+            cached = None
+        else:
+            with _TEMPLATE_LOCK:
+                cached = _TEMPLATE_CACHE.get(cache_key)
         if cached is not None:
             count, sketches = cached
         else:
@@ -116,8 +128,9 @@ def run_pushdown(
                 count, sketches = build_sketches(
                     base if tiny else filtered, col_seeds
                 )
-            with _TEMPLATE_LOCK:
-                _TEMPLATE_CACHE[cache_key] = (count, sketches)
+            if dataset_tag is not None:
+                with _TEMPLATE_LOCK:
+                    _TEMPLATE_CACHE[cache_key] = (count, sketches)
 
         selective = (
             filter_sql is not None

@@ -31,7 +31,7 @@ def save_templates(path: str) -> int:
     with _pd._template_lock():
         items = list(_pd._TEMPLATE_CACHE.items())
     for key, (count, sketches) in items:
-        table, filter_sql, colkeys = key
+        dataset, table, filter_sql, colkeys = key
         cols = []
         for col, sk in sketches.items():
             cols.append(
@@ -47,6 +47,7 @@ def save_templates(path: str) -> int:
             counter_blocks.append(sk.counters)
         entries.append(
             {
+                "dataset": dataset,
                 "table": table,
                 "filter": filter_sql,
                 "colkeys": list(map(list, colkeys)),
@@ -77,6 +78,10 @@ def load_templates(path: str) -> int:
             )
             sketches[c["col"]] = Sketch(counters[c["idx"]].copy(), seeds)
         key = (
+            # pre-dataset-tag .npz files load under tag None — unmatchable
+            # (the cache is bypassed for untagged plans), so stale entries
+            # can never serve a differently-scaled catalog
+            e.get("dataset"),
             e["table"],
             e["filter"],
             tuple((a, b) for a, b in e["colkeys"]),

@@ -27,9 +27,19 @@ QueryBuilder = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     build: QueryBuilder
-    oracle: Optional[str]  # DuckDB-runnable ANSI SQL; None → rows-only check
+    # DuckDB-runnable ANSI SQL; None → rows-only check. A zero-arg callable
+    # defers oracle construction to gate time — oracles that materialize
+    # fixtures or bake file paths must NOT run at import (enumerating the
+    # registry should never touch the filesystem).
+    oracle: Optional[str | Callable[[], str]]
     doc: str = ""
     tags: tuple = field(default_factory=tuple)
+
+    def oracle_text(self) -> Optional[str]:
+        """Resolve the oracle to SQL text (invoking a deferred builder)."""
+        if callable(self.oracle):
+            self.oracle = self.oracle()
+        return self.oracle
 
 
 _REGISTRY: dict[str, QuerySpec] = {}

@@ -127,3 +127,99 @@ def test_salted_join_rejects_outer(spark):
     # supported types still run
     assert salted_join(a, b, "k", how="left").count() == 10
     assert salted_join(a, b, "k", how="left_anti").count() == 7
+
+
+# -------------------------------------------- round-2 ADVICE regressions
+def test_registry_import_is_filesystem_pure():
+    """Enumerating the registry must not materialize fixtures or bake
+    absolute paths: the job_corpus oracle stays a deferred callable until
+    someone actually asks for its SQL text."""
+    import subprocess
+    import sys
+
+    code = (
+        "from compass_query_optimizer_spark.registry import all_queries\n"
+        "spec = all_queries()['job_corpus']\n"
+        "assert callable(spec.oracle), 'oracle resolved at import time'\n"
+        "print('ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "ok"
+
+
+def test_fixture_concurrent_materialization(tmp_path):
+    """Two processes racing ensure_job_fixture must both end with a valid,
+    readable fixture (mkdtemp staging + atomic rename; the loser discards)."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    from compass_query_optimizer_spark.fixtures import ensure_job_fixture
+
+    base = str(tmp_path / "fx")
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(2) as pool:
+        results = pool.map(_ensure_fixture_worker, [base, base])
+    assert results[0] == results[1]
+    for p in results[0].values():
+        assert pq.ParquetFile(p).metadata.num_rows >= 0
+    paths = ensure_job_fixture(base_dir=base)
+    assert paths == results[0]
+
+
+def _ensure_fixture_worker(base):
+    from compass_query_optimizer_spark.fixtures import ensure_job_fixture
+
+    return ensure_job_fixture(base_dir=base)
+
+
+def test_count_cache_not_poisoned_by_table_overrides(spark):
+    """plan(tables=...) without an explicit tag must not read or write the
+    sf_dir-keyed count cache: same table NAME, different catalog."""
+    from compass_query_optimizer_spark.plans import optimizer as opt_mod
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    sql = "SELECT COUNT(*) AS cnt FROM t1 a, t2 b WHERE a.k = b.k"
+    opt = CompassOptimizer(spark)
+    t1_big = spark.range(100).selectExpr("id % 10 AS k")
+    t2_big = spark.range(50).selectExpr("id % 10 AS k")
+    plan_a = opt.plan(sql, tables={"t1": t1_big, "t2": t2_big})
+    before = dict(opt_mod._COUNT_CACHE)
+    t1_small = spark.range(7).selectExpr("id % 3 AS k")
+    t2_small = spark.range(3).selectExpr("id % 3 AS k")
+    plan_b = opt.plan(sql, tables={"t1": t1_small, "t2": t2_small})
+    # no cache entries created for either untagged override plan...
+    assert opt_mod._COUNT_CACHE == before
+    # ...and the second plan saw the small catalog's true cardinalities
+    assert plan_a.pushdown.stats["a"].rows == 100
+    assert plan_b.pushdown.stats["a"].rows == 7
+
+
+def test_template_cache_keyed_by_dataset_tag(spark):
+    """Sketches built for one dataset tag must not serve another; untagged
+    plans bypass the template cache entirely."""
+    from compass_query_optimizer_spark.plans import pushdown as pd_mod
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    pd_mod.clear_template_cache()
+    sql = "SELECT COUNT(*) AS cnt FROM t1 a, t2 b WHERE a.k = b.k"
+    opt = CompassOptimizer(spark)
+    tables = {
+        "t1": spark.range(2000).selectExpr("id % 40 AS k"),
+        "t2": spark.range(1000).selectExpr("id % 40 AS k"),
+    }
+    opt.plan(sql, tables=tables)
+    with pd_mod._template_lock():
+        assert not pd_mod._TEMPLATE_CACHE  # untagged → bypassed
+    opt.plan(sql, tables=tables, count_cache_tag="cat-A")
+    with pd_mod._template_lock():
+        keys_a = set(pd_mod._TEMPLATE_CACHE)
+    assert keys_a and all(k[0] == "cat-A" for k in keys_a)
+    opt.plan(sql, tables=tables, count_cache_tag="cat-B")
+    with pd_mod._template_lock():
+        keys_b = set(pd_mod._TEMPLATE_CACHE) - keys_a
+    assert keys_b and all(k[0] == "cat-B" for k in keys_b)
+    pd_mod.clear_template_cache()

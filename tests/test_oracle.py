@@ -54,7 +54,7 @@ def test_query_matches_oracle(name, spark, duck):
         assert len(srows) >= 0  # rows-only smoke (driver does the same)
         return
 
-    res = duck.execute(spec.oracle)
+    res = duck.execute(spec.oracle_text())
     dcols = [d[0] for d in res.description]
     drows = [tuple(r) for r in res.fetchall()]
 

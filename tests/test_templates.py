@@ -24,7 +24,7 @@ def test_template_roundtrip(tmp_path):
     seeds = seeds_for_class("eq:tpl")
     sk = Sketch(np.zeros((SKETCH_ROWS, SKETCH_BUCKETS)), seeds)
     numpy_update(sk, np.arange(5000))
-    key = ("some_table", None, (("k", "eq:tpl"),))
+    key = ("some_catalog", "some_table", None, (("k", "eq:tpl"),))
     with pd._template_lock():
         pd._TEMPLATE_CACHE[key] = (5000, {"k": sk})
 
