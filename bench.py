@@ -3,18 +3,29 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+     "queries": {"<name>": sec, ...}, "sf": <scale factor>,
+     "job_ab": {"sparksql_sec": ..., "fallback_sec": ..., "compass_sec": ...}}
 
 The headline set spans the engine surface: scan-heavy aggregation, top-k,
 multi-way joins (plain and COMPASS-optimized), the events rollup, and the
 training-data operators (dedup, similarity, text). Timing is end-to-end per
-query: plan build + execution + driver collect.
+query: plan build + execution + driver collect; reported numbers are the
+MEDIAN of SPARK_GRAFT_BENCH_RUNS (default 3) runs — best-of-2 chased 4x
+same-code swings between rounds.
+
+job_ab is the reference's own headline claim (JOB wall-clock): all 113 Join
+Order Benchmark queries at fixture scale SPARK_GRAFT_JOB_SCALE (default 10)
+through three planners — plain Catalyst (sparksql), size-descending
+fallback (MapD's heuristic), and the COMPASS sketch order. The template
+cache is warmed by a plan-only pass first so the A/B isolates join-order
+quality from the one-time sketch build. Disable with SPARK_GRAFT_JOB_AB=0.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -32,6 +43,7 @@ HEADLINE = [
     "sim_topk_bruteforce",        # brute-force cosine top-k on embeddings
     "sim_ann_lsh",                # LSH-bucketed ANN (scale path)
     "sim_ann_ivf",                # IVF-flat ANN (bounded-scan scale path)
+    "dedup_embedding_lsh",        # multi-table hyperplane near-dup (shipped)
     "text_quality",               # text quality scoring
     "mm_frame_sample",            # multimodal frame sampling via Arrow
     "stream_window_rollup",       # Structured Streaming windowed rollup
@@ -52,18 +64,21 @@ def main() -> None:
     # would otherwise land entirely on the first timed query
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # best-of-2: the box shows 2x run-to-run noise under concurrent load;
-    # min is the stable estimate of what the plan actually costs
+    # median of n>=3: this box shows 4x same-code run-to-run swings under
+    # concurrent load; the median is robust to one bad run without hiding a
+    # real regression the way min can
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             spec.build(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        print(f"  {name}: {timings[name]:.3f}s  (runs: "
+              f"{', '.join(f'{s:.2f}' for s in samples)})", file=sys.stderr)
 
     # plan-quality metric (BASELINE.md): Σ estimated intermediate sizes of
     # the sketch-chosen order vs the size-descending fallback on the
@@ -90,6 +105,43 @@ def main() -> None:
     except Exception as e:  # bench must still emit its line
         print(f"  plan-quality skipped: {e}", file=sys.stderr)
 
+    # JOB wall-clock A/B: the reference's headline claim in seconds
+    job_ab = None
+    if os.environ.get("SPARK_GRAFT_JOB_AB", "1") != "0":
+        try:
+            from compass_query_optimizer_spark.plans.job_corpus import (
+                run_corpus,
+                warm_corpus_templates,
+            )
+
+            job_scale = int(os.environ.get("SPARK_GRAFT_JOB_SCALE", "10"))
+            job_timeout = float(os.environ.get("SPARK_GRAFT_JOB_TIMEOUT", "45"))
+            t0 = time.perf_counter()
+            warm_corpus_templates(spark, scale=job_scale)
+            warm_s = time.perf_counter() - t0
+            job_ab = {"scale": job_scale, "n_queries": 113,
+                      "per_query_timeout": job_timeout,
+                      "template_warm_sec": round(warm_s, 1)}
+            results = {}
+            for mode in ("sparksql", "fallback", "compass"):
+                t0 = time.perf_counter()
+                rows = run_corpus(spark, mode=mode, scale=job_scale,
+                                  per_query_timeout=job_timeout)
+                results[mode] = dict(rows)
+                job_ab[f"{mode}_sec"] = round(time.perf_counter() - t0, 1)
+                dnf = sorted(q for q, c in rows if c is None)
+                job_ab[f"{mode}_dnf"] = len(dnf)
+                if dnf:
+                    job_ab[f"{mode}_dnf_ids"] = dnf
+                print(f"  job_ab {mode}: {job_ab[f'{mode}_sec']}s "
+                      f"(dnf: {len(dnf)})", file=sys.stderr)
+            # every planner that finished a query must agree on its COUNT
+            for qid in results["compass"]:
+                vals = {results[m][qid] for m in results} - {None}
+                assert len(vals) <= 1, f"count mismatch on {qid}"
+        except Exception as e:  # bench must still emit its line
+            print(f"  job_ab skipped: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -100,6 +152,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "plan_quality": plan_quality,
+                "job_ab": job_ab,
             }
         )
     )

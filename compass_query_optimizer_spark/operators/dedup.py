@@ -28,6 +28,8 @@ candidates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -202,9 +204,34 @@ def _minhash_oracle() -> str:
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-SIMHASH_BITS = 32
-SIMHASH_BLOCKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 blocks identical
-SIMHASH_MAXDIST = 3
+# Env-tunable (read once at import; the oracle SQL is generated from the
+# same constants, so parity holds at ANY setting):
+#
+#   SPARK_GRAFT_SIMHASH_BITS    fingerprint width  (default 32; 64 max —
+#                               code lives in one BIGINT)
+#   SPARK_GRAFT_SIMHASH_BLOCKS  pigeonhole blocks  (default 4)
+#
+# Pigeonhole guarantee: hamming ≤ BLOCKS-1 ⇒ two codes agree on ≥1 of the
+# BLOCKS equal-width blocks, so recall is 100% for MAXDIST = BLOCKS-1.
+# Cost: candidate volume per bucket ~ N / 2^(BITS/BLOCKS). Sizing table
+# (docs sharing one bucket at uniform spread):
+#
+#   BITS BLOCKS block_bits  buckets/block  expected bucket size @ 10^9 docs
+#    32    4        8           256            ~4·10^6  (too fat: revisit)
+#    48    4       12          4096            ~2.4·10^5
+#    64    4       16         65536            ~1.5·10^4  (100 TB setting)
+#    64    8        8           256            ~4·10^6 but MAXDIST 7
+#
+# At 10^9+ docs raise BITS (wider blocks thin the buckets geometrically);
+# raise BLOCKS only to tolerate more edit distance, accepting fatter
+# buckets or more bits to compensate.
+SIMHASH_BITS = int(os.environ.get("SPARK_GRAFT_SIMHASH_BITS", "32"))
+SIMHASH_BLOCKS = int(os.environ.get("SPARK_GRAFT_SIMHASH_BLOCKS", "4"))
+assert 1 <= SIMHASH_BLOCKS <= SIMHASH_BITS <= 64, "simhash params out of range"
+assert SIMHASH_BITS % SIMHASH_BLOCKS == 0, "blocks must divide bits evenly"
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS
+SIMHASH_BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
+SIMHASH_MAXDIST = SIMHASH_BLOCKS - 1  # the pigeonhole-exact radius
 
 
 def simhash_codes(docs: DataFrame) -> DataFrame:
@@ -240,8 +267,9 @@ def simhash_codes(docs: DataFrame) -> DataFrame:
 @query(
     "dedup_simhash",
     None,  # generated below
-    doc="SimHash near-dup pairs: 32-bit sign-aggregated fingerprint, "
-    "4-block pigeonhole bucket join, exact for hamming ≤ 3",
+    doc=f"SimHash near-dup pairs: {SIMHASH_BITS}-bit sign-aggregated "
+    f"fingerprint, {SIMHASH_BLOCKS}-block pigeonhole bucket join, exact "
+    f"for hamming ≤ {SIMHASH_MAXDIST} (env-tunable, see sizing table)",
     tags=("dedup", "lsh"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,7 +281,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(*[F.lit(k) for k in range(SIMHASH_BLOCKS)])
         ).alias("blk"),
-    ).withColumn("blk_key", F.expr("shiftright(code, blk * 8) & CAST(255 AS BIGINT)"))
+    ).withColumn(
+        "blk_key",
+        F.expr(
+            f"shiftright(code, blk * {SIMHASH_BLOCK_BITS}) "
+            f"& CAST({SIMHASH_BLOCK_MASK} AS BIGINT)"
+        ),
+    )
     a = blocks.select(
         F.col("doc_id").alias("doc_a"), F.col("code").alias("code_a"), "blk", "blk_key"
     )
@@ -296,7 +330,8 @@ def _simhash_oracle() -> str:
       FROM per_bit GROUP BY doc_id
     ),
     blocks AS (
-      SELECT doc_id, code, k.k AS blk, (code >> (k.k * 8)) & 255 AS blk_key
+      SELECT doc_id, code, k.k AS blk,
+             (code >> (k.k * {SIMHASH_BLOCK_BITS})) & {SIMHASH_BLOCK_MASK} AS blk_key
       FROM codes, UNNEST(range(0, {SIMHASH_BLOCKS})) AS k(k)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -380,12 +415,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("rk")
         <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
-    ).select("doc_id", "gram", "n")
+    ).select("doc_id", "gram", "n", "rk")
     pa = prefix.select(
-        F.col("doc_id").alias("doc_a"), "gram", F.col("n").alias("na")
+        F.col("doc_id").alias("doc_a"),
+        "gram",
+        F.col("n").alias("na"),
+        F.col("rk").alias("ra"),
     )
     pb = prefix.select(
-        F.col("doc_id").alias("doc_b"), "gram", F.col("n").alias("nb")
+        F.col("doc_id").alias("doc_b"),
+        "gram",
+        F.col("n").alias("nb"),
+        F.col("rk").alias("rb"),
+    )
+    # positional filter (PPJoin, Xiao et al. WWW'08): J ≥ t needs overlap
+    # ≥ ⌈t/(1+t)·(na+nb)⌉, and a shared gram at ranks (ra, rb) caps the
+    # overlap reachable from there at 1 + min(na-ra, nb-rb). A true pair's
+    # FIRST shared gram always passes, so keeping pairs with ANY passing
+    # row loses no recall — but it prunes the template-similarity hairball
+    # (~4× fewer candidates than prefix+size filters alone on this corpus).
+    # `required` must never round UP spuriously: exact integer arithmetic
+    # via the rational t/(1+t) = tq_num/tq_den, not float ceil.
+    from fractions import Fraction
+
+    tfrac = Fraction(str(JACCARD_THRESHOLD))
+    tq_num, tq_den = tfrac.numerator, tfrac.numerator + tfrac.denominator
+    required = F.expr(
+        f"({tq_num} * (na + nb) + {tq_den} - 1) DIV {tq_den}"
     )
     cands = (
         pa.join(pb, "gram")
@@ -393,26 +449,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # size filter: J ≥ t ⇒ t·|x| ≤ |y| and t·|y| ≤ |x|
         .filter(F.col("nb") >= JACCARD_THRESHOLD * F.col("na"))
         .filter(F.col("na") >= JACCARD_THRESHOLD * F.col("nb"))
+        .filter(
+            1 + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
+            >= required
+        )
         .select("doc_a", "doc_b", "na", "nb")
         # a pair can share several prefix grams → dedup before verify so
-        # the intersect counts aren't multiplied
+        # the intersect counts aren't multiplied; materialize so the
+        # verify joins start from the surviving pairs instead of replaying
+        # the candidate join inside their own plan
         .distinct()
+        .localCheckpoint()
     )
-    # Exact verification, fully distributed: count shared grams per
-    # candidate pair by joining the pair list back into the gram table on
-    # each side (the oracle's own `inter` CTE shape). Each pair fans out by
-    # |grams(doc_a)| rows — the same work the oracle does — but sharded by
-    # the (doc_b, gram) shuffle across executors. No driver-side bitmap and
-    # no whole-corpus broadcast, so verify capacity scales with the cluster
-    # instead of with driver memory (the previous design collected every
-    # gram set to the driver: OOM long before 100 TB).
-    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    # Exact verification, fully distributed: each doc's (distinct) grams
+    # become one sorted array row; the candidate pair list joins to that
+    # table on each side — two hash joins, one row per pair, payload = the
+    # two arrays — and |x∩y| is a codegen array_intersect, no per-pair
+    # fan-out rows and no giant groupBy. (A pair×gram explode join — the
+    # oracle's `inter` CTE shape — is also scale-correct but shuffles
+    # |grams(a)| rows per candidate: ~100× this volume on template-similar
+    # corpora. The round-1..3 design was worse still: every gram set
+    # collected into a driver-built broadcast bitmap — driver OOM long
+    # before 100 TB. Verify capacity now scales with the cluster.)
+    gsets = grams.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("gram")).alias("gs")
+    )
     inter = (
-        cands.join(ga, "doc_a")
-        .join(gb, ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("i"))
+        cands.join(
+            gsets.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a")),
+            "doc_a",
+        )
+        .join(
+            gsets.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("gs_a", "gs_b")).alias("i"),
+        )
+        # barrier: without it Catalyst inlines `i` into the join condition
+        # AND the projection, running the (hash-set-per-row) intersect
+        # twice per pair; the checkpoint pins the narrow 5-column result
+        .localCheckpoint()
     )
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (

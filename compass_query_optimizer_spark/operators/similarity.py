@@ -15,6 +15,8 @@ so cosine values are bit-identical in Spark and DuckDB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -26,7 +28,19 @@ from compass_query_optimizer_spark.registry import query
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
-N_PLANES = 10  # 2^10 buckets
+# Code width for sim_ann_lsh, env-tunable (oracle SQL is generated from the
+# same constant, so parity holds at any setting):
+#
+#   SPARK_GRAFT_ANN_LSH_BITS   hyperplane count = log2(buckets), default 10
+#
+# Bucket population ~ N/2^bits at uniform spread; candidates per query scale
+# with it, so bits should track corpus size: 10 bits (1K buckets) suits
+# ~10^5-10^6 vectors, 16 bits ~10^7-10^8, 20+ bits at 10^9 (or switch to
+# multi-table dedup-style codes for recall — see dedup_embedding_lsh).
+# Each bit adds one ±1 plane dot (codegen arithmetic, no shuffle) — cost is
+# linear in bits, candidate volume shrinks geometrically.
+N_PLANES = int(os.environ.get("SPARK_GRAFT_ANN_LSH_BITS", "10"))
+assert 1 <= N_PLANES <= 62, "code must fit a BIGINT"
 EMBED_DIM = 64
 _PLANES = plane_signs(N_PLANES, EMBED_DIM)
 
@@ -114,11 +128,54 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_dot_codes(n: DataFrame, plane_tables: list) -> DataFrame:
+    """(vec_id, t, c): hyperplane sign codes for each hash table.
+
+    plane dot = Σ ±qv[j]; bit i of table t's code = 1 iff its dot ≥ 0.
+    Computed via ONE posexplode over the vector and per-plane codegen SUM
+    aggregates (`x * element_at(±1-literal-array, j+1)`), with map-side
+    partial aggregation collapsing each partition to one row per vector
+    before the shuffle. The obvious alternative — per-plane
+    `aggregate(zip_with(...))` higher-order functions — is interpreted
+    expression eval (no whole-stage codegen) and benches ~5× slower on
+    32 planes; this formulation mirrors simhash_codes' conditional-sum
+    shape (operators/dedup.py).
+    """
+    xs = n.selectExpr("vec_id", "posexplode(qv) AS (j, x)")
+    aggs = []
+    for l, planes in enumerate(plane_tables):
+        for i, plane in enumerate(planes):
+            # ±1 weights as a sign partition: x·s ≡ (j∈plus ? x : -x); the
+            # InSet predicate stays in codegen, unlike element_at over a
+            # per-row-constructed literal array (2× slower measured)
+            plus = [j for j, s in enumerate(plane) if s == 1]
+            aggs.append(
+                F.sum(
+                    F.when(F.col("j").isin(plus), F.col("x")).otherwise(
+                        -F.col("x")
+                    )
+                ).alias(f"d_{l}_{i}")
+            )
+    dots = xs.groupBy("vec_id").agg(*aggs)
+    tables = []
+    for l, planes in enumerate(plane_tables):
+        c = F.lit(0).cast("long")
+        for i in range(len(planes)):
+            c = c + F.when(
+                F.col(f"d_{l}_{i}") >= 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        tables.append(F.struct(F.lit(l).alias("t"), c.alias("c")))
+    return dots.select(
+        "vec_id", F.explode(F.array(*tables)).alias("tc")
+    ).select("vec_id", F.col("tc.t").alias("t"), F.col("tc.c").alias("c"))
+
+
 def _spark_lsh_code(qv_col, planes=_PLANES):
-    """Random-hyperplane sign code of a quantized vector.
+    """Random-hyperplane sign code of a quantized vector (expression form;
+    see _plane_dot_codes for the aggregate form used on corpus-wide scans).
 
     plane dot = Σ ±qv[j]; bit i = 1 if dot ≥ 0. The ±1 plane matrix is a
-    compile-time literal → pure codegen arithmetic, no shuffle.
+    compile-time literal.
     """
     code = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
@@ -159,8 +216,12 @@ def _duck_lsh_code(qv_expr: str, planes=_PLANES) -> str:
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    n = _quantized_with_norm(t["embeddings"]).withColumn(
-        "code", _spark_lsh_code(F.col("qv"))
+    base = _quantized_with_norm(t["embeddings"])
+    n = base.join(
+        _plane_dot_codes(base, [_PLANES]).select(
+            "vec_id", F.col("c").alias("code")
+        ),
+        "vec_id",
     )
     queries = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -382,22 +443,12 @@ from compass_query_optimizer_spark.operators.dedup import (  # noqa: E402
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    n = _quantized_with_norm(t["embeddings"])
-    # one row per (vector, hash table): an equi-join key of (table, code)
-    codes = n.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(l).alias("t"),
-                        _spark_lsh_code(F.col("qv"), _DUP_PLANES[l]).alias("c"),
-                    )
-                    for l in range(DUP_TABLES)
-                ]
-            )
-        ).alias("tc"),
-    ).select("vec_id", F.col("tc.t").alias("t"), F.col("tc.c").alias("c"))
+    # materialized once: three consumers (code table + both verify sides)
+    # would otherwise each re-run quantization over the scan
+    n = _quantized_with_norm(t["embeddings"]).localCheckpoint()
+    # one row per (vector, hash table): an equi-join key of (table, code);
+    # materialized so both self-join sides reuse one code pass
+    codes = _plane_dot_codes(n, _DUP_PLANES).localCheckpoint()
     ca = codes.select(F.col("vec_id").alias("id_a"), "t", "c")
     cb = codes.select(F.col("vec_id").alias("id_b"), "t", "c")
     cands = (

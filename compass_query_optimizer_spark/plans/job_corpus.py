@@ -78,7 +78,8 @@ def run_corpus(
     max_workers: int = 6,
     tables: dict[str, DataFrame] | None = None,
     counts: dict[str, int] | None = None,
-) -> list[tuple[str, int]]:
+    per_query_timeout: float | None = None,
+) -> list[tuple[str, int | None]]:
     """Execute (a subset of) the corpus; returns sorted (query_id, cnt).
 
     mode='compass'  — sketch-chosen join order (the engine's planner)
@@ -86,7 +87,16 @@ def run_corpus(
                       push-down, for A/B join-order comparisons
     mode='sparksql' — plain spark.sql over the original text (Catalyst's
                       own plan; CBO reordering is off per session.py)
+
+    ``per_query_timeout`` (seconds) cancels a query's Spark job group when
+    it exceeds the budget and records its count as None (DNF). Unordered
+    FROM lists through a reorder-free planner can go combinatorial —
+    sparksql mode at fixture scale 10 has queries whose intermediate blows
+    past 10^10 tuples, which is the pathology COMPASS exists to avoid; a
+    wall-clock A/B has to survive measuring it.
     """
+    import threading
+
     from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
 
     corpus = load_corpus()
@@ -103,14 +113,13 @@ def run_corpus(
         for n, df in tables.items():
             df.createOrReplaceTempView(n)
 
-        def one(qid: str) -> tuple[str, int]:
-            row = spark.sql(corpus[qid]).collect()[0]
-            return qid, int(row[0])
+        def run_one(qid: str) -> int:
+            return int(spark.sql(corpus[qid]).collect()[0][0])
 
     elif mode in ("compass", "fallback"):
         opt = CompassOptimizer(spark)
 
-        def one(qid: str) -> tuple[str, int]:
+        def run_one(qid: str) -> int:
             df = opt.execute_count(
                 corpus[qid],
                 tables=tables,
@@ -118,15 +127,67 @@ def run_corpus(
                 use_fallback=(mode == "fallback"),
                 count_cache_tag=cache_tag,
             )
-            return qid, int(df.collect()[0]["cnt"])
+            return int(df.collect()[0]["cnt"])
 
     else:
         raise ValueError(f"unknown mode {mode!r}")
+
+    def one(qid: str) -> tuple[str, int | None]:
+        if per_query_timeout is None:
+            return qid, run_one(qid)
+        # job-group cancellation: pinned-thread mode maps this Python
+        # thread to one JVM thread, so the group tags only this query
+        sc = spark.sparkContext
+        group = f"corpus-{mode}-{qid}"
+        sc.setJobGroup(group, f"JOB {qid} ({mode})", interruptOnCancel=True)
+        timer = threading.Timer(
+            per_query_timeout, lambda: sc.cancelJobGroup(group)
+        )
+        timer.start()
+        try:
+            return qid, run_one(qid)
+        except Exception:
+            return qid, None  # cancelled (DNF) or failed under cancellation
+        finally:
+            timer.cancel()
 
     # concurrent Spark actions: each query is a small job chain; threads
     # overlap scheduling latency exactly like concurrent cluster clients
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         return sorted(pool.map(one, ids))
+
+
+def warm_corpus_templates(
+    spark: SparkSession,
+    scale: int = 1,
+    max_workers: int = 6,
+    query_ids: list[str] | None = None,
+) -> int:
+    """Plan (without executing) every corpus query so the tagged template
+    cache holds each table's sketches — the analog of the reference
+    pre-building its sketch-templates file. After warming, an A/B of
+    compass vs fallback execution times measures JOIN-ORDER quality alone,
+    not who paid the one-time sketch pass. Returns #queries planned."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    corpus = load_corpus()
+    ids = sorted(query_ids if query_ids is not None else corpus)
+    tables, counts = job_tables(spark, scale=scale)
+    cache_tag = f"mini_imdb_v{FIXTURE_VERSION}_x{scale}"
+    opt = CompassOptimizer(spark)
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        list(
+            pool.map(
+                lambda qid: opt.plan(
+                    corpus[qid],
+                    tables=tables,
+                    counts=counts,
+                    count_cache_tag=cache_tag,
+                ),
+                ids,
+            )
+        )
+    return len(ids)
 
 
 def job_oracle_sql() -> str:

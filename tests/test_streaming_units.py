@@ -67,3 +67,49 @@ def test_stateful_totals_any_unit(spark, tmp_path, unit):
         (7, 3, 11.5),
         (8, 1, 4.0),
     ]
+
+
+def test_kafka_ingest_gate_and_call_shape(spark, tmp_path):
+    """No kafka connector jar ships in this container, so the Kafka ingest
+    path is gated — but the gate itself is part of the surface: the call
+    must reach Spark's DataSource lookup with format('kafka') and surface
+    the documented NotImplementedError, not an AttributeError from bad
+    wiring."""
+    from compass_query_optimizer_spark.streaming.ingest import stream_kafka_ingest
+
+    with pytest.raises(NotImplementedError, match="kafka"):
+        stream_kafka_ingest(
+            spark,
+            bootstrap_servers="localhost:9092",
+            topic="events",
+            sink_path=str(tmp_path / "sink"),
+        )
+
+
+def test_file_ingest_roundtrip(spark, tmp_path):
+    """File-drop CSV ingest drains into a parquet sink table (the
+    StreamImporter analog) with availableNow."""
+    import pyarrow.parquet as pq
+
+    from compass_query_optimizer_spark.streaming.ingest import (
+        StreamParams,
+        stream_csv_ingest,
+    )
+    from pyspark.sql import types as T
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,x\n2,y\n")
+    (src / "b.csv").write_text("k,v\n3,z\n")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    sink = str(tmp_path / "sink")
+    q = stream_csv_ingest(
+        spark, str(src), schema, sink,
+        stream_params=StreamParams(available_now=True),
+    )
+    q.awaitTermination(120)
+    files = [str(p) for p in (tmp_path / "sink").glob("*.parquet")]
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 3

@@ -151,3 +151,55 @@ def test_stream_csv_ingest(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 30
     assert got.schema.fieldNames() == ["k", "v"]
+
+
+def test_copy_from_archives(spark, tmp_path):
+    """COPY FROM zip / tar.gz archives of CSV members (Archive/* parity):
+    members are extracted and unioned into one load; mixed plain+archive
+    path lists work too."""
+    import tarfile
+    import zipfile
+
+    from compass_query_optimizer_spark.sources.copy_io import resolve_import_paths
+
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    c = tmp_path / "c.csv"
+    a.write_text("k,v\n1,one\n2,two\n")
+    b.write_text("k,v\n3,three\n")
+    c.write_text("k,v\n4,four\n")
+    zpath = tmp_path / "ab.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(a, "a.csv")
+        zf.write(b, "nested/b.csv")
+    tpath = tmp_path / "c.tar.gz"
+    with tarfile.open(tpath, "w:gz") as tf:
+        tf.add(c, "c.csv")
+
+    got, rejected = copy_from(spark, [str(zpath), str(tpath)], schema)
+    assert rejected == 0
+    assert sorted(map(tuple, got.collect())) == [
+        (1, "one"), (2, "two"), (3, "three"), (4, "four")]
+
+    mixed, _ = copy_from(spark, [str(zpath), str(c)], schema)
+    assert mixed.count() == 4
+
+    # s3:// is rewritten to the Hadoop S3A connector scheme, not opened here
+    assert resolve_import_paths("s3://bucket/key/x.csv") == ["s3a://bucket/key/x.csv"]
+
+
+def test_copy_from_7z_is_gated(tmp_path):
+    from compass_query_optimizer_spark.sources.copy_io import _extract_archive
+
+    try:
+        import py7zr  # noqa: F401
+        pytest.skip("py7zr present; gate not exercised")
+    except ImportError:
+        pass
+    p = tmp_path / "x.7z"
+    p.write_bytes(b"7z\xbc\xaf\x27\x1c")
+    with pytest.raises(NotImplementedError, match="py7zr"):
+        _extract_archive(str(p), str(tmp_path / "out"))
