@@ -114,16 +114,34 @@ def main() -> None:
                 warm_corpus_templates,
             )
 
+            import math
+
+            from compass_query_optimizer_spark.session import get_spark
+
             job_scale = int(os.environ.get("SPARK_GRAFT_JOB_SCALE", "10"))
             job_timeout = float(os.environ.get("SPARK_GRAFT_JOB_TIMEOUT", "45"))
             t0 = time.perf_counter()
-            warm_corpus_templates(spark, scale=job_scale)
+            plan_rows = warm_corpus_templates(spark, scale=job_scale)
             warm_s = time.perf_counter() - t0
+            # corpus-wide plan quality, free from the warm pass: how often
+            # does the sketch-chosen order beat the size-descending one,
+            # and by how much (geomean of cost ratios over compared plans)
+            compared = [(c, fb) for _, c, fb in plan_rows if fb]
             job_ab = {"scale": job_scale, "n_queries": 113,
                       "per_query_timeout": job_timeout,
-                      "template_warm_sec": round(warm_s, 1)}
+                      "template_warm_sec": round(warm_s, 1),
+                      "plan_cost_wins": sum(c <= fb for c, fb in compared),
+                      "plan_cost_compared": len(compared),
+                      "plan_cost_ratio_geomean": round(math.exp(
+                          sum(math.log(max(c, 1e-9) / fb) for c, fb in compared)
+                          / max(len(compared), 1)), 8)}
             results = {}
             for mode in ("sparksql", "fallback", "compass"):
+                # fresh JVM per mode: a cancelled query's codegen loop can
+                # run on as an uninterruptible zombie task, and letting it
+                # steal cores from the NEXT mode would skew the A/B
+                spark.stop()
+                spark = get_spark(app_name=f"compass-bench-{mode}")
                 t0 = time.perf_counter()
                 rows = run_corpus(spark, mode=mode, scale=job_scale,
                                   per_query_timeout=job_timeout)

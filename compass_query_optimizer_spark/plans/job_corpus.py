@@ -162,12 +162,16 @@ def warm_corpus_templates(
     scale: int = 1,
     max_workers: int = 6,
     query_ids: list[str] | None = None,
-) -> int:
+) -> list[tuple[str, float, float | None]]:
     """Plan (without executing) every corpus query so the tagged template
     cache holds each table's sketches — the analog of the reference
     pre-building its sketch-templates file. After warming, an A/B of
     compass vs fallback execution times measures JOIN-ORDER quality alone,
-    not who paid the one-time sketch pass. Returns #queries planned."""
+    not who paid the one-time sketch pass.
+
+    Returns per-query plan quality for free: (query_id, chosen_cost,
+    fallback_cost) — the Σ-of-estimated-intermediates metric the search
+    minimizes, fallback_cost None when the search itself fell back."""
     from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
 
     corpus = load_corpus()
@@ -175,19 +179,15 @@ def warm_corpus_templates(
     tables, counts = job_tables(spark, scale=scale)
     cache_tag = f"mini_imdb_v{FIXTURE_VERSION}_x{scale}"
     opt = CompassOptimizer(spark)
-    with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        list(
-            pool.map(
-                lambda qid: opt.plan(
-                    corpus[qid],
-                    tables=tables,
-                    counts=counts,
-                    count_cache_tag=cache_tag,
-                ),
-                ids,
-            )
+
+    def one(qid: str) -> tuple[str, float, float | None]:
+        plan = opt.plan(
+            corpus[qid], tables=tables, counts=counts, count_cache_tag=cache_tag
         )
-    return len(ids)
+        return qid, plan.search.cost, plan.fallback_cost
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return sorted(pool.map(one, ids))
 
 
 def job_oracle_sql() -> str:
