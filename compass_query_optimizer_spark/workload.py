@@ -847,3 +847,97 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q25_window_functions",
+    """
+    WITH ranked AS (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             ROUND(SUM(o.o_totalprice) OVER (PARTITION BY c.c_mktsegment
+                                             ORDER BY o.o_totalprice DESC, o.o_orderkey
+                                             ROWS UNBOUNDED PRECEDING), 2) AS run_sum,
+             LAG(o.o_orderkey) OVER w AS prev_key
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WINDOW w AS (PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey)
+    )
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
+           run_sum, prev_key
+    FROM ranked WHERE rn <= 5
+    ORDER BY c_mktsegment, rn
+    """,
+    doc="window functions (beyond parity: the reference parses OVER but "
+    "rejects it, SURVEY.md §2.5): ROW_NUMBER / RANK / running SUM / LAG "
+    "per market segment with deterministic tie-breaks, top-5 per segment",
+    tags=("window", "beyond-parity"),
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    j = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                2,
+            ).alias("run_sum"),
+            F.lag("o_orderkey").over(w).alias("prev_key"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@query(
+    "q26_set_operations",
+    """
+    SELECT 'except' AS op, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect', COUNT(*) FROM (
+      SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union_all', COUNT(*) FROM (
+      SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union_distinct', COUNT(*) FROM (
+      SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+    ORDER BY op
+    """,
+    doc="set operations (beyond parity: the reference planner rejects "
+    "UNION/INTERSECT/EXCEPT, Planner/Planner.cpp:69, SURVEY.md §2.7): "
+    "UNION ALL / UNION DISTINCT / INTERSECT / EXCEPT over nation keys",
+    tags=("setops", "beyond-parity"),
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("k"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("k"))
+
+    def counted(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        counted("except", c.distinct().exceptAll(s.distinct()))
+        .unionAll(counted("intersect", c.distinct().intersectAll(s.distinct())))
+        .unionAll(counted("union_all", c.unionAll(s)))
+        .unionAll(counted("union_distinct", c.unionAll(s).distinct()))
+        .orderBy("op")
+    )
