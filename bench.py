@@ -19,6 +19,12 @@ through three planners — plain Catalyst (sparksql), size-descending
 fallback (MapD's heuristic), and the COMPASS sketch order. The template
 cache is warmed by a plan-only pass first so the A/B isolates join-order
 quality from the one-time sketch build. Disable with SPARK_GRAFT_JOB_AB=0.
+
+DNF readout: the zipf-skewed fixture grows some counts combinatorially
+with scale (e.g. 17a = 40M at scale 10), so a tail of queries is
+data-volume-bound and times out under ANY order — the planner signal is
+the per-mode DNF ordering (compass < sparksql < fallback) plus the wall
+clock over the shared completions, not DNF=0.
 """
 
 from __future__ import annotations
