@@ -48,3 +48,38 @@ def test_nondefault_params_keep_oracle_parity():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().endswith("ok")
+
+
+_FAST_HASH_CODE = """
+from pyspark.sql import SparkSession
+from compass_query_optimizer_spark.functions import hashing
+assert not hashing.PORTABLE_HASH
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+from pyspark.sql import functions as F
+df = spark.createDataFrame([("a",), ("b",), (None,)], "s string")
+vals = [r.h for r in df.select(hashing.spark_portable_hash(F.col("s")).alias("h")).collect()]
+assert all(v is None or 0 <= v < (1 << 48) for v in vals)
+# end-to-end: exact-dup docs still collapse to one minhash group
+from compass_query_optimizer_spark.registry import all_queries
+rows = all_queries()["dedup_minhash_lsh"].build(spark, "/root/testdata/sf0.001").collect()
+assert len(rows) > 0  # the sf corpus has injected near-dups; fast hash finds pairs
+print("ok")
+"""
+
+
+def test_fast_hash_mode_is_consistent():
+    """SPARK_GRAFT_PORTABLE_HASH=0 swaps md5 for xxhash64: same 48-bit
+    non-negative contract, dedup still finds the injected near-dups (no
+    DuckDB parity expected in this mode)."""
+    env = dict(os.environ, SPARK_GRAFT_PORTABLE_HASH="0")
+    out = subprocess.run(
+        [sys.executable, "-c", _FAST_HASH_CODE],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().endswith("ok")
