@@ -941,3 +941,129 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(counted("union_distinct", c.unionAll(s).distinct()))
         .orderBy("op")
     )
+
+
+@query(
+    "q27_grouping_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER)  AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER)  AS g_status,
+           SUM(l_quantity)                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)           AS sum_price,
+           COUNT(*)                                 AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="GROUPING SETS / ROLLUP (beyond parity: the reference RA dispatch "
+    "throws for any grouping-set node, RelAlgAbstractInterpreter.cpp:1522; "
+    "SURVEY.md §2.4 'Not present'): per-(flag,status) subtotals, per-flag "
+    "subtotals, and the grand total in ONE pass — Spark expands rollup "
+    "into a single Expand+hash-agg, so at 100 TB this is one scan + one "
+    "shuffle instead of three queries. GROUPING() markers disambiguate "
+    "rollup NULLs from genuine NULL group keys.",
+    tags=("agg", "beyond-parity"),
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q28_not_exists_anti_join",
+    """
+    SELECT c.c_nationkey AS nation_key,
+           COUNT(*) AS n_custs,
+           ROUND(AVG(c.c_acctbal), 2) AS avg_bal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    ORDER BY nation_key
+    """,
+    doc="NOT EXISTS -> left-anti hash join (beyond parity: the reference "
+    "has no semi/anti join operators, SURVEY.md §2.3 'Not present'; its IN "
+    "materializes the subquery driver-side into an InIntegerSet filter, "
+    "RelAlgTranslator.cpp:427). Spark keeps it distributed: the filtered "
+    "orders side shuffles on o_custkey, never through the driver, and the "
+    "priority filter is pushed into the orders scan.",
+    tags=("join", "beyond-parity"),
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .orderBy("nation_key")
+    )
+
+
+@query(
+    "q29_full_outer_join",
+    """
+    WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust
+               FROM customer
+               WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9500.0
+               GROUP BY 1),
+         s AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp
+               FROM supplier WHERE s_acctbal > 5000.0 GROUP BY 1)
+    SELECT COALESCE(c.k, s.k) AS nation_key, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    ORDER BY nation_key
+    """,
+    doc="FULL OUTER join (beyond parity: the reference supports only "
+    "INNER/LEFT, Shared/sqldefs.h:74, SURVEY.md §2.3 'Not present': "
+    "RIGHT/FULL OUTER). Thresholds chosen so BOTH sides have unmatched "
+    "nation keys — the nullable sides are genuinely exercised. Pre-"
+    "aggregating each side before the join keeps the outer join on "
+    "already-reduced keys: at 100 TB the shuffle carries one row per "
+    "nation, not per customer.",
+    tags=("join", "beyond-parity"),
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = (
+        t["customer"]
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9500.0))
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t["supplier"]
+        .filter(F.col("s_acctbal") > 5000.0)
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c["k"] == s["k"], "full_outer")
+        .select(
+            F.coalesce(c["k"], s["k"]).alias("nation_key"),
+            "n_cust",
+            "n_supp",
+        )
+        .orderBy("nation_key")
+    )
