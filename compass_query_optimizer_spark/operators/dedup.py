@@ -125,16 +125,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    None,  # generated below (needs the hash constants inlined)
-    doc="MinHash+LSH near-dup candidates: word-3-shingles → 12 minhashes → "
-    "4 bands of 3 → bucket self-join; emits candidate doc pairs",
-    tags=("dedup", "lsh"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    sigs = minhash_signatures(t["documents"])
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) distinct candidate pairs (doc_a < doc_b), unordered —
+    the banded-LSH bucket self-join shared by dedup_minhash_lsh and the
+    connected-components clustering pass."""
+    sigs = minhash_signatures(docs)
     n_bands = MINHASH_K // MINHASH_R
     band_structs = F.array(
         *[
@@ -165,8 +160,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_minhash_lsh",
+    None,  # generated below (needs the hash constants inlined)
+    doc="MinHash+LSH near-dup candidates: word-3-shingles → 12 minhashes → "
+    "4 bands of 3 → bucket self-join; emits candidate doc pairs",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return minhash_candidate_pairs(t["documents"]).orderBy("doc_a", "doc_b")
 
 
 def _minhash_oracle() -> str:
@@ -601,9 +607,117 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(id, lbl): connected components of the undirected pair graph by
+    min-label propagation — each node repeatedly takes the minimum label
+    among itself and its neighbors until fixpoint.
+
+    A dedup pipeline can't stop at pairs: near-duplication is transitive
+    (A~B, B~C ⇒ one cluster {A,B,C}), so keeping one canonical doc per
+    *component* is the operation that actually shrinks the corpus.
+
+    Scale design: each iteration is one shuffle join (edges ⋈ labels on
+    dst) plus one min-groupBy — both keyed, never all-pairs — and
+    `localCheckpoint` truncates the lineage so plan size stays constant
+    across iterations. Rounds needed = component diameter, which for
+    near-dup clusters is tiny (dups of a doc are dups of each other); for
+    adversarially long chain graphs the two-phase large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) converges in O(log²n) rounds with the same
+    per-round primitives. The driver-side loop iterates over *actions*
+    (a convergence count per round), never over data rows.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.persist()  # probed every round
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iters):
+            prop = sym.join(labels, sym["dst"] == labels["id"]).select(
+                sym["src"].alias("id"), labels["lbl"].alias("lbl")
+            )
+            new = (
+                labels.unionAll(prop)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.withColumnRenamed("lbl", "new_lbl")
+                .join(labels, "id")
+                .filter(F.col("new_lbl") != F.col("lbl"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iters} rounds "
+            "(component diameter exceeds the bound — use the "
+            "large-star/small-star variant for chain-shaped graphs)"
+        )
+    finally:
+        sym.unpersist()
+
+
+@query(
+    "dedup_clusters",
+    None,  # generated below (recursive-CTE oracle over the same pair SQL)
+    doc="duplicate-cluster resolution: MinHash+LSH candidate pairs → "
+    "connected components (min-label propagation, one keyed shuffle join "
+    "per round) → (doc_id, cluster_id=min doc in component, cluster_size). "
+    "The canonical keeper per cluster is the doc with doc_id = cluster_id.",
+    tags=("dedup", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    labels = connected_components(minhash_candidate_pairs(t["documents"]))
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def _clusters_oracle() -> str:
+    pairs_sql = _minhash_oracle().replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM comp ORDER BY cluster_id, doc_id
+    """
+
+
 # patch in the generated oracles
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["dedup_minhash_lsh"].oracle = _minhash_oracle()
 _registry._REGISTRY["dedup_simhash"].oracle = _simhash_oracle()
 _registry._REGISTRY["dedup_ngram_jaccard"].oracle = _jaccard_oracle()
+_registry._REGISTRY["dedup_clusters"].oracle = _clusters_oracle()

@@ -77,3 +77,22 @@ def test_lsh_recall_on_planted_neardups(spark, tmp_path):
     }
     assert lsh <= exact
     assert len(lsh & planted) >= 18  # ~0.997 expected recall at cos≈0.999
+
+
+def test_connected_components_chain_and_islands(spark):
+    """min-label propagation must follow transitivity across a long chain
+    (needs multiple propagation rounds), merge branches, and keep disjoint
+    components apart."""
+    from compass_query_optimizer_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12, isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {(r.id, r.lbl) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
