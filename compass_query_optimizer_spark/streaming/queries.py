@@ -183,3 +183,48 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id", F.col("s.n_events").alias("n_events"), F.col("s.sum_value").alias("sum_value")
     ).orderBy("user_id")
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "stream_dedup_events",
+    _STREAM_DEDUP_ORACLE,
+    doc="streaming dedup-on-ingest: dropDuplicates on (event_type, user_id) "
+    "over the event stream (append mode, availableNow drain), then a batch "
+    "rollup of survivors — equals the batch COUNT(DISTINCT). Global "
+    "dropDuplicates keeps its key state forever; the production variant "
+    "for unbounded streams is dropDuplicatesWithinWatermark (state evicted "
+    "past the delay — exercised in tests/test_streaming_units.py), the "
+    "right trade when duplicates only arrive near-in-time, e.g. retries",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup state is hash-partitioned on the subset key by the shuffle
+    # partition count — the state store scales horizontally with executors
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    src = _events_stream_source(spark, sf_dir)
+    deduped = src.select("event_type", "user_id").dropDuplicates(
+        ["event_type", "user_id"]
+    )
+    sink = f"dedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .orderBy("event_type")
+    )

@@ -113,3 +113,49 @@ def test_file_ingest_roundtrip(spark, tmp_path):
     files = [str(p) for p in (tmp_path / "sink").glob("*.parquet")]
     total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     assert total == 3
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_stream_dedup_any_unit(spark, tmp_path, unit):
+    from compass_query_optimizer_spark.streaming.queries import stream_dedup_events
+
+    _write_events(str(tmp_path), unit)
+    got = stream_dedup_events(spark, str(tmp_path)).collect()
+    # fixture: user 7 clicks twice (dup collapses), users 7+8 view once each
+    assert [(r.event_type, r.n_unique_users) for r in got] == [
+        ("click", 1),
+        ("view", 2),
+    ]
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """The production variant for unbounded streams: state for a key is
+    evicted once the watermark passes, so duplicates must re-arrive within
+    the delay to be dropped. All fixture dups here are within the 1h delay
+    -> output equals global distinct."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.streaming.queries import (
+        _events_stream_source,
+    )
+
+    _write_events(str(tmp_path), "us")
+    src = _events_stream_source(spark, str(tmp_path))
+    deduped = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_type", "user_id"])
+        .select("event_type", "user_id")
+    )
+    sink = f"wmdedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table(sink).collect())
+    assert got == [("click", 7), ("view", 7), ("view", 8)]
