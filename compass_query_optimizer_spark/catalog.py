@@ -147,13 +147,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_read_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in NANOS_TS_COLS.get(name, ()):
-        if isinstance(df.schema[c].dataType, T.LongType):
+        dtype = df.schema[c].dataType
+        if isinstance(dtype, T.LongType):
             # integer `div`, not `/`: float division of nanos (≈1.7e18)
             # exceeds double's 2^53 exact range and drifts by ±1 µs
             df = df.withColumn(
                 c,
                 F.timestamp_micros(F.expr(f"{c} div 1000")).cast("timestamp_ntz"),
             )
+        elif isinstance(dtype, T.TimestampType):
+            # micros stored with isAdjustedToUTC=true reads as LTZ; the
+            # session is pinned UTC, so the cast keeps the UTC wall time
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
     declared = SCHEMAS.get(name)
     if declared is not None:
         got = [(f.name, type(f.dataType).__name__) for f in df.schema.fields]

@@ -159,3 +159,30 @@ def test_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.table(sink).collect())
     assert got == [("click", 7), ("view", 7), ("view", 8)]
+
+
+@pytest.mark.parametrize("adjusted_utc", [False, True])
+def test_batch_loader_micros_either_adjustment(spark, tmp_path, adjusted_utc):
+    """load_table must normalise `ts` to TIMESTAMP_NTZ whether micros are
+    stored NTZ (isAdjustedToUTC=false) or instant-adjusted (=true, which
+    Spark reads as LTZ); wall times must be identical under the UTC
+    session."""
+    from compass_query_optimizer_spark.catalog import load_table
+
+    tz = dt.timezone.utc if adjusted_utc else None
+    rows = [r[1].replace(tzinfo=tz) for r in _ROWS]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in _ROWS], pa.int64()),
+            "ts": pa.array(rows, pa.timestamp("us", tz="UTC" if adjusted_utc else None)),
+            "user_id": pa.array([r[2] for r in _ROWS], pa.int64()),
+            "event_type": pa.array([r[3] for r in _ROWS], pa.string()),
+            "value": pa.array([r[4] for r in _ROWS], pa.float64()),
+            "props": pa.array(["{}"] * len(_ROWS), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"), version="2.6")
+    df = load_table(spark, str(tmp_path), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    got = sorted(r.ts for r in df.select("ts").collect())
+    assert got == sorted(r[1] for r in _ROWS)
