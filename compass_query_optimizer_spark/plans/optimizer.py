@@ -228,6 +228,59 @@ class CompassOptimizer:
             joined = joined.filter(_rewrite_residual(residual, plan.spec))
         return joined
 
+    def explain(self, plan: CompassPlan, physical: bool = False) -> str:
+        """Human-readable plan report — the engine's analog of the
+        reference's EXPLAIN / EXPLAIN CALCITE surface (MapDHandler.cpp
+        `sql_execute` explain modes; RA dump vs generated-IR dump). Shows
+        the COMPASS decision: per-table push-down outcomes, the chosen
+        join order with the per-prefix size estimates the search actually
+        compared, and cost vs the size-descending fallback.
+
+        ``physical=True`` appends Spark's formatted physical plan of the
+        built chain (the whole-stage-codegen / exchange view — the analog
+        of the reference's IR dump)."""
+        lines = [f"COMPASS plan: {' ⋈ '.join(plan.search.order)}"]
+        mode = "fallback (size-descending)" if plan.search.fallback else "sketch search"
+        lines.append(
+            f"  mode={mode}  cost={plan.search.cost:.1f}"
+            + (
+                f"  fallback_cost={plan.fallback_cost:.1f}"
+                f"  ratio={plan.search.cost / plan.fallback_cost:.2e}"
+                if plan.fallback_cost
+                else ""
+            )
+        )
+        lines.append(
+            f"  search: expansions={plan.search.expansions}"
+            f" budget_exhausted={plan.search.exhausted}"
+        )
+        lines.append("  tables (push-down pass):")
+        for alias in plan.search.order:
+            st = plan.pushdown.stats[alias]
+            tbl = plan.spec.tables[alias]
+            flt = plan.spec.filters.get(alias)
+            mat = "materialized+broadcast" if alias in plan.pushdown.materialized else "virtual"
+            lines.append(
+                f"    {alias} ({tbl}): rows={st.rows} {mat}"
+                + (f" filter=[{flt}]" if flt else "")
+                + f" sketch_cols={sorted(st.sketches)}"
+            )
+        if plan.search.prefix_estimates:
+            lines.append("  prefix size estimates (chosen order):")
+            seen: list[str] = []
+            for alias in plan.search.order:
+                seen.append(alias)
+                est = plan.search.prefix_estimates.get(frozenset(seen))
+                if est is not None:
+                    lines.append(f"    {{{', '.join(seen)}}} ≈ {est:.1f}")
+        if physical:
+            df = self.build_join(plan)
+            lines.append("  spark physical plan:")
+            lines.append(df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            ))
+        return "\n".join(lines)
+
     def execute_count(
         self,
         spec_or_sql: JoinQuerySpec | str,

@@ -205,3 +205,24 @@ def test_compass_plan_shape(spark):
     assert plan.search.cost <= plan.fallback_cost + 1e-9
     # the filtered selective tables should be the string-predicate dims
     assert plan.pushdown.stats["lineitem"].rows > 0
+
+
+def test_explain_report(spark):
+    """EXPLAIN analog: the report must show the chosen order, per-table
+    push-down outcomes, prefix estimates, and (with physical=True) Spark's
+    formatted physical plan."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    opt = CompassOptimizer(spark)
+    plan = opt.plan(FLAGSHIP_SQL, SF)
+    txt = opt.explain(plan)
+    assert "COMPASS plan:" in txt and " ⋈ " in txt
+    assert "mode=sketch search" in txt
+    assert "fallback_cost=" in txt
+    for alias in plan.search.order:
+        assert f"{alias} (" in txt
+    assert "prefix size estimates" in txt
+
+    full = opt.explain(plan, physical=True)
+    assert "spark physical plan:" in full
+    assert "== Physical Plan ==" in full
