@@ -49,6 +49,45 @@ def rename_table(spark: SparkSession, old: str, new: str) -> None:
     spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
 
 
+def rename_column(spark: SparkSession, table: str, old: str, new: str) -> None:
+    """RenameColumnStmt (ParserNode.h:965).
+
+    Metadata-only where the catalog supports it (v2 catalogs); the v1
+    session catalog rejects RENAME COLUMN on parquet tables, so fall back
+    to a CTAS swap — rewrite-then-rename, the same visible end state."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.sql(f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}")
+        return
+    except AnalysisException:
+        pass
+    cols = ", ".join(
+        f"{c} AS {new}" if c == old else c for c in spark.table(table).columns
+    )
+    tmp = f"{table}__rename_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.sql(f"CREATE TABLE {tmp} USING parquet AS SELECT {cols} FROM {table}")
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+
+
+def show_create_table(spark: SparkSession, name: str) -> str:
+    """ShowCreateTableStmt (ParserNode.h:1282): the reconstructed DDL."""
+    return spark.sql(f"SHOW CREATE TABLE {name}").collect()[0][0]
+
+
+def create_database(spark: SparkSession, name: str, if_not_exists: bool = True) -> None:
+    """CreateDBStmt (ParserNode.h:1352); Spark namespaces are the analog
+    of the reference's per-catalog databases."""
+    spark.sql(f"CREATE DATABASE {'IF NOT EXISTS ' if if_not_exists else ''}{name}")
+
+
+def drop_database(spark: SparkSession, name: str, cascade: bool = False) -> None:
+    """DropDBStmt (ParserNode.h:1373)."""
+    spark.sql(f"DROP DATABASE IF EXISTS {name}{' CASCADE' if cascade else ''}")
+
+
 def insert_values(spark: SparkSession, name: str, rows: list[tuple]) -> None:
     """INSERT VALUES (ParserNode.h:1464 InsertValuesStmt): row append."""
     df = spark.createDataFrame(rows, schema=spark.table(name).schema)

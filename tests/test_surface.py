@@ -122,6 +122,26 @@ def test_ddl_lifecycle(spark, tmp_path):
     ddl.drop_table(spark, name)
 
 
+def test_ddl_namespace_and_column_ops(spark):
+    """The remaining reference DDL statements: CREATE/DROP DATABASE
+    (ParserNode.h:1352,1373), RENAME COLUMN (:965), SHOW CREATE TABLE
+    (:1282)."""
+    ddl.drop_database(spark, "ddl_ns_test", cascade=True)  # idempotent rerun
+    ddl.create_database(spark, "ddl_ns_test")
+    name = "ddl_ns_test.t_cols"
+    ddl.create_table(
+        spark, name, T.StructType([T.StructField("a", T.IntegerType())])
+    )
+    ddl.insert_values(spark, name, [(7,)])
+    ddl.rename_column(spark, name, "a", "b")
+    assert spark.table(name).columns == ["b"]
+    assert spark.table(name).collect()[0].b == 7
+    stmt = ddl.show_create_table(spark, name)
+    assert "t_cols" in stmt and "b" in stmt
+    ddl.drop_database(spark, "ddl_ns_test", cascade=True)
+    assert not any(d.name == "ddl_ns_test" for d in spark.catalog.listDatabases())
+
+
 # ----------------------------------------------------------------- streaming
 def test_stream_csv_ingest(spark, tmp_path):
     from compass_query_optimizer_spark.streaming.ingest import (
