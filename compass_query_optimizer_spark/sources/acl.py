@@ -163,6 +163,25 @@ class AccessControl:
                     return True
             return False
 
+    def show_privileges(self, grantee: str) -> list[tuple[str, str, str]]:
+        """ShowPrivilegesStmt (ParserNode.h:1085): the grantee's effective
+        privileges as sorted (source_grantee, privilege, object) rows —
+        direct grants plus everything inherited through reachable roles."""
+        with self._lock:
+            self._grantee(grantee)
+            sources = {grantee}
+            if grantee in self._users:
+                sources |= self._reachable_roles(self._users[grantee].roles)
+            else:
+                sources |= self._reachable_roles(self._roles[grantee].roles)
+            out = [
+                (g, priv, obj)
+                for (g, priv), objs in self._grants.items()
+                if g in sources
+                for obj in objs
+            ]
+            return sorted(out)
+
     def authorize(self, user: str, privilege: str, obj: str) -> None:
         """Raise AccessDenied unless ``user`` holds ``privilege`` on
         ``obj`` — call before submitting the plan, never inside it."""

@@ -86,3 +86,24 @@ def test_unknown_names_and_privileges(acl):
         acl.create_user("alice", "x")
     with pytest.raises(ValueError, match="already exists"):
         acl.create_role("alice")  # user/role namespaces are shared
+
+
+def test_show_privileges_direct_and_inherited(acl):
+    acl.grant_privilege("SELECT", "orders", "alice")
+    acl.create_role("senior")
+    acl.grant_role("senior", "analyst")   # nested: senior -> analyst
+    acl.grant_role("analyst", "alice")
+    acl.grant_privilege("SELECT", "lineitem", "analyst")
+    acl.grant_privilege("DROP", "*", "senior")
+    assert acl.show_privileges("alice") == [
+        ("alice", "SELECT", "orders"),
+        ("analyst", "SELECT", "lineitem"),
+        ("senior", "DROP", "*"),
+    ]
+    # a role's listing covers only its own reachable graph
+    assert acl.show_privileges("analyst") == [
+        ("analyst", "SELECT", "lineitem"),
+        ("senior", "DROP", "*"),
+    ]
+    with pytest.raises(KeyError):
+        acl.show_privileges("ghost")
