@@ -252,7 +252,130 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# corpus curation: stratified sampling + sequence packing
+# ---------------------------------------------------------------------------
+
+# per-language keep rates (percent). Down-samples the dominant language and
+# keeps the tail — the usual rebalancing move when curating multilingual
+# training mixes. Literals so the oracle embeds identical numbers.
+SAMPLE_RATES: dict[str, int] = {"en": 50, "de": 80, "es": 80, "fr": 80, "zh": 40}
+SAMPLE_DEFAULT_RATE = 100  # unknown languages pass through
+
+PACK_CAP = 2048  # context-window token budget per packed sequence
+PACK_PARTS = 16  # independent packing streams (the parallelism unit)
+
+
+@query(
+    "text_stratified_sample",
+    None,  # generated below
+    doc="deterministic stratified sampling for corpus rebalancing: keep a "
+    "doc iff portable_hash('sample-'||doc_id) % 100 < rate[lang]. Pure "
+    "projection+filter — no shuffle, no RNG state, reproducible across "
+    "engines and re-runs (unlike df.sample, whose result depends on "
+    "partitioning), and the filter pushes into the scan",
+    tags=("text", "sampling"),
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bucket = spark_portable_hash(
+        F.concat(F.lit("sample-"), F.col("doc_id").cast("string"))
+    ) % F.lit(100)
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        t["documents"]
+        .select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _sample_oracle() -> str:
+    h = duck_portable_hash("'sample-' || CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {h} % 100 < CASE lang {cases} ELSE {SAMPLE_DEFAULT_RATE} END
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "text_pack_sequences",
+    None,  # generated below
+    doc="sequence packing for LLM training: concatenate-then-chunk (GPT "
+    f"style) into {PACK_CAP}-token windows. Docs are hashed into "
+    f"{PACK_PARTS} independent packing streams; within a stream, ordered "
+    "by doc_id, a running token sum assigns each doc the window its first "
+    "token lands in. The window function partitions on the stream key — "
+    "never a global (unpartitioned) window, so packing parallelizes "
+    "across executors and PACK_PARTS scales with the cluster",
+    tags=("text", "packing"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    n_tokens = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+"), 0)
+    )
+    part = spark_portable_hash(
+        F.concat(F.lit("pack-"), F.col("doc_id").cast("string"))
+    ) % F.lit(PACK_PARTS)
+    docs = t["documents"].select(
+        "doc_id", part.alias("pack_part"), n_tokens.cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("pack_part")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum("n_tokens").over(w)
+    return (
+        docs.select(
+            "doc_id",
+            "pack_part",
+            "n_tokens",
+            (running - F.col("n_tokens")).alias("start_off"),
+        )
+        .withColumn(
+            "bin_id", F.floor(F.col("start_off") / F.lit(PACK_CAP)).cast("long")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pack_oracle() -> str:
+    h = duck_portable_hash("'pack-' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {h} % {PACK_PARTS} AS pack_part,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, pack_part, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY pack_part ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM docs
+    )
+    SELECT doc_id, pack_part, n_tokens, start_off,
+           CAST(floor(start_off / {PACK_CAP}.0) AS BIGINT) AS bin_id
+    FROM placed
+    ORDER BY doc_id
+    """
+
+
 # patch in the generated langid oracle (needs Python-side string building)
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["text_langid"].oracle = _langid_oracle()
+_registry._REGISTRY["text_stratified_sample"].oracle = _sample_oracle()
+_registry._REGISTRY["text_pack_sequences"].oracle = _pack_oracle()

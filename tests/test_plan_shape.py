@@ -77,3 +77,19 @@ def test_ivf_has_no_single_partition_exchange(spark):
     old global-Window row_number plan had Exchange SinglePartition)."""
     plan = formatted_plan(spark, "sim_ann_ivf")
     assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Packing must parallelize: the running-sum window partitions on the
+    stream key, never a global (SinglePartition) window."""
+    plan = formatted_plan(spark, "text_pack_sequences")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_stratified_sample_no_shuffle_before_filter(spark):
+    """Hash-based sampling is a projection+filter: no exchange except the
+    final sort, no Python, no join."""
+    plan = formatted_plan(spark, "text_stratified_sample")
+    for node in ("Join", "MapInPandas", "BatchEvalPython"):
+        assert node not in plan
