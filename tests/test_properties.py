@@ -77,3 +77,36 @@ def test_dialect_idempotent_on_ansi(n):
     """ANSI SQL with no MapD-isms passes through byte-identical."""
     sql = f"SELECT a, COUNT(*) FROM t WHERE b >= {n} GROUP BY a ORDER BY a LIMIT 5"
     assert to_spark_sql(sql) == sql
+
+
+# --- connected components: Spark min-label propagation vs union-find -------
+edge = st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1])
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@given(st.lists(edge, min_size=1, max_size=25))
+@settings(max_examples=12, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    from compass_query_optimizer_spark.operators.dedup import connected_components
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(norm, "doc_a long, doc_b long")
+    got = {r.id: r.lbl for r in connected_components(df).collect()}
+    # min-merge union-find roots equal the component minima (the larger
+    # root is always parented under the smaller), matching min-label CC
+    assert got == _union_find_components(norm)
