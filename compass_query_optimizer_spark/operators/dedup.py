@@ -643,6 +643,11 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     try:
+        # per-node labels only ever decrease under min-propagation, so the
+        # label total is strictly decreasing until fixpoint — an unchanged
+        # sum IS convergence, checked with one tiny aggregate per round
+        # instead of a join-based diff
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         for _ in range(max_iters):
             prop = sym.join(labels, sym["dst"] == labels["id"]).select(
                 sym["src"].alias("id"), labels["lbl"].alias("lbl")
@@ -653,16 +658,11 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                 .agg(F.min("lbl").alias("lbl"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new.withColumnRenamed("lbl", "new_lbl")
-                .join(labels, "id")
-                .filter(F.col("new_lbl") != F.col("lbl"))
-                .limit(1)
-                .count()
-            )
+            new_sum = new.agg(F.sum("lbl")).collect()[0][0]
             labels = new
-            if changed == 0:
+            if new_sum == cur_sum:
                 return labels
+            cur_sum = new_sum
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iters} rounds "
             "(component diameter exceeds the bound — use the "
