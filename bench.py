@@ -52,6 +52,7 @@ HEADLINE = [
     "sim_ann_ivf",                # IVF-flat ANN (bounded-scan scale path)
     "dedup_embedding_lsh",        # multi-table hyperplane near-dup (shipped)
     "text_quality",               # text quality scoring
+    "pipeline_curate",            # composed quality→dedup→sample pipeline
     "mm_frame_sample",            # multimodal frame sampling via Arrow
     "stream_window_rollup",       # Structured Streaming windowed rollup
 ]

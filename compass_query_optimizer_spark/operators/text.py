@@ -373,9 +373,102 @@ def _pack_oracle() -> str:
     """
 
 
+@query(
+    "pipeline_curate",
+    None,  # generated below
+    doc="end-to-end corpus curation, composing the pipeline operators in "
+    "one plan: quality gate (token count 20..1000, punct ratio < 0.2) → "
+    "exact-dedup keep-first (min doc_id per normalized-text md5) → "
+    "deterministic stratified sample → per-language summary. Ratios are "
+    "computed as ratios of integer SUMs, so the result is bit-identical "
+    "regardless of aggregation order — float AVG would drift by an ulp "
+    "between engines/partitionings. One scan, two shuffles (dedup "
+    "groupBy + final rollup); every filter runs before any shuffle",
+    tags=("text", "dedup", "sampling", "pipeline"),
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    n_tokens = F.size(F.regexp_extract_all(txt, F.lit(_TOKEN_RE), 0))
+    punct = F.length("text") - F.length(F.regexp_replace(txt, "[^a-z0-9 ]", ""))
+    norm_key = F.md5(
+        F.array_join(F.regexp_extract_all(txt, F.lit(_TOKEN_RE), 0), " ")
+    )
+    quality = (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            punct.alias("n_punct"),
+            F.length("text").alias("n_chars_txt"),
+            norm_key.alias("text_key"),
+        )
+        .filter(
+            F.col("n_tokens").between(20, 1000)
+            & (F.col("n_punct") * F.lit(1.0) / F.col("n_chars_txt") < 0.2)
+        )
+    )
+    keep_first = quality.groupBy("text_key").agg(F.min("doc_id").alias("doc_id"))
+    kept = quality.join(keep_first.select("doc_id"), "doc_id")
+    bucket = spark_portable_hash(
+        F.concat(F.lit("sample-"), F.col("doc_id").cast("string"))
+    ) % F.lit(100)
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    sampled = kept.filter(bucket < rate)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(
+                F.sum("n_punct") * F.lit(1.0) / F.sum("n_chars_txt"), 6
+            ).alias("punct_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _curate_oracle() -> str:
+    h = duck_portable_hash("'sample-' || CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS BIGINT)
+                 AS n_tokens,
+             CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_chars_txt,
+             md5(array_to_string(regexp_extract_all(lower(text), '{_TOKEN_RE}'), ' '))
+                 AS text_key
+      FROM documents
+    ),
+    quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 20 AND 1000 AND n_punct * 1.0 / n_chars_txt < 0.2
+    ),
+    keep_first AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY text_key
+    ),
+    sampled AS (
+      SELECT q.* FROM quality q JOIN keep_first USING (doc_id)
+      WHERE {h} % 100 < CASE lang {cases} ELSE {SAMPLE_DEFAULT_RATE} END
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+           ROUND(SUM(n_punct) * 1.0 / SUM(n_chars_txt), 6) AS punct_ratio
+    FROM sampled GROUP BY lang ORDER BY lang
+    """
+
+
 # patch in the generated langid oracle (needs Python-side string building)
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["text_langid"].oracle = _langid_oracle()
 _registry._REGISTRY["text_stratified_sample"].oracle = _sample_oracle()
 _registry._REGISTRY["text_pack_sequences"].oracle = _pack_oracle()
+_registry._REGISTRY["pipeline_curate"].oracle = _curate_oracle()
