@@ -87,6 +87,26 @@ def test_pack_sequences_window_is_partitioned(spark):
     assert "Window" in plan
 
 
+def test_contamination_eval_side_broadcasts(spark):
+    """The eval shingle set must broadcast: the corpus side is one scan +
+    hash probe, with no shuffle of corpus shingles for the join itself
+    (the only corpus exchange is the per-doc count aggregation)."""
+    plan = formatted_plan(spark, "text_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin", "MapInPandas"):
+        assert node not in plan
+
+
+def test_repetition_aggregates_are_partial(spark):
+    """The (doc_id, n, gram) count must map-side combine (HashAggregate
+    partial_count before the exchange) — that combine is what collapses
+    the very duplicates the metric measures."""
+    plan = formatted_plan(spark, "text_repetition")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_stratified_sample_no_shuffle_before_filter(spark):
     """Hash-based sampling is a projection+filter: no exchange except the
     final sort, no Python, no join."""
