@@ -1,0 +1,186 @@
+"""Embedding-pipeline operators: k-means iteration and int8 quantization.
+
+Two building blocks every large-scale embedding pipeline needs beyond
+search/dedup (operators/similarity.py, operators/dedup.py):
+
+- ``emb_kmeans_iter``: one Lloyd iteration of k-means — assign every vector
+  to its nearest centroid, then summarize the new clusters. This is the
+  canonical *iterative* distributed algorithm; a full training loop is this
+  operator applied repeatedly (exactly how Spark MLlib structures it). The
+  iteration is fully declarative: centroids (vec_id < K, the deterministic
+  seed rule) are broadcast, the assign step is a broadcast cross join whose
+  N×K intermediate never materializes (map-side min_by combine), and the
+  update step is a K-group aggregation. No driver-side data path at all.
+- ``emb_quantize_int8``: global-scale symmetric int8 quantization (the
+  compression step before shipping vectors to an ANN serving index):
+  scale = 127/max|x| over the corpus — one scalar aggregate broadcast back
+  over a single scan. Reports a per-vector code checksum and the max
+  reconstruction error.
+
+Cross-engine determinism: vectors are quantized to ×10⁴ integers (same
+contract as the dedup/similarity operators) so distances, argmins, and
+checksums are exact integer arithmetic — bit-identical in Spark and the
+DuckDB oracle. The only doubles are final ratios, rounded on both sides.
+
+Scale notes (100 TB): assign shuffles N rows once (keyed by vec_id for the
+argmin combine) and K rows once; centroid count K bounds every broadcast.
+Quantization shuffles nothing but one scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compass_query_optimizer_spark.catalog import load_tables, spread
+from compass_query_optimizer_spark.operators.dedup import QUANT, quantized
+from compass_query_optimizer_spark.registry import query
+
+N_CLUSTERS = 8  # centroids = vectors with vec_id < K (deterministic seed)
+
+
+def _row_checksum(qv):
+    """Position-weighted exact-integer checksum: Σ i·qv[i] (1-based).
+
+    Summing it per cluster equals the checksum of the element-wise sum
+    vector, so it verifies the new centroid means without 64 output
+    columns."""
+    return F.aggregate(
+        F.zip_with(qv, F.sequence(F.lit(1), F.size(qv)), lambda x, i: x * i),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "emb_kmeans_iter",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {N_CLUSTERS}),
+    pairs AS (
+      SELECT a.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+                 i -> (a.qv[i] - c.cv[i]) * (a.qv[i] - c.cv[i]))) AS dist2,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+                 i -> a.qv[i] * i)) AS row_chk
+      FROM q a CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cid, dist2, row_chk,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cid) AS rn
+      FROM pairs
+    )
+    SELECT cid AS cluster_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(dist2) AS BIGINT) AS inertia,
+           CAST(SUM(row_chk) AS BIGINT) AS centroid_checksum
+    FROM assigned WHERE rn = 1
+    GROUP BY cid ORDER BY cid
+    """,
+    doc="one distributed k-means (Lloyd) iteration: broadcast K centroids, "
+    "argmin assignment via map-side min_by combine (the N*K intermediate "
+    "never materializes), K-group update summary. Exact integer distances",
+    tags=("embeddings", "clustering"),
+)
+def emb_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    q = spread(t["embeddings"]).select(
+        "vec_id", quantized(F.col("embedding")).alias("qv")
+    )
+    cent = q.filter(F.col("vec_id") < N_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        dist2.alias("dist2"),
+        _row_checksum(F.col("qv")).alias("row_chk"),
+    )
+    # min(struct) = argmin with deterministic (dist2, cid) tie-break;
+    # combines map-side, so the shuffle carries one row per vector
+    assigned = pairs.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "cid")).alias("m"),
+        F.min("row_chk").alias("row_chk"),  # identical across the K copies
+    )
+    return (
+        assigned.groupBy(F.col("m.cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("m.dist2").alias("inertia"),
+            F.sum("row_chk").alias("centroid_checksum"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    """
+    WITH g AS (
+      SELECT MAX(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))))) AS gmax
+      FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / g.gmax))
+                      AS BIGINT)) AS qc,
+             (127.0 / g.gmax) AS scale
+      FROM embeddings, g
+    )
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, len(qc) + 1),
+                i -> qc[i] * i)) AS BIGINT) AS code_checksum,
+           ROUND(list_max(list_transform(range(1, len(qc) + 1),
+                i -> abs(CAST(embedding[i] AS DOUBLE) - qc[i] / scale))), 6)
+               AS max_abs_err
+    FROM coded
+    ORDER BY vec_id
+    """,
+    doc="symmetric int8 quantization with a global scale (127/max|x|): one "
+    "scalar aggregate broadcast over one scan — no other shuffle. Emits "
+    "code checksum + max reconstruction error per vector",
+    tags=("embeddings", "quantization"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = spread(t["embeddings"])
+    gmax = emb.agg(
+        F.max(
+            F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+        ).alias("gmax")
+    )
+    coded = emb.crossJoin(F.broadcast(gmax)).select(
+        "vec_id",
+        "embedding",
+        (F.lit(127.0) / F.col("gmax")).alias("scale"),
+    )
+    qc = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.col("scale")).cast("long"),
+    )
+    coded = coded.select("vec_id", "embedding", "scale", qc.alias("qc"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qc"),
+            lambda x, q: F.abs(x.cast("double") - q / F.col("scale")),
+        )
+    )
+    return coded.select(
+        "vec_id",
+        _row_checksum(F.col("qc")).alias("code_checksum"),
+        F.round(err, 6).alias("max_abs_err"),
+    ).orderBy("vec_id")

@@ -185,6 +185,54 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+_ENRICH_ORACLE = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 2) AS sum_value
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query(
+    "stream_enrich_join",
+    _ENRICH_ORACLE,
+    doc="stream-static enrichment join: the event stream joined to the "
+    "static nation dimension (user_id % 25 = n_nationkey) with the dim "
+    "broadcast — the standard lookup-enrichment shape for streaming "
+    "ingest — then a windowless grouped rollup drained with availableNow. "
+    "The static side is re-read per micro-batch by Structured Streaming, "
+    "so dim updates between batches are picked up; batch-consistent with "
+    "the equivalent batch join GROUP BY",
+    tags=("streaming", "join"),
+)
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compass_query_optimizer_spark.catalog import load_tables
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    src = _events_stream_source(spark, sf_dir)
+    nation = load_tables(spark, sf_dir)["nation"]
+    enriched = src.join(
+        F.broadcast(nation),
+        src["user_id"] % 25 == nation["n_nationkey"],
+    )
+    agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    sink = f"enrich_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("nation")
+
+
 _STREAM_DEDUP_ORACLE = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
 FROM events

@@ -107,6 +107,26 @@ def test_repetition_aggregates_are_partial(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_kmeans_assign_combines_map_side(spark):
+    """The N*K assign intermediate must never hit the shuffle: the argmin
+    min(struct) aggregate needs a partial_min before the exchange, and the
+    centroid side must be the broadcast side (no sort-merge join)."""
+    plan = formatted_plan(spark, "emb_kmeans_iter")
+    assert "partial_min" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_quantize_has_single_scalar_shuffle(spark):
+    """Global-scale quantization shuffles one scalar: the corpus scan joins
+    a broadcast 1-row aggregate, never a sort-merge join, and all vector
+    math stays JVM-side."""
+    plan = formatted_plan(spark, "emb_quantize_int8")
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
 def test_stratified_sample_no_shuffle_before_filter(spark):
     """Hash-based sampling is a projection+filter: no exchange except the
     final sort, no Python, no join."""
