@@ -223,17 +223,18 @@ def _minhash_oracle() -> str:
 # (docs sharing one bucket at uniform spread):
 #
 #   BITS BLOCKS block_bits  buckets/block  expected bucket size @ 10^9 docs
-#    32    4        8           256            ~4·10^6  (too fat: revisit)
-#    48    4       12          4096            ~2.4·10^5
-#    64    4       16         65536            ~1.5·10^4  (100 TB setting)
-#    64    8        8           256            ~4·10^6 but MAXDIST 7
+#    32    4        8           256            ~4·10^6  (too fat: the old
+#                                               default — 205k candidate
+#                                               pairs on 5k synthetic docs)
+#    48    4       12          4096            ~2.4·10^5  (default)
 #
-# At 10^9+ docs raise BITS (wider blocks thin the buckets geometrically);
-# raise BLOCKS only to tolerate more edit distance, accepting fatter
-# buckets or more bits to compensate.
-SIMHASH_BITS = int(os.environ.get("SPARK_GRAFT_SIMHASH_BITS", "32"))
+# At 10^9+ docs raise BLOCKS only to tolerate more edit distance, accepting
+# fatter buckets. BITS caps at 48: the portable token hash is 48-bit
+# (functions/hashing.py), so bit positions past 47 would be constant-zero
+# noise that widens the code without discriminating anything.
+SIMHASH_BITS = int(os.environ.get("SPARK_GRAFT_SIMHASH_BITS", "48"))
 SIMHASH_BLOCKS = int(os.environ.get("SPARK_GRAFT_SIMHASH_BLOCKS", "4"))
-assert 1 <= SIMHASH_BLOCKS <= SIMHASH_BITS <= 64, "simhash params out of range"
+assert 1 <= SIMHASH_BLOCKS <= SIMHASH_BITS <= 48, "simhash params out of range"
 assert SIMHASH_BITS % SIMHASH_BLOCKS == 0, "blocks must divide bits evenly"
 SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS
 SIMHASH_BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
@@ -241,31 +242,35 @@ SIMHASH_MAXDIST = SIMHASH_BLOCKS - 1  # the pigeonhole-exact radius
 
 
 def simhash_codes(docs: DataFrame) -> DataFrame:
-    """(doc_id, code): 32-bit simhash over word tokens (with multiplicity).
+    """(doc_id, code): SIMHASH_BITS-bit simhash over word tokens (with
+    multiplicity).
 
-    One shuffle: 32 conditional-sum aggregates (one per bit) in a single
-    groupBy — no per-bit explode, so the pre-shuffle row count is the token
-    count, not 32× it, and map-side partial aggregation reduces each
-    partition to one row per doc before the exchange."""
+    One shuffle: one popcount sum per bit — SUM((h>>j)&1), branch-free, a
+    cheaper codegen than a signed CASE sum — plus one COUNT(*) in a single
+    groupBy; bit j of the code is set iff tokens with the bit set form a
+    majority (2·pop > count, the same sign rule as the ±1 formulation).
+    No per-bit explode, so the pre-shuffle row count is the token count,
+    not BITS× it, and map-side partial aggregation reduces each partition
+    to one row per doc before the exchange."""
     toks = spread(docs).select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
     )
     # materialize the hash once per token — referencing the raw expression
-    # inside all 32 aggregates would re-run md5 32× per row
+    # inside all the per-bit aggregates would re-run md5 BITS× per row
     toks = toks.select("doc_id", spark_portable_hash(F.col("word")).alias("h"))
     h = F.col("h")
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
-    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"), *bit_sums
+    )
     code = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
         code = code + F.when(
-            F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")
+            F.col(f"b{j}") * 2 > F.col("n_toks"), F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return per_doc.select("doc_id", code.alias("code"))
 
@@ -326,13 +331,13 @@ def _simhash_oracle() -> str:
     hashed AS (SELECT doc_id, {h} AS h FROM toks),
     per_bit AS (
       SELECT doc_id, j.j AS j,
-             SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS tot
+             SUM((h >> j.j) & 1) AS pop, COUNT(*) AS cnt
       FROM hashed, UNNEST(range(0, {SIMHASH_BITS})) AS j(j)
       GROUP BY 1, 2
     ),
     codes AS (
       SELECT doc_id,
-             SUM(CASE WHEN tot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS code
+             SUM(CASE WHEN pop * 2 > cnt THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS code
       FROM per_bit GROUP BY doc_id
     ),
     blocks AS (

@@ -14,8 +14,8 @@ import duckdb
 from pyspark.sql import SparkSession
 from compass_query_optimizer_spark.registry import all_queries
 from compass_query_optimizer_spark.operators import dedup, similarity
-assert dedup.SIMHASH_BITS == 48 and dedup.SIMHASH_BLOCKS == 4
-assert dedup.SIMHASH_BLOCK_BITS == 12 and dedup.SIMHASH_MAXDIST == 3
+assert dedup.SIMHASH_BITS == 32 and dedup.SIMHASH_BLOCKS == 4
+assert dedup.SIMHASH_BLOCK_BITS == 8 and dedup.SIMHASH_MAXDIST == 3
 assert similarity.N_PLANES == 12
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.ui.enabled", "false")
@@ -35,7 +35,7 @@ print("ok")
 def test_nondefault_params_keep_oracle_parity():
     env = dict(
         os.environ,
-        SPARK_GRAFT_SIMHASH_BITS="48",
+        SPARK_GRAFT_SIMHASH_BITS="32",
         SPARK_GRAFT_SIMHASH_BLOCKS="4",
         SPARK_GRAFT_ANN_LSH_BITS="12",
     )
