@@ -1,0 +1,270 @@
+"""Temporal relational operators: as-of join and bounded range join.
+
+Event-stream analytics the reference's SQL surface cannot express directly
+(closest analog: the reference evaluates plain inequality joins as loop
+joins — mapd-core/QueryEngine/RelAlgExecutor.cpp loop-join fallback — which
+is O(n*m) and driver-bound at scale). Here both are re-expressed as
+shuffle-bounded Spark plans:
+
+- **as-of join**: "attach the most recent right-side row at-or-before each
+  left row's timestamp, per key". Implemented with the union + keyed-window
+  carry-forward trick: tag both sides, union, and run
+  `last(value, ignorenulls) OVER (PARTITION BY key ORDER BY ts, side)`.
+  ONE shuffle on the join key, no range explosion, no per-key quadratic
+  blowup — the canonical distributed as-of shape (same plan Flink/Kafka
+  temporal joins lower to). The DuckDB oracle uses its native ASOF JOIN,
+  i.e. an independent implementation of the same semantics.
+
+- **range join**: "for each left row, aggregate right rows with ts in a
+  bounded window [left.ts - W, left.ts)". A naive equi-join on the key
+  alone is quadratic per hot key; instead both sides are bucketed by
+  `floor(epoch / W)` and the left side probes buckets {b-1, b} (a window of
+  length W spans at most two buckets), so the equi-join key is
+  (key, bucket) and candidates per task are bounded by bucket population,
+  not key population. Exact bounds are re-checked on the joined pairs.
+
+Both registered queries run over the `events` table and are oracle-checked
+against DuckDB (ASOF JOIN / explicit interval join respectively).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.registry import query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of join: for every left row, carry the `value_cols` of the
+    most recent right row with `right_ts <= left_ts` and equal `on` keys
+    (None when no such row exists).
+
+    The right side must be unique per (on, right_ts) — pre-aggregate with
+    `max_by` if it is not; otherwise which duplicate wins is undefined in
+    every as-of implementation (DuckDB's included).
+
+    Plan shape: one shuffle on `on`; window is keyed (never a global
+    SinglePartition sort), so the operator scales with key cardinality.
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+    left_cols = [c for c in left.columns if c not in on and c != left_ts]
+
+    # side=0 sorts before side=1 at equal ts → "at-or-before" is inclusive
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left_cols],
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).select(
+        *on,
+        "__ts",
+        "__side",
+        *[F.col(f"__l_{c}") for c in left_cols],
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *on,
+        F.col("__ts").alias(left_ts),
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    count_alias: str = "n_in_range",
+    row_key: str | None = None,
+) -> DataFrame:
+    """For each left row, count right rows with equal `on` keys and
+    `right_ts` in [left_ts - window_seconds, left_ts). Bucketed so the join
+    key is (on, time-bucket): a window of length W spans at most the left
+    row's bucket and the one before it, so each left row probes exactly two
+    buckets and candidate volume is bounded by bucket population.
+
+    `row_key` names a unique left column used to re-group the two probe
+    copies of each row (falls back to monotonically_increasing_id).
+    """
+    on = list(on)
+    if row_key is None:
+        left = left.withColumn("__row", F.monotonically_increasing_id())
+        row_key = "__row"
+    # integer-second truncation: right_ts >= left_ts - W implies
+    # floor(r_sec) >= floor(l_sec) - W, so two probe buckets suffice.
+    # (NTZ → LTZ → long: session TZ is pinned UTC, so the epoch is
+    # deterministic; NTZ has no direct long cast in Spark 4)
+    lb = F.floor(F.col(left_ts).cast("timestamp_ltz").cast("long") / window_seconds)
+    rb = F.floor(F.col(right_ts).cast("timestamp_ltz").cast("long") / window_seconds)
+    l = left.withColumn("__bucket", F.explode(F.array(lb - 1, lb)))
+    r = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in on],
+        F.col(right_ts).alias("__r_ts"),
+        rb.alias("__r_bucket"),
+    )
+    cond = [l[c] == r[f"__r_{c}"] for c in on] + [
+        l["__bucket"] == r["__r_bucket"],
+        r["__r_ts"] >= l[left_ts] - F.expr(f"INTERVAL {window_seconds} SECONDS"),
+        r["__r_ts"] < l[left_ts],
+    ]
+    # each right match lands under exactly ONE of a row's two probe
+    # buckets, so grouping the copies back by row_key counts each match
+    # once (count ignores the unmatched copy's null __r_ts)
+    return (
+        l.join(r, cond, "left")
+        .groupBy(row_key, *[l[c] for c in on], l[left_ts])
+        .agg(F.count("__r_ts").alias(count_alias))
+        .drop("__row")
+    )
+
+
+@query(
+    "temporal_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max_by(value, event_id) AS value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           round(p.value, 4) AS purchase_value,
+           round(c.value, 4) AS asof_value,
+           c.ts AS asof_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    doc="as-of join: each purchase picks the user's most recent click "
+    "at-or-before it; union + keyed-window carry, one shuffle on user_id. "
+    "Oracle is DuckDB's native ASOF JOIN (independent implementation).",
+    tags=("temporal",),
+)
+def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks.select("user_id", "ts", "click_value", F.col("ts").alias("click_ts")),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_value", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("asof_click_value", 4).alias("asof_value"),
+        F.col("asof_click_ts").alias("asof_ts"),
+    ).orderBy("event_id")
+
+
+@query(
+    "temporal_range_join",
+    """
+    SELECT p.event_id, p.user_id,
+           count(c.event_id) AS n_recent_clicks
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+    doc="bounded range join: clicks by the same user in the 10 minutes "
+    "before each purchase; bucketed (key, floor(ts/W)) equi-join — "
+    "candidates bounded per bucket, never per key",
+    tags=("temporal",),
+)
+def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    counted = range_join_count(
+        purchases.select("event_id", "user_id", "ts"),
+        clicks.select("user_id", "ts"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        window_seconds=600,
+        count_alias="n_recent_clicks",
+        row_key="event_id",
+    )
+    return counted.select("event_id", "user_id", "n_recent_clicks").orderBy("event_id")
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="semi-structured projection: JSON property extraction stays in "
+    "codegen (get_json_object), one aggregate shuffle on event_type",
+    tags=("temporal", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
