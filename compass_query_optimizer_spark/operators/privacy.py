@@ -1,0 +1,91 @@
+"""PII detection and redaction over the documents table.
+
+A training-data pipeline must strip personally-identifying strings before
+corpus release. This is expressed entirely as a JVM-side regexp projection
+(`regexp_count` / `regexp_replace` in whole-stage codegen): zero shuffles,
+zero Python — at 100 TB it is a pure scan whose cost is I/O-bound, and the
+filter/projection pushes column pruning to the parquet reader.
+
+Patterns are written in the common subset of Java regex (Spark) and RE2
+(DuckDB oracle): character classes, bounded repetition, and word
+boundaries only — no lookaround or backreferences — so both engines match
+identically. Counts are computed per pattern on the ORIGINAL text;
+redaction is applied sequentially (emails first, since an address may
+embed a digit run).
+
+The synthetic documents corpus contains no real PII, so the oracle row
+for every doc reports zero hits and an unchanged-text hash — the unit
+test in tests/test_privacy.py exercises real matches on hand-built rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.registry import query
+
+# Java-regex ∩ RE2 portable patterns
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+LONG_ID_RE = r"\b\d{6,}\b"  # SSN-/account-number-like digit runs
+
+REDACTIONS: tuple[tuple[str, str, str], ...] = (
+    ("email_hits", EMAIL_RE, "<EMAIL>"),
+    ("ipv4_hits", IPV4_RE, "<IP>"),
+    ("id_hits", LONG_ID_RE, "<ID>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Sequentially redact every configured PII pattern from `text`."""
+    out = text
+    for _, pat, repl in REDACTIONS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-pattern hit counts and a `redacted` text column."""
+    out = df
+    for alias, pat, _ in REDACTIONS:
+        # long, to match the oracle's len() type
+        out = out.withColumn(
+            alias, F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+    return out.withColumn("redacted", redact_pii(F.col(text_col)))
+
+
+@query(
+    "text_pii_redact",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS email_hits,
+           len(regexp_extract_all(text, '{IPV4_RE}')) AS ipv4_hits,
+           len(regexp_extract_all(text, '{LONG_ID_RE}')) AS id_hits,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+               '{LONG_ID_RE}', '<ID>', 'g')) AS redacted_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="PII detection + redaction: email/IPv4/long-digit-run counts and "
+    "the md5 of the sequentially-redacted text; pure codegen regexp "
+    "projection, zero shuffles",
+    tags=("text", "privacy"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        pii_scan(docs, "text")
+        .select(
+            "doc_id",
+            "email_hits",
+            "ipv4_hits",
+            "id_hits",
+            F.md5(F.col("redacted")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )

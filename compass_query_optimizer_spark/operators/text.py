@@ -465,6 +465,80 @@ def _curate_oracle() -> str:
     """
 
 
+@query(
+    "text_source_cap",
+    """
+    SELECT source, doc_id, n_chars, rn FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    ORDER BY source, rn
+    """,
+    doc="per-source document cap (keep top-3 by length, deterministic "
+    "tie-break): keyed row_number window — partitions by source, so at "
+    "100 TB work distributes across sources with no global sort; the "
+    "standard defense against one crawl domain dominating a corpus",
+    tags=("text", "curation"),
+)
+def text_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("source", "rn")
+    )
+
+
+@query(
+    "text_quality_percentile",
+    """
+    WITH stats AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.5) AS p50,
+             quantile_cont(n_chars, 0.9) AS p90
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           ROUND(ANY_VALUE(s.p50), 4) AS p50_chars,
+           ROUND(ANY_VALUE(s.p90), 4) AS p90_chars,
+           SUM(CASE WHEN d.n_chars > s.p90 THEN 1 ELSE 0 END) AS n_above_p90
+    FROM documents d JOIN stats s USING (lang)
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    doc="per-language exact length percentiles (continuous interpolation, "
+    "= DuckDB quantile_cont) + count of docs above p90: the two-pass "
+    "threshold shape — tiny stats aggregate broadcast back over one "
+    "corpus scan; at 100 TB swap F.percentile for percentile_approx "
+    "(same plan, sketch-mergeable) if exact order stats get hot",
+    tags=("text", "curation"),
+)
+def text_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    stats = docs.groupBy("lang").agg(
+        F.percentile("n_chars", 0.5).alias("p50"),
+        F.percentile("n_chars", 0.9).alias("p90"),
+    )
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(F.any_value("p50"), 4).alias("p50_chars"),
+            F.round(F.any_value("p90"), 4).alias("p90_chars"),
+            F.sum(
+                F.when(F.col("n_chars") > F.col("p90"), 1).otherwise(0)
+            ).alias("n_above_p90"),
+        )
+        .orderBy("lang")
+    )
+
+
 # patch in the generated langid oracle (needs Python-side string building)
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 

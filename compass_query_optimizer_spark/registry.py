@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import compass_query_optimizer_spark.operators.similarity  # noqa: F401
     import compass_query_optimizer_spark.operators.text  # noqa: F401
     import compass_query_optimizer_spark.operators.temporal  # noqa: F401
+    import compass_query_optimizer_spark.operators.privacy  # noqa: F401
     import compass_query_optimizer_spark.operators.curation  # noqa: F401
     import compass_query_optimizer_spark.operators.embeddings  # noqa: F401
     import compass_query_optimizer_spark.operators.multimodal  # noqa: F401
