@@ -52,6 +52,9 @@ HEADLINE = [
     "sim_ann_ivf",                # IVF-flat ANN (bounded-scan scale path)
     "dedup_embedding_lsh",        # multi-table hyperplane near-dup (shipped)
     "text_quality",               # text quality scoring
+    "text_pii_redact",            # PII regexp scan+redaction (pure codegen)
+    "temporal_asof_join",         # as-of join via keyed-window carry
+    "temporal_range_join",        # bucketed bounded range join
     "pipeline_curate",            # composed quality→dedup→sample pipeline
     "mm_frame_sample",            # multimodal frame sampling via Arrow
     "stream_window_rollup",       # Structured Streaming windowed rollup

@@ -1067,3 +1067,38 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_key")
     )
+
+
+@query(
+    "q30_pivot",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="PIVOT (beyond parity: no pivot in the reference's parser). Uses "
+    "Spark's native pivot with an EXPLICIT value list — omitting it would "
+    "add a driver-blocking distinct pass over 100 TB to discover columns, "
+    "and make the output schema data-dependent. Pivot lowers to one "
+    "hash-aggregate shuffle on the grouping key, same cost as the "
+    "conditional-aggregation SQL the oracle runs.",
+    tags=("aggregate", "beyond-parity"),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        events.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return piv.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    ).orderBy("user_bucket")
