@@ -92,3 +92,68 @@ def test_range_join_no_nested_loop(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# --- randomized differential: Spark plan vs Python brute force ----------
+
+import random
+
+import pytest
+
+
+def _random_events(seed: int, n: int):
+    rng = random.Random(seed)
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                f"u{rng.randrange(8)}",
+                base + dt.timedelta(seconds=rng.randrange(0, 3600), microseconds=rng.randrange(0, 1_000_000)),
+                float(rng.randrange(1000)),
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_asof_join_matches_bruteforce(spark, seed):
+    rows = _random_events(seed, 240)
+    left_rows = rows[: len(rows) // 2]
+    right_rows = rows[len(rows) // 2 :]
+    # unique (k, ts) on the right — dedupe keeping max id (the documented
+    # precondition; matches the registered query's max_by pre-aggregation)
+    best: dict = {}
+    for i, k, ts, v in right_rows:
+        if (k, ts) not in best or i > best[(k, ts)][0]:
+            best[(k, ts)] = (i, v)
+    right_rows = [(k, ts, v) for (k, ts), (i, v) in best.items()]
+
+    left = spark.createDataFrame(left_rows, "id int, k string, ts timestamp, lv double")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"])
+    got = {r["id"]: r["asof_v"] for r in out.collect()}
+
+    for i, k, ts, _ in left_rows:
+        cands = [(rts, v) for rk, rts, v in right_rows if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, ts)
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_range_join_matches_bruteforce(spark, seed):
+    rows = _random_events(seed, 240)
+    left_rows = rows[: len(rows) // 2]
+    right_rows = [(k, ts) for _, k, ts, _ in rows[len(rows) // 2 :]]
+    W = 120
+    left = spark.createDataFrame(left_rows, "id int, k string, ts timestamp, lv double")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp")
+    out = range_join_count(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", window_seconds=W, row_key="id"
+    )
+    got = {r["id"]: r["n_in_range"] for r in out.collect()}
+    for i, k, ts, _ in left_rows:
+        lo = ts - dt.timedelta(seconds=W)
+        want = sum(1 for rk, rts in right_rows if rk == k and lo <= rts < ts)
+        assert got[i] == want, (i, k, ts)
