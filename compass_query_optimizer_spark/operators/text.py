@@ -466,6 +466,55 @@ def _curate_oracle() -> str:
 
 
 @query(
+    "text_vocabulary",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    stats AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+      FROM toks GROUP BY 1
+    )
+    SELECT token, df, tf,
+           ROUND(LN((n_docs + 1.0) / (df + 1.0)) + 1.0, 4) AS idf
+    FROM stats, n
+    ORDER BY df DESC, token
+    LIMIT 100
+    """,
+    doc="vocabulary building: top-100 tokens by document frequency with "
+    "corpus term frequency and smoothed idf. Selection/ordering use only "
+    "the integer df/tf (idf is a derived display column), so results are "
+    "bit-stable across engines. Plan: explode → one combiner-friendly "
+    "aggregate → TakeOrdered(100) — the corpus-wide shuffle carries one "
+    "row per distinct token, not per occurrence",
+    tags=("text", "curation"),
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    stats = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "df",
+            "tf",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0, 4
+            ).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), "token")
+        .limit(100)
+    )
+
+
+@query(
     "text_source_cap",
     """
     SELECT source, doc_id, n_chars, rn FROM (
