@@ -62,9 +62,37 @@ HEADLINE = [
 
 
 def main() -> None:
+    """Accumulate results into one dict and print the single JSON line
+    from a finally block, with SIGTERM converted to SystemExit — an
+    unknown driver-side timeout mid-run truncates the data (marked
+    "truncated") but never loses the line."""
+    import signal
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    out: dict = {
+        "metric": "headline_queries_total_wall",
+        "value": 0.0,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "plan_quality": None,
+        "job_ab": None,
+    }
 
+    def _term(signum, frame):
+        out["truncated"] = "sigterm"
+        raise SystemExit(143)
+
+    signal.signal(signal.SIGTERM, _term)
+    try:
+        _run(out, sf_dir)
+    finally:
+        out["value"] = round(sum(out["queries"].values()), 3)
+        print(json.dumps(out))
+
+
+def _run(out: dict, sf_dir: str) -> None:
     from compass_query_optimizer_spark.session import get_spark
     from compass_query_optimizer_spark.registry import all_queries
 
@@ -79,7 +107,7 @@ def main() -> None:
     # concurrent load; the median is robust to one bad run without hiding a
     # real regression the way min can
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, float] = {}
+    timings = out["queries"]
     for name in HEADLINE:
         spec = specs[name]
         samples = []
@@ -94,7 +122,6 @@ def main() -> None:
     # plan-quality metric (BASELINE.md): Σ estimated intermediate sizes of
     # the sketch-chosen order vs the size-descending fallback on the
     # flagship join — ratio ≤ 1.0 means the optimizer's order is no worse
-    plan_quality = None
     try:
         from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
         from compass_query_optimizer_spark.plans.search import (
@@ -108,7 +135,7 @@ def main() -> None:
             fb_cost = order_cost(
                 plan.graph, plan.pushdown.stats, fallback_order(plan.pushdown.stats)
             )
-            plan_quality = {
+            out["plan_quality"] = {
                 "chosen_cost": round(plan.search.cost, 1),
                 "fallback_cost": round(fb_cost, 1),
                 "ratio": round(plan.search.cost / fb_cost, 4) if fb_cost else None,
@@ -125,7 +152,6 @@ def main() -> None:
     bench_deadline = time.monotonic() + float(
         os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1500")
     )
-    job_ab = None
     if os.environ.get("SPARK_GRAFT_JOB_AB", "1") != "0":
         try:
             from compass_query_optimizer_spark.plans.job_corpus import (
@@ -146,7 +172,7 @@ def main() -> None:
             # does the sketch-chosen order beat the size-descending one,
             # and by how much (geomean of cost ratios over compared plans)
             compared = [(c, fb) for _, c, fb in plan_rows if fb]
-            job_ab = {"scale": job_scale, "n_queries": 113,
+            job_ab = out["job_ab"] = {"scale": job_scale, "n_queries": 113,
                       "per_query_timeout": job_timeout,
                       "template_warm_sec": round(warm_s, 1),
                       "plan_cost_wins": sum(c <= fb for c, fb in compared),
@@ -188,21 +214,6 @@ def main() -> None:
                 assert len(vals) <= 1, f"count mismatch on {qid}"
         except Exception as e:  # bench must still emit its line
             print(f"  job_ab skipped: {e}", file=sys.stderr)
-
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "plan_quality": plan_quality,
-                "job_ab": job_ab,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":
