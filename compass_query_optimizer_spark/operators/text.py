@@ -465,6 +465,82 @@ def _curate_oracle() -> str:
     """
 
 
+# Target corpus mixture in tenths (de/en/es/fr/zh); sum = 10. The sampler
+# downsamples every language to the largest total that honors these shares.
+MIX_SHARES: dict[str, int] = {"de": 2, "en": 4, "es": 1, "fr": 2, "zh": 1}
+
+
+@query(
+    "text_mixture_sample",
+    None,  # generated below — see _mixture_oracle()
+    doc="dataset mixing: deterministically downsample each language to hit "
+    "a target mixture (en 40% / de+fr 20% / es+zh 10%). Feasible total and "
+    "per-lang keep-thresholds are computed with INTEGER division only "
+    "(float division could floor differently across engines), then docs "
+    "keep iff portable_hash % 10000 < threshold_bp. Two passes over the "
+    "corpus: a column-pruned count aggregate, then scan + broadcast-joined "
+    "threshold filter — no shuffle of document bodies",
+    tags=("text", "sampling"),
+)
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    shares = spark.createDataFrame(
+        sorted(MIX_SHARES.items()), "lang string, share int"
+    )
+    counts = (
+        docs.join(F.broadcast(shares), "lang")
+        .groupBy("lang", "share")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    # T10 = 10 × the largest corpus size every language can support at its
+    # share; threshold_bp = keep probability in basis points. Integer `div`
+    # throughout so Spark and DuckDB floor identically.
+    t10 = counts.agg(F.min(F.expr("(n_total * 10) div share")).alias("t10"))
+    thr = counts.crossJoin(F.broadcast(t10)).select(
+        "lang",
+        "n_total",
+        F.expr("(share * t10 * 1000) div n_total").alias("threshold_bp"),
+    )
+    bucket = spark_portable_hash(
+        F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))
+    ) % F.lit(10000)
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("n_total").alias("n_total"),
+            F.any_value("threshold_bp").alias("threshold_bp"),
+            F.count(F.when(bucket < F.col("threshold_bp"), 1)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _mixture_oracle() -> str:
+    h = duck_portable_hash("'mix-' || CAST(doc_id AS VARCHAR)")
+    rows = ", ".join(f"('{l}', {s})" for l, s in sorted(MIX_SHARES.items()))
+    return f"""
+    WITH shares(lang, share) AS (VALUES {rows}),
+    counts AS (
+      SELECT d.lang, ANY_VALUE(s.share) AS share, COUNT(*) AS n_total
+      FROM documents d JOIN shares s USING (lang) GROUP BY d.lang
+    ),
+    t AS (SELECT MIN((n_total * 10) // share) AS t10 FROM counts),
+    thr AS (
+      SELECT c.lang, c.n_total,
+             (c.share * t.t10 * 1000) // c.n_total AS threshold_bp
+      FROM counts c, t
+    )
+    SELECT d.lang,
+           ANY_VALUE(th.n_total) AS n_total,
+           ANY_VALUE(th.threshold_bp) AS threshold_bp,
+           COUNT(CASE WHEN {h} % 10000 < th.threshold_bp THEN 1 END) AS n_sampled
+    FROM documents d JOIN thr th ON d.lang = th.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
 @query(
     "text_vocabulary",
     r"""
@@ -592,6 +668,7 @@ def text_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["text_langid"].oracle = _langid_oracle()
+_registry._REGISTRY["text_mixture_sample"].oracle = _mixture_oracle()
 _registry._REGISTRY["text_stratified_sample"].oracle = _sample_oracle()
 _registry._REGISTRY["text_pack_sequences"].oracle = _pack_oracle()
 _registry._REGISTRY["pipeline_curate"].oracle = _curate_oracle()
