@@ -46,10 +46,15 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: for every left row, carry the `value_cols` of the
-    most recent right row with `right_ts <= left_ts` and equal `on` keys
-    (None when no such row exists).
+    """Left as-of join (pandas.merge_asof semantics): for every left row,
+    carry the `value_cols` of the nearest right row with equal `on` keys —
+    the most recent `right_ts <= left_ts` (direction="backward", default)
+    or the earliest `right_ts >= left_ts` (direction="forward"); None when
+    no such row exists. With `tolerance_seconds`, a match further than the
+    tolerance from `left_ts` is nulled out.
 
     The right side must be unique per (on, right_ts) — pre-aggregate with
     `max_by` if it is not; otherwise which duplicate wins is undefined in
@@ -58,15 +63,21 @@ def asof_join(
     Plan shape: one shuffle on `on`; window is keyed (never a global
     SinglePartition sort), so the operator scales with key cardinality.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     value_cols = list(value_cols)
     left_cols = [c for c in left.columns if c not in on and c != left_ts]
+    rts_type = right.schema[right_ts].dataType
 
-    # side=0 sorts before side=1 at equal ts → "at-or-before" is inclusive
+    # side=0 sorts before side=1 at equal ts → the match is inclusive of
+    # equal timestamps in both directions. "__rts" carries the matched
+    # right timestamp for the tolerance gate.
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__r___rts"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left_cols],
     )
@@ -74,12 +85,14 @@ def asof_join(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(rts_type).alias("__r___rts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(ts_order, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r.unionByName(l).select(
@@ -89,14 +102,25 @@ def asof_join(
         *[F.col(f"__l_{c}") for c in left_cols],
         *[
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
+            for c in ["__rts", *value_cols]
         ],
     )
+    if tolerance_seconds is None:
+        valid = F.lit(True)
+    else:
+        tol = F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        if direction == "backward":
+            valid = F.col("__asof___rts") >= F.col("__ts") - tol
+        else:
+            valid = F.col("__asof___rts") <= F.col("__ts") + tol
     return carried.filter(F.col("__side") == 1).select(
         *on,
         F.col("__ts").alias(left_ts),
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
-        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[
+            F.when(valid, F.col(f"__asof_{c}")).alias(f"asof_{c}")
+            for c in value_cols
+        ],
     )
 
 

@@ -157,3 +157,43 @@ def test_range_join_matches_bruteforce(spark, seed):
         lo = ts - dt.timedelta(seconds=W)
         want = sum(1 for rk, rts in right_rows if rk == k and lo <= rts < ts)
         assert got[i] == want, (i, k, ts)
+
+
+@pytest.mark.parametrize(
+    "seed,direction,tol",
+    [(7, "backward", None), (7, "forward", None),
+     (42, "backward", 300.0), (42, "forward", 300.0)],
+)
+def test_asof_direction_tolerance_bruteforce(spark, seed, direction, tol):
+    rows = _random_events(seed, 200)
+    left_rows = rows[: len(rows) // 2]
+    best: dict = {}
+    for i, k, ts, v in rows[len(rows) // 2 :]:
+        if (k, ts) not in best or i > best[(k, ts)][0]:
+            best[(k, ts)] = (i, v)
+    right_rows = [(k, ts, v) for (k, ts), (i, v) in best.items()]
+
+    left = spark.createDataFrame(left_rows, "id int, k string, ts timestamp, lv double")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["v"], direction=direction, tolerance_seconds=tol,
+    )
+    got = {r["id"]: r["asof_v"] for r in out.collect()}
+
+    for i, k, ts, _ in left_rows:
+        if direction == "backward":
+            cands = [
+                (rts, v) for rk, rts, v in right_rows
+                if rk == k and rts <= ts
+                and (tol is None or (ts - rts).total_seconds() <= tol)
+            ]
+            want = max(cands)[1] if cands else None
+        else:
+            cands = [
+                (rts, v) for rk, rts, v in right_rows
+                if rk == k and rts >= ts
+                and (tol is None or (rts - ts).total_seconds() <= tol)
+            ]
+            want = min(cands)[1] if cands else None
+        assert got[i] == want, (i, k, ts, direction, tol)
