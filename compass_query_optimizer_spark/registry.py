@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import compass_query_optimizer_spark.operators.text  # noqa: F401
     import compass_query_optimizer_spark.operators.temporal  # noqa: F401
     import compass_query_optimizer_spark.operators.privacy  # noqa: F401
+    import compass_query_optimizer_spark.operators.versioning  # noqa: F401
     import compass_query_optimizer_spark.operators.curation  # noqa: F401
     import compass_query_optimizer_spark.operators.embeddings  # noqa: F401
     import compass_query_optimizer_spark.operators.multimodal  # noqa: F401
