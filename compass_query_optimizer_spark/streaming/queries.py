@@ -276,3 +276,64 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
         .orderBy("event_type")
     )
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT p.user_id, COUNT(*) AS n_pairs
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query(
+    "stream_stream_join",
+    _STREAM_JOIN_ORACLE,
+    doc="stream-stream interval join: the purchase stream joined to the "
+    "click stream on user_id with clicks in the 10 minutes before each "
+    "purchase. Both sides carry watermarks and the join condition bounds "
+    "event-time distance, so Spark evicts buffered state past the "
+    "watermark — the requirement for unbounded stream-stream joins. "
+    "Batch-consistent with the equivalent interval join (the streaming "
+    "twin of temporal_range_join's semantics)",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    purchases = (
+        _events_stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts < p_ts"
+        ),
+    )
+    sink = f"ssjoin_{uuid.uuid4().hex[:12]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
