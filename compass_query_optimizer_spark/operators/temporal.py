@@ -228,6 +228,58 @@ def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temporal_asof_forward",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max_by(value, event_id) AS value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           round(c.value, 4) AS next_value,
+           c.ts AS next_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    ORDER BY p.event_id
+    """,
+    doc="forward as-of join: each purchase picks the user's EARLIEST click "
+    "at-or-after it (direction='forward'); same keyed-window plan with the "
+    "sort order flipped. Oracle is DuckDB's native ASOF with the "
+    "inequality reversed — an independent implementation",
+    tags=("temporal",),
+)
+def temporal_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks.select("user_id", "ts", "click_value", F.col("ts").alias("click_ts")),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_value", "click_ts"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("asof_click_value", 4).alias("next_value"),
+        F.col("asof_click_ts").alias("next_ts"),
+    ).orderBy("event_id")
+
+
+@query(
     "temporal_range_join",
     """
     SELECT p.event_id, p.user_id,

@@ -337,3 +337,59 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(brk) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM o GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "stream_session_window",
+    _SESSION_ORACLE,
+    doc="streaming session windows: session_window(ts, 30 min) per user — "
+    "Spark merges events closer than the gap into one session and the "
+    "state store tracks open sessions per key. Drained in complete mode "
+    "under availableNow (update mode is unsupported for session-window "
+    "aggregations), so the sink holds every final session; the oracle "
+    "rebuilds sessions with the lag/cumulative-break window idiom. "
+    "Session count and event count per user must match batch exactly",
+    tags=("streaming", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    src = _events_stream_source(spark, sf_dir)
+    sessions = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = f"sess_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
