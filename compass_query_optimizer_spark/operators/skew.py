@@ -50,3 +50,39 @@ def salted_join(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return big.join(rep, keys + [SALT_COL], how).drop(SALT_COL)
+
+
+def capped_topn(
+    df: DataFrame,
+    key: list[str] | str,
+    order_by: list,
+    n: int,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Skew-safe top-N per key: two-level row_number capping.
+
+    A plain `row_number() OVER (PARTITION BY key ...)` funnels every row of
+    a hot key through ONE task — the mega-source failure mode for
+    per-domain caps at 100 TB. Here rows are first capped to `n` within
+    (key, salt) — n_salt parallel tasks per key — then the ≤ n_salt·n
+    survivors per key are re-capped globally. Both windows are keyed; the
+    second sees at most n_salt·n rows per key regardless of input skew.
+
+    `order_by` are Column sort expressions (must be a total order, e.g. a
+    unique tie-break column last) — the same ordering drives both levels,
+    so the result is row-identical to the single-window top-n.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    w1 = Window.partitionBy(*keys, SALT_COL).orderBy(*order_by)
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(SALT_COL, salt.cast("int"))
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= n)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= n)
+        .drop(SALT_COL, "__rn1", "__rn")
+    )
