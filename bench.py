@@ -55,6 +55,11 @@ HEADLINE = [
     "text_pii_redact",            # PII regexp scan+redaction (pure codegen)
     "temporal_asof_join",         # as-of join via keyed-window carry
     "temporal_range_join",        # bucketed bounded range join
+    "text_vocabulary",            # token df/tf/idf aggregate + top-100
+    "text_mixture_sample",        # dataset-mixing downsampler
+    "events_funnel",              # 3-stage ordered funnel
+    "docs_snapshot_diff",         # fingerprint full-outer snapshot diff
+    "q30_pivot",                  # native pivot, explicit value list
     "pipeline_curate",            # composed quality→dedup→sample pipeline
     "mm_frame_sample",            # multimodal frame sampling via Arrow
     "stream_window_rollup",       # Structured Streaming windowed rollup
