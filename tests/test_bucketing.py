@@ -63,3 +63,39 @@ def test_partitioned_table_prunes(spark):
         assert got == [2]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_part")
+
+
+def test_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
+    """write_clustered must produce files whose [min,max] footer stats
+    along the clustering key are pairwise disjoint — the property that
+    lets parquet predicate pushdown skip files on range filters."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from compass_query_optimizer_spark.sources.bucketing import write_clustered
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "events_by_ts")
+    write_clustered(df, out, "ts", n_files=6)
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ts"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # row count preserved
+    assert spark.read.parquet(out).count() == df.count()
