@@ -48,6 +48,58 @@ def snapshot_diff(
 
 
 @query(
+    "dedup_incremental",
+    """
+    WITH old AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0
+    ),
+    new_docs AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      -- re-ingested replicas of standing-corpus docs: guaranteed dups
+      SELECT doc_id + 500000 AS doc_id, md5(text) AS fp
+      FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+    )
+    SELECT n.doc_id,
+           CASE WHEN o.fp IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM new_docs n LEFT JOIN (SELECT DISTINCT fp FROM old) o USING (fp)
+    ORDER BY n.doc_id
+    """,
+    doc="incremental ingest dedup: flag each newly-arrived doc whose "
+    "content hash already exists in the standing corpus (the arrival "
+    "batch includes re-ingested replicas, so both match outcomes are "
+    "exercised). The corpus side reduces to distinct fingerprints BEFORE "
+    "the join (one 32-byte row per unique doc), so at 100 TB the probe is "
+    "a semi-join against a hash index, never a body-vs-body comparison; "
+    "the batch twin of streaming dedup-on-ingest (stream_dedup_events)",
+    tags=("dedup", "versioning"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    old_fp = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    ).unionByName(
+        docs.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0)).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), F.md5("text").alias("fp")
+        )
+    )
+    return (
+        new_docs.join(old_fp, "fp", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__seen").isNotNull(), 1).otherwise(0).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "docs_snapshot_diff",
     """
     WITH v2 AS (
