@@ -25,3 +25,23 @@ __version__ = "0.1.0"
 
 from compass_query_optimizer_spark.session import get_spark  # noqa: F401
 from compass_query_optimizer_spark.catalog import load_tables  # noqa: F401
+
+# Public operator API: a reference user switching engines gets the query
+# surface via compass_sql / the registry, and the generic operators here.
+from compass_query_optimizer_spark.functions.dialect import compass_sql  # noqa: F401
+from compass_query_optimizer_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    range_join_count,
+)
+from compass_query_optimizer_spark.operators.skew import (  # noqa: F401
+    capped_topn,
+    salted_join,
+)
+from compass_query_optimizer_spark.operators.privacy import pii_scan, redact_pii  # noqa: F401
+from compass_query_optimizer_spark.operators.versioning import snapshot_diff  # noqa: F401
+from compass_query_optimizer_spark.sources.bucketing import (  # noqa: F401
+    colocated_join,
+    write_bucketed,
+    write_clustered,
+    write_partitioned,
+)

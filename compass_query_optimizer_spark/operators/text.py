@@ -664,6 +664,45 @@ def text_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_percentile_approx",
+    # approx sketch values legitimately differ per engine; the gate checks
+    # the exact percentile + the rank-tolerance bound holding (q11 pattern)
+    """
+    SELECT lang,
+           ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_exact,
+           TRUE AS within_bound
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="percentile_approx (Greenwald-Khanna sketch, accuracy=100): the "
+    "mergeable one-pass scale path text_quality_percentile documents. "
+    "Gate checks the exact p90 plus the approx landing within the exact "
+    "[p85, p95] value band (rank tolerance 0.05 >> the sketch's 1/100 "
+    "guarantee) — a broken sketch fails it, and both engines agree on "
+    "the exact side",
+    tags=("text", "approx"),
+)
+def text_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.percentile("n_chars", 0.9).alias("p90"),
+            F.percentile_approx("n_chars", 0.9, 100).alias("p90_approx"),
+            F.percentile("n_chars", 0.85).alias("lo"),
+            F.percentile("n_chars", 0.95).alias("hi"),
+        )
+        .select(
+            "lang",
+            F.round("p90", 4).alias("p90_exact"),
+            ((F.col("p90_approx") >= F.col("lo")) & (F.col("p90_approx") <= F.col("hi"))).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 # patch in the generated langid oracle (needs Python-side string building)
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
