@@ -147,10 +147,46 @@ def to_spark_sql(sql: str) -> str:
     return sql
 
 
-def compass_sql(spark: SparkSession, sql: str, sf_dir: str | None = None) -> DataFrame:
-    """Engine entry: run MapD-dialect SQL against the catalog tables."""
+_FPD_COUNT_RE = re.compile(
+    r"^\s*SELECT\s+COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?\s*\bFROM\b", re.I | re.S
+)
+
+
+def compass_sql(
+    spark: SparkSession,
+    sql: str,
+    sf_dir: str | None = None,
+    fpd: bool = False,
+) -> DataFrame:
+    """Engine entry: run MapD-dialect SQL against the catalog tables.
+
+    ``fpd=True`` is the reference's ``\\fpd`` session toggle
+    (mapd-core/README.md:56, RelAlgExecutor.cpp COMPASS path): a
+    JOB-shaped multi-join ``COUNT(*)`` is routed through the sketch
+    optimizer (push-down → order search → enforced left-deep chain);
+    any query the COMPASS parser rejects falls through to plain
+    Catalyst execution, exactly as the reference falls back to its
+    normal executor for non-eligible plans."""
     from compass_query_optimizer_spark.catalog import load_tables
 
     if sf_dir is not None:
         load_tables(spark, sf_dir, register=True)
+    if fpd:
+        m = _FPD_COUNT_RE.match(sql)
+        if m:
+            from compass_query_optimizer_spark.plans.graph import parse_join_query
+
+            try:
+                spec = parse_join_query(sql)
+            except ValueError:
+                spec = None
+            if spec is not None and len(spec.tables) >= 2:
+                from pyspark.sql import functions as F
+
+                from compass_query_optimizer_spark.plans.optimizer import (
+                    CompassOptimizer,
+                )
+
+                out = CompassOptimizer(spark).execute_count(spec, sf_dir)
+                return out.select(F.col("cnt").alias(m.group(1) or "cnt"))
     return spark.sql(to_spark_sql(sql))

@@ -241,3 +241,25 @@ def test_coverage_doc_names_exist_in_registry():
     cited = {c for c in cited if "_" in c} - gated
     missing = sorted(c for c in cited if c not in names)
     assert not missing, f"COVERAGE.md cites unknown queries: {missing}"
+
+
+def test_compass_sql_fpd_toggle(spark):
+    """compass_sql(fpd=True) mirrors the reference's \\fpd session toggle:
+    a JOB-shaped COUNT(*) routes through the COMPASS optimizer and returns
+    the same count as plain Catalyst; ineligible SQL falls through."""
+    from compass_query_optimizer_spark.functions.dialect import compass_sql
+    from compass_query_optimizer_spark.workload import FLAGSHIP_SQL
+    from tests.conftest import SF_DIR
+
+    plain = compass_sql(spark, FLAGSHIP_SQL, SF_DIR).collect()
+    fpd = compass_sql(spark, FLAGSHIP_SQL, SF_DIR, fpd=True).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in fpd]
+
+    # grouped query: not COMPASS-eligible → plain Catalyst, still works
+    grouped = compass_sql(
+        spark,
+        "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name",
+        SF_DIR,
+        fpd=True,
+    ).collect()
+    assert len(grouped) == 5
