@@ -376,6 +376,54 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_retention",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events
+    )
+    SELECT a.wk,
+           COUNT(*) AS n_active,
+           COUNT(CASE WHEN p.user_id IS NOT NULL THEN 1 END) AS n_retained
+    FROM active a LEFT JOIN active p
+      ON p.user_id = a.user_id AND p.wk = a.wk - INTERVAL 7 DAY
+    GROUP BY a.wk
+    ORDER BY a.wk
+    """,
+    doc="week-over-week retention: users active in week w who were also "
+    "active in w-1. The event stream reduces to DISTINCT (user, week) "
+    "before the self-join — at 100 TB the join input is user-week "
+    "cardinality, not event cardinality, and (user, week) uniqueness "
+    "makes the left join at-most-one-match",
+    tags=("temporal", "analytics"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    active = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("timestamp_ntz").alias("wk"),
+    ).distinct()
+    prev = active.select(
+        F.col("user_id").alias("p_user"), F.col("wk").alias("p_wk")
+    )
+    j = active.join(
+        prev,
+        (active["user_id"] == prev["p_user"])
+        & (prev["p_wk"] == active["wk"] - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    return (
+        j.groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("p_user").alias("n_retained"),
+        )
+        .orderBy("wk")
+    )
+
+
+@query(
     "events_json_extract",
     """
     SELECT event_type,
