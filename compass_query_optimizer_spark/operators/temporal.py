@@ -376,6 +376,38 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_variant_extract",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="semi-structured via Spark 4's native VARIANT type: parse_json "
+    "once into a binary variant, then typed variant_get extraction — the "
+    "shredded-access path that beats per-path string re-parsing when many "
+    "fields are read from the same JSON at 100 TB (get_json_object "
+    "re-parses the string per path; variant parses once). Same answers "
+    "as the string-path oracle",
+    tags=("temporal", "json", "variant"),
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    v = F.parse_json(F.col("props"))
+    return (
+        events.select("event_type", v.alias("pv"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.variant_get(F.col("pv"), "$.k", "long")).alias("sum_k"),
+            F.min(F.variant_get(F.col("pv"), "$.k", "int")).alias("min_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "events_retention",
     """
     WITH active AS (

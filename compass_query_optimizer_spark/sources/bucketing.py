@@ -77,3 +77,44 @@ def write_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key(cols, bits: int = 8):
+    """Interleave the low `bits` bits of 2+ non-negative integer columns
+    into one z-order (Morton) key — a pure codegen bit expression, no UDF.
+
+    Sorting by the key makes a contiguous key range map to a bounded
+    rectangle in the column space, so per-file min/max stats stay tight on
+    EVERY clustered dimension at once — multi-dimensional file skipping
+    from a single sort key. Callers quantize each column into [0, 2^bits)
+    first (e.g. `pmod(col, 2**bits)` or a rank bucket)."""
+    from pyspark.sql import functions as F
+
+    ncols = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    return z
+
+
+def write_clustered_zorder(
+    df: DataFrame,
+    path: str,
+    quantized_cols: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Persist ``df`` parquet files clustered along a z-order of
+    ``quantized_cols`` (each already an integer in [0, 2^bits)): the
+    multi-dimensional generalization of :func:`write_clustered`."""
+    z = zorder_key(quantized_cols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -99,3 +99,52 @@ def test_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
 
     # row count preserved
     assert spark.read.parquet(out).count() == df.count()
+
+
+def test_zorder_write_localizes_both_dimensions(spark, tmp_path):
+    """Z-order clustering on (user bucket, time bucket) must leave each
+    output file covering a small sub-rectangle of the 2-D space — the
+    property that lets min/max stats skip files on predicates over EITHER
+    dimension. Compare against the global ranges."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.sources.bucketing import (
+        write_clustered_zorder,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = ev.select(
+        F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("ub"),
+        F.pmod(F.col("event_id") * 37, F.lit(256)).cast("long").alias("tb"),
+        "event_id",
+    )
+    out = str(tmp_path / "events_z")
+    write_clustered_zorder(df, out, ["ub", "tb"], bits=8, n_files=8)
+
+    def col_range(md, name):
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for i in range(md.row_group(rg).num_columns):
+                c = md.row_group(rg).column(i)
+                if c.path_in_schema == name:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        return lo, hi
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 4
+    areas = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ulo, uhi = col_range(md, "ub")
+        tlo, thi = col_range(md, "tb")
+        areas.append((uhi - ulo + 1) * (thi - tlo + 1))
+    global_area = 256 * 256
+    # every file must cover a strict sub-rectangle; on average much smaller
+    assert max(areas) < global_area
+    assert sum(areas) / len(areas) < global_area / 2
+    assert spark.read.parquet(out).count() == df.count()
