@@ -184,3 +184,54 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         _row_checksum(F.col("qc")).alias("code_checksum"),
         F.round(err, 6).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+@query(
+    "emb_standardize",
+    """
+    WITH dims AS (
+      SELECT unnest(range(1, 1 + len(embedding))) AS i
+      FROM (SELECT embedding FROM embeddings LIMIT 1)
+    ),
+    means AS (
+      SELECT i, AVG(embedding[i]) AS m FROM embeddings, dims GROUP BY i
+    )
+    SELECT e.vec_id,
+           ROUND(SQRT(SUM((embedding[i] - m) * (embedding[i] - m))), 4)
+             AS centered_norm
+    FROM embeddings e, means
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id
+    """,
+    doc="embedding standardization (mean-centering): per-dimension means "
+    "via posexplode + one combiner-friendly aggregate (shuffle carries "
+    "dim-count rows, not vectors), folded into a single broadcast mean "
+    "array; each vector's centered norm then computes scan-side with "
+    "zip_with/aggregate higher-order functions — the second pass never "
+    "explodes rows. The preprocessing step before whitening/PCA in an "
+    "embedding pipeline",
+    tags=("embeddings",),
+)
+def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    means = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg("v").alias("m"))
+    )
+    mean_arr = means.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("means")
+    )
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("means"),
+        lambda v, m: (v - m) * (v - m),
+    )
+    norm = F.sqrt(F.aggregate(centered, F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        emb.crossJoin(F.broadcast(mean_arr))
+        .select("vec_id", F.round(norm, 4).alias("centered_norm"))
+        .orderBy("vec_id")
+    )
