@@ -194,3 +194,37 @@ def to_arrow(df: DataFrame):
     a query result as a pyarrow Table, zero-copy from Spark's Arrow
     collect path."""
     return df.toArrow()
+
+
+def copy_from_json(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+    max_reject: int = 100_000,
+) -> tuple[DataFrame, int]:
+    """COPY FROM for JSON-lines sources (beyond reference parity — the
+    reference imports delimited text only): same declared-schema +
+    PERMISSIVE + max_reject contract as :func:`copy_from`, same archive
+    and s3:// path resolution. Returns (rows, rejected_count)."""
+    path = resolve_import_paths(path)
+    read_schema = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    df = (
+        spark.read.schema(read_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+    )
+    df = df.cache()
+    rejected = df.filter(F.col(_CORRUPT).isNotNull()).count()
+    if rejected > max_reject:
+        raise ValueError(
+            f"COPY aborted: {rejected} rejected rows exceed max_reject={max_reject}"
+        )
+    return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT), rejected
+
+
+def copy_to_json(df: DataFrame, path: str) -> None:
+    """COPY (query) TO 'path' as JSON lines."""
+    df.write.mode("overwrite").json(path)

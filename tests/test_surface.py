@@ -263,3 +263,27 @@ def test_compass_sql_fpd_toggle(spark):
         fpd=True,
     ).collect()
     assert len(grouped) == 5
+
+
+def test_copy_json_roundtrip_and_reject(spark, tmp_path):
+    from compass_query_optimizer_spark.sources.copy_io import (
+        copy_from_json,
+        copy_to_json,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    src = spark.createDataFrame([(1, "a"), (2, None), (3, "c")], schema)
+    out = str(tmp_path / "json_out")
+    copy_to_json(src, out)
+    back, rejected = copy_from_json(spark, out, schema)
+    assert rejected == 0
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"k": 1, "v": "ok"}\n{not json at all}\n{"k": "x"}\n')
+    good, rejected = copy_from_json(spark, str(bad), schema, max_reject=5)
+    assert rejected >= 1 and good.count() >= 1
+    with pytest.raises(ValueError, match="COPY aborted"):
+        copy_from_json(spark, str(bad), schema, max_reject=0)
