@@ -1102,3 +1102,39 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_bucket",
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
     ).orderBy("user_bucket")
+
+
+@query(
+    "q31_market_basket",
+    """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="market-basket co-occurrence (beyond parity): part pairs bought in "
+    "the same order, top pairs by support. The self-join keys on "
+    "l_orderkey, so pair generation is bounded by per-order basket size "
+    "(~O(k^2) for k items per order), never corpus-quadratic; the pair "
+    "aggregate map-side combines before the shuffle",
+    tags=("join", "beyond-parity", "analytics"),
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t["lineitem"].select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = t["lineitem"].select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (a["ok"] == b["ok"]) & (a["part_a"] < b["part_b"]))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
