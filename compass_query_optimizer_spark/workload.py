@@ -1138,3 +1138,67 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "q32_correlated_agg_subquery",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l1
+    WHERE l_quantity < (
+      SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+    )
+    """,
+    doc="correlated aggregate subquery (TPC-H Q17 shape): the per-part "
+    "average is correlated on l_partkey. Catalyst decorrelates it into a "
+    "per-part aggregate joined back — one keyed shuffle, never a "
+    "per-row subquery loop (the reference would reject the correlation; "
+    "beyond parity)",
+    tags=("subquery", "beyond-parity"),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q33_lateral_topn",
+    """
+    SELECT n.n_name AS nation, t.c_name, ROUND(t.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name
+      LIMIT 2
+    ) t
+    ORDER BY nation, acctbal DESC, t.c_name
+    """,
+    doc="LATERAL correlated derived table (beyond parity; Spark 4 native "
+    "LATERAL): top-2 customers per nation. Spark decorrelates the "
+    "LATERAL limit into a keyed window — per-key top-n, no per-row "
+    "re-execution",
+    tags=("join", "beyond-parity"),
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name, ROUND(t.c_acctbal, 2) AS acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 2
+        ) t
+        ORDER BY nation, acctbal DESC, t.c_name
+        """
+    )
