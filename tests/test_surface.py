@@ -287,3 +287,18 @@ def test_copy_json_roundtrip_and_reject(spark, tmp_path):
     assert rejected >= 1 and good.count() >= 1
     with pytest.raises(ValueError, match="COPY aborted"):
         copy_from_json(spark, str(bad), schema, max_reject=0)
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Corpus snapshots gain columns over time; mergeSchema=true unifies
+    old and new parquet footers at read time (missing columns null-fill) —
+    the schema-evolution posture for long-lived 100 TB tables."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(base + "/p=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(base + "/p=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) >= {"id", "v", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
