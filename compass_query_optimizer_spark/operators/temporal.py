@@ -482,3 +482,47 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_anomaly",
+    """
+    WITH stats AS (
+      SELECT user_id, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           ANY_VALUE(ROUND(s.mu, 4)) AS mu,
+           COUNT(CASE WHEN ABS(e.value - s.mu) > 2.5 * s.sigma THEN 1 END)
+             AS n_anomalies
+    FROM events e JOIN stats s USING (user_id)
+    WHERE s.n >= 3
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+    doc="per-key anomaly flagging: events beyond 2.5 sigma of the user's "
+    "own value distribution. Two passes — a combiner-friendly "
+    "mean/stddev aggregate (tiny result, broadcast back) then one scan "
+    "with the threshold test in codegen; the standard shape for outlier "
+    "screening over 100 TB of telemetry",
+    tags=("temporal", "analytics"),
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    stats = events.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        events.join(F.broadcast(stats.filter(F.col("n") >= 3)), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value(F.round("mu", 4)).alias("mu"),
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma"), 1)
+            ).alias("n_anomalies"),
+        )
+        .orderBy("user_id")
+    )

@@ -99,3 +99,57 @@ def stream_kafka_ingest(
         )
         .start()
     )
+
+
+def stream_upsert_ingest(
+    spark,
+    source_df,
+    sink_path: str,
+    key_cols: list[str],
+    n_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming keyed upsert via foreachBatch: each micro-batch is merged
+    into a bucket-partitioned parquet table — last write per key wins —
+    using dynamic partition overwrite, so only the buckets a batch touches
+    are rewritten (never the whole table).
+
+    Idempotence: replaying a batch produces the same table state (the
+    merge is deterministic in the batch contents, and overwrite replaces
+    rather than appends), which is what makes foreachBatch exactly-once
+    under Structured Streaming's at-least-once batch redelivery. At
+    100 TB, `n_buckets` bounds rewrite amplification: one batch touching
+    k keys rewrites at most min(k, n_buckets) buckets.
+    """
+    from pyspark.sql import functions as F
+
+    bucket_expr = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
+    def merge_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        incoming = batch_df.withColumn("__bucket", bucket_expr.cast("int"))
+        try:
+            existing = s.read.parquet(sink_path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            touched = [r["__bucket"] for r in incoming.select("__bucket").distinct().collect()]
+            keep = existing.filter(F.col("__bucket").isin(touched)).join(
+                incoming.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            merged = keep.unionByName(incoming)
+        else:
+            merged = incoming
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(sink_path)
+        )
+
+    return (
+        source_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir or f"{sink_path}_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

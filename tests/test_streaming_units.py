@@ -186,3 +186,38 @@ def test_batch_loader_micros_either_adjustment(spark, tmp_path, adjusted_utc):
     assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
     got = sorted(r.ts for r in df.select("ts").collect())
     assert got == sorted(r[1] for r in _ROWS)
+
+
+def test_stream_upsert_ingest_idempotent_merge(spark, tmp_path):
+    """foreachBatch keyed upsert: later batches overwrite earlier rows per
+    key, untouched buckets survive, and re-running the same drop produces
+    the same table (idempotent merge = exactly-once under redelivery)."""
+    from pyspark.sql import functions as F, types as T
+
+    from compass_query_optimizer_spark.streaming.ingest import stream_upsert_ingest
+
+    src_dir = tmp_path / "drops"
+    src_dir.mkdir()
+    sink = str(tmp_path / "state")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+
+    def run_drop(name, rows):
+        with open(src_dir / name, "w") as f:
+            f.write("k,v\n")
+            for k, v in rows:
+                f.write(f"{k},{v}\n")
+        stream = spark.readStream.schema(schema).option("header", True).csv(str(src_dir))
+        q = stream_upsert_ingest(spark, stream, sink, ["k"], n_buckets=4,
+                                 checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+    run_drop("b1.csv", [(1, "a"), (2, "b"), (3, "c")])
+    run_drop("b2.csv", [(2, "B2"), (4, "d")])  # update k=2, insert k=4
+
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(sink).select("k", "v").collect()
+    }
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
