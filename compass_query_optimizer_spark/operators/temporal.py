@@ -526,3 +526,45 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_windowed_topk",
+    """
+    SELECT hr, event_type, n, rn FROM (
+      SELECT hr, event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY hr ORDER BY n DESC, event_type
+             ) AS rn
+      FROM (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rn <= 2
+    ORDER BY hr, rn
+    """,
+    doc="top-k per time window (hourly top-2 event types): pre-aggregate "
+    "to (window, type) counts BEFORE ranking, so the window function "
+    "ranks at most |event types| rows per hour — the ranking input is "
+    "window-cardinality, never event-cardinality, and the rank window is "
+    "keyed by hour (no global sort)",
+    tags=("temporal", "analytics"),
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    counts = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hr"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("hr").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .orderBy("hr", "rn")
+    )
