@@ -711,3 +711,55 @@ _registry._REGISTRY["text_mixture_sample"].oracle = _mixture_oracle()
 _registry._REGISTRY["text_stratified_sample"].oracle = _sample_oracle()
 _registry._REGISTRY["text_pack_sequences"].oracle = _pack_oracle()
 _registry._REGISTRY["pipeline_curate"].oracle = _curate_oracle()
+
+
+@query(
+    "text_ngram_profile",
+    """
+    WITH grams AS (
+      SELECT d.lang, substr(lower(d.text), g.i, 3) AS tri
+      FROM documents d,
+           unnest(range(1, GREATEST(length(d.text) - 1, 1))) AS g(i)
+    ),
+    counts AS (
+      SELECT lang, tri, COUNT(*) AS cnt FROM grams
+      WHERE tri NOT LIKE '% %'
+      GROUP BY 1, 2
+    )
+    SELECT lang, tri, cnt, rn FROM (
+      SELECT lang, tri, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rn
+      FROM counts
+    ) WHERE rn <= 5
+    ORDER BY lang, rn
+    """,
+    doc="character-trigram language profiles: top-5 space-free trigrams "
+    "per language — the statistical foundation a production language "
+    "identifier trains on (vs. the stopword heuristic of text_langid). "
+    "The per-char explode feeds a combiner-friendly (lang, trigram) "
+    "aggregate, so the shuffle carries distinct-trigram cardinality, and "
+    "the rank window partitions by language",
+    tags=("text",),
+)
+def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 1, F.lit(1)))
+        ).alias("i"),
+        F.lower(F.col("text")).alias("lt"),
+    ).select("lang", F.substring(F.col("lt"), F.col("i"), 3).alias("tri"))
+    counts = (
+        grams.filter(~F.col("tri").contains(" "))
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tri")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("lang", "rn")
+    )
