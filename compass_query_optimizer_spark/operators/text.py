@@ -763,3 +763,41 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("lang", "rn")
     )
+
+
+@query(
+    "text_length_histogram",
+    """
+    SELECT CAST(length(bin(GREATEST(n_chars, 1))) - 1 AS INTEGER) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="log2-bucketed document-length histogram: the corpus-shape report "
+    "that drives truncation/packing decisions. One combiner-friendly "
+    "aggregate; bucket ids are small integers so the shuffle carries "
+    "~60 rows regardless of corpus size",
+    tags=("text", "analytics"),
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    # floor(log2(n)) as length(binary(n)) - 1: exact integer/string ops,
+    # immune to the float-log ulp drift that could flip buckets at exact
+    # powers of two between engines
+    bucket = (
+        F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1)))) - 1
+    ).cast("int")
+    return (
+        docs.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("log2_bucket")
+    )
