@@ -67,10 +67,17 @@ HEADLINE = [
 
 
 def main() -> None:
-    """Accumulate results into one dict and print the single JSON line
-    from a finally block, with SIGTERM converted to SystemExit — an
-    unknown driver-side timeout mid-run truncates the data (marked
-    "truncated") but never loses the line."""
+    """Accumulate results into one dict; on the way out (normal, error, or
+    SIGTERM→SystemExit) first mirror the JSON to a sidecar file, then tear
+    the JVM all the way down, and only THEN print the single JSON line.
+
+    Round 4 lost its entire bench record because the line was printed from
+    ``finally`` while the per-mode restarted JVMs were still alive: py4j /
+    executor shutdown stack traces landed AFTER the JSON and the driver
+    parsed null. The contract now is (a) the sidecar file always carries
+    the data regardless of stdout noise, and (b) the stdout JSON is the
+    absolute last bytes — emitted only after ``spark.stop()`` + py4j
+    gateway shutdown + waiting for the JVM child process to exit."""
     import signal
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,7 +101,55 @@ def main() -> None:
         _run(out, sf_dir)
     finally:
         out["value"] = round(sum(out["queries"].values()), 3)
-        print(json.dumps(out))
+        line = json.dumps(out)
+        _write_sidecar(line)
+        _shutdown_jvm()
+        sys.stderr.flush()
+        sys.stdout.write(line + "\n")
+        sys.stdout.flush()
+
+
+def _write_sidecar(line: str) -> None:
+    """Persist the bench JSON to a file so a noisy stdout can never
+    destroy the round's evidence (SPARK_GRAFT_BENCH_OUT, default
+    bench_out.json next to this script)."""
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_out.json"),
+    )
+    try:
+        with open(path, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"  sidecar write failed ({path}): {e}", file=sys.stderr)
+
+
+def _shutdown_jvm() -> None:
+    """Stop the active SparkContext, silence its logging, shut down the
+    py4j gateway, and wait for the JVM child to actually exit, so no JVM
+    shutdown noise can interleave after the final JSON line."""
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is not None:
+            try:
+                sc.setLogLevel("OFF")
+            except Exception:
+                pass
+            sc.stop()
+        gw = SparkContext._gateway
+        if gw is not None:
+            proc = getattr(gw, "proc", None)
+            gw.shutdown()
+            if proc is not None:
+                try:
+                    proc.wait(timeout=30)
+                except Exception:
+                    pass
+    except Exception as e:
+        print(f"  jvm shutdown: {e}", file=sys.stderr)
 
 
 def _run(out: dict, sf_dir: str) -> None:
@@ -204,19 +259,35 @@ def _run(out: dict, sf_dir: str) -> None:
                 spark = get_spark(app_name=f"compass-bench-{mode}")
                 t0 = time.perf_counter()
                 rows = run_corpus(spark, mode=mode, scale=job_scale,
-                                  per_query_timeout=job_timeout)
-                results[mode] = dict(rows)
+                                  per_query_timeout=job_timeout,
+                                  with_timing=True)
+                results[mode] = {q: c for q, c, _ in rows}
                 job_ab[f"{mode}_sec"] = round(time.perf_counter() - t0, 1)
-                dnf = sorted(q for q, c in rows if c is None)
+                dnf = sorted(q for q, c, _ in rows if c is None)
                 job_ab[f"{mode}_dnf"] = len(dnf)
                 if dnf:
                     job_ab[f"{mode}_dnf_ids"] = dnf
+                # per-query wall rows make mode regressions attributable
+                # query-by-query, not just via totals; null sec == DNF
+                pq = job_ab.setdefault("per_query", {})
+                for q, c, s in rows:
+                    pq.setdefault(q, {})[mode] = s if c is not None else None
                 print(f"  job_ab {mode}: {job_ab[f'{mode}_sec']}s "
                       f"(dnf: {len(dnf)})", file=sys.stderr)
+            # the planner claim is ordered DNF sets: everything COMPASS
+            # fails to finish, plain Catalyst also fails to finish
+            dnf_sets = {m: {q for q, c in r.items() if c is None}
+                        for m, r in results.items()}
+            if "compass" in dnf_sets and "sparksql" in dnf_sets:
+                job_ab["compass_dnf_subset_of_sparksql"] = (
+                    dnf_sets["compass"] <= dnf_sets["sparksql"])
             # every planner that finished a query must agree on its COUNT
+            mismatches = []
             for qid in next(iter(results.values()), {}):
                 vals = {results[m][qid] for m in results} - {None}
-                assert len(vals) <= 1, f"count mismatch on {qid}"
+                if len(vals) > 1:
+                    mismatches.append(qid)
+            job_ab["count_mismatches"] = sorted(mismatches)
         except Exception as e:  # bench must still emit its line
             print(f"  job_ab skipped: {e}", file=sys.stderr)
 

@@ -86,3 +86,29 @@ def plane_signs(n_planes: int, dim: int, salt: str = "rhp") -> list[list[int]]:
             row.append(1 if h % 2 == 0 else -1)
         planes.append(row)
     return planes
+
+
+def auto_bits(n_rows: int, target_bucket: int, lo: int, hi: int) -> int:
+    """Plan-time LSH code width from corpus size: the smallest ``b`` whose
+    2^b buckets hold an expected <= ``target_bucket`` rows each, clamped to
+    [lo, hi].
+
+    A fixed code width cannot serve both a 10^4-row test fixture and a
+    10^9-row corpus — bucket population is N / 2^bits, so candidate volume
+    (and with it join fan-out) grows linearly with N unless bits track
+    log2(N). Both the Spark builder (via a plan-time count) and the DuckDB
+    oracle (via :func:`duck_auto_bits`, a scalar subquery over the same
+    table) evaluate this exact integer formula, so the differential gate
+    holds at every corpus size.
+    """
+    q = max(1, -(-n_rows // target_bucket))  # ceil(n / target), >= 1
+    return min(hi, max(lo, max(q - 1, 1).bit_length()))
+
+
+def duck_auto_bits(count_sql: str, target_bucket: int, lo: int, hi: int) -> str:
+    """SQL twin of :func:`auto_bits`; ``count_sql`` is a COUNT(*) scalar
+    subquery. bit_length(x) for x >= 1 == length(bin(x)) in DuckDB."""
+    q = f"GREATEST(CAST(({count_sql} + {target_bucket} - 1) // {target_bucket} AS BIGINT), 1)"
+    return (
+        f"LEAST({hi}, GREATEST({lo}, length(bin(GREATEST({q} - 1, 1)))))"
+    )

@@ -267,8 +267,8 @@ def _contamination_oracle() -> str:
     ),
     matched AS (
       SELECT c.doc_id, MIN(c.n_shingles) AS n_shingles,
-             SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
-                 AS n_matched
+             CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched
       FROM corpus c LEFT JOIN eval_shingles e ON c.shingle = e.shingle
       GROUP BY 1
     )

@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 from compass_query_optimizer_spark.catalog import load_tables, spread
 from compass_query_optimizer_spark.functions.hashing import (
     P31,
+    auto_bits,
     cw_params,
+    duck_auto_bits,
     duck_cw_hash,
     duck_portable_hash,
     spark_cw_hash,
@@ -232,13 +234,39 @@ def _minhash_oracle() -> str:
 # fatter buckets. BITS caps at 48: the portable token hash is 48-bit
 # (functions/hashing.py), so bit positions past 47 would be constant-zero
 # noise that widens the code without discriminating anything.
+#
+# Block width is AUTO-SIZED from the corpus count at plan time (env knobs
+# pin it): block_bits = smallest b with expected <= SIMHASH_TARGET_BUCKET
+# docs per bucket, clamped to [4, BITS/BLOCKS]. The BLOCKS buckets then key
+# on the LOW blocks*block_bits bits of the full-width fingerprint — the
+# pigeonhole guarantee survives partial coverage: hamming(full code) <=
+# BLOCKS-1 implies <= BLOCKS-1 diffs inside the covered region too, so at
+# least one covered block still matches. Only precision (bucket fatness)
+# varies with the width, never recall.
+_ENV_SIMHASH = bool(
+    os.environ.get("SPARK_GRAFT_SIMHASH_BITS")
+    or os.environ.get("SPARK_GRAFT_SIMHASH_BLOCKS")
+)
 SIMHASH_BITS = int(os.environ.get("SPARK_GRAFT_SIMHASH_BITS", "48"))
 SIMHASH_BLOCKS = int(os.environ.get("SPARK_GRAFT_SIMHASH_BLOCKS", "4"))
 assert 1 <= SIMHASH_BLOCKS <= SIMHASH_BITS <= 48, "simhash params out of range"
 assert SIMHASH_BITS % SIMHASH_BLOCKS == 0, "blocks must divide bits evenly"
-SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # fixed/maximum width
 SIMHASH_BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
 SIMHASH_MAXDIST = SIMHASH_BLOCKS - 1  # the pigeonhole-exact radius
+SIMHASH_TARGET_BUCKET = 2  # expected docs per block-bucket the width aims for
+SIMHASH_MIN_BLOCK_BITS = 4
+
+
+def simhash_block_bits(n_docs: int) -> int:
+    """Plan-time pigeonhole block width for a corpus of ``n_docs`` (env
+    knobs pin it; otherwise the shared auto_bits formula the oracle
+    mirrors via duck_auto_bits)."""
+    if _ENV_SIMHASH:
+        return SIMHASH_BLOCK_BITS
+    return auto_bits(
+        n_docs, SIMHASH_TARGET_BUCKET, SIMHASH_MIN_BLOCK_BITS, SIMHASH_BLOCK_BITS
+    )
 
 
 def simhash_codes(docs: DataFrame) -> DataFrame:
@@ -286,6 +314,9 @@ def simhash_codes(docs: DataFrame) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     codes = simhash_codes(t["documents"])
+    # plan-time block width from the corpus count (the sim_ann_ivf stride
+    # pattern); the oracle derives the same width from COUNT(*)
+    bb = simhash_block_bits(t["documents"].count())
     blocks = codes.select(
         "doc_id",
         "code",
@@ -295,8 +326,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "blk_key",
         F.expr(
-            f"shiftright(code, blk * {SIMHASH_BLOCK_BITS}) "
-            f"& CAST({SIMHASH_BLOCK_MASK} AS BIGINT)"
+            f"shiftright(code, blk * {bb}) "
+            f"& CAST({(1 << bb) - 1} AS BIGINT)"
         ),
     )
     a = blocks.select(
@@ -323,6 +354,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_oracle() -> str:
     h = duck_portable_hash("word")
+    if _ENV_SIMHASH:
+        bb = str(SIMHASH_BLOCK_BITS)
+    else:
+        bb = duck_auto_bits(
+            "(SELECT COUNT(*) FROM documents)",
+            SIMHASH_TARGET_BUCKET,
+            SIMHASH_MIN_BLOCK_BITS,
+            SIMHASH_BLOCK_BITS,
+        )
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
@@ -342,7 +382,7 @@ def _simhash_oracle() -> str:
     ),
     blocks AS (
       SELECT doc_id, code, k.k AS blk,
-             (code >> (k.k * {SIMHASH_BLOCK_BITS})) & {SIMHASH_BLOCK_MASK} AS blk_key
+             (code >> (k.k * ({bb}))) & ((CAST(1 AS BIGINT) << ({bb})) - 1) AS blk_key
       FROM codes, UNNEST(range(0, {SIMHASH_BLOCKS})) AS k(k)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -22,27 +22,46 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from compass_query_optimizer_spark.catalog import load_tables, spread
-from compass_query_optimizer_spark.functions.hashing import plane_signs
+from compass_query_optimizer_spark.functions.hashing import (
+    auto_bits,
+    duck_auto_bits,
+    plane_signs,
+)
 from compass_query_optimizer_spark.operators.dedup import QUANT, quantized
 from compass_query_optimizer_spark.registry import query
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
-# Code width for sim_ann_lsh, env-tunable (oracle SQL is generated from the
-# same constant, so parity holds at any setting):
-#
-#   SPARK_GRAFT_ANN_LSH_BITS   hyperplane count = log2(buckets), default 10
+# Code width for sim_ann_lsh: AUTO-SIZED from corpus count at plan time
+# (round-4 verdict: a fixed 10-bit default cannot track corpus size).
 #
 # Bucket population ~ N/2^bits at uniform spread; candidates per query scale
-# with it, so bits should track corpus size: 10 bits (1K buckets) suits
-# ~10^5-10^6 vectors, 16 bits ~10^7-10^8, 20+ bits at 10^9 (or switch to
-# multi-table dedup-style codes for recall — see dedup_embedding_lsh).
-# Each bit adds one ±1 plane dot (codegen arithmetic, no shuffle) — cost is
-# linear in bits, candidate volume shrinks geometrically.
-N_PLANES = int(os.environ.get("SPARK_GRAFT_ANN_LSH_BITS", "10"))
+# with it, so bits tracks log2(N): smallest width whose expected bucket
+# holds <= ANN_TARGET_BUCKET vectors, clamped to [6, 20] — 6 bits at 10^3
+# rows, ~9 at 10^4, ~15 at 10^6, 20 (the plane-table cap) at 10^9+. Each
+# bit adds one ±1 plane dot (codegen arithmetic, no shuffle) — cost is
+# linear in bits, candidate volume shrinks geometrically. The oracle
+# derives the SAME width via duck_auto_bits over COUNT(*), so parity holds
+# at every scale; the plane matrix is prefix-stable (plane i is salted by
+# i alone), so "first `bits` planes" means the same planes on both sides.
+#
+#   SPARK_GRAFT_ANN_LSH_BITS   optional override: pin a fixed width
+_ENV_ANN_BITS = os.environ.get("SPARK_GRAFT_ANN_LSH_BITS")
+ANN_LSH_MIN_BITS = 6
+ANN_LSH_MAX_BITS = 20
+ANN_TARGET_BUCKET = 32  # expected vectors per bucket the width aims for
+N_PLANES = int(_ENV_ANN_BITS) if _ENV_ANN_BITS else ANN_LSH_MAX_BITS
 assert 1 <= N_PLANES <= 62, "code must fit a BIGINT"
 EMBED_DIM = 64
 _PLANES = plane_signs(N_PLANES, EMBED_DIM)
+
+
+def ann_lsh_bits(n_rows: int) -> int:
+    """Plan-time LSH width for a corpus of ``n_rows`` vectors (env override
+    wins; otherwise the shared auto_bits formula the oracle mirrors)."""
+    if _ENV_ANN_BITS:
+        return N_PLANES
+    return auto_bits(n_rows, ANN_TARGET_BUCKET, ANN_LSH_MIN_BITS, ANN_LSH_MAX_BITS)
 
 
 def _quantized_with_norm(emb: DataFrame) -> DataFrame:
@@ -209,16 +228,23 @@ def _duck_lsh_code(qv_expr: str, planes=_PLANES) -> str:
 @query(
     "sim_ann_lsh",
     None,  # generated below
-    doc="LSH-bucketed ANN (scale path): 10-bit random-hyperplane code, "
-    "candidates = same-bucket vectors only, then exact cosine rank. "
-    "Equi-join on the code → shuffle is O(corpus), never quadratic",
+    doc="LSH-bucketed ANN (scale path): random-hyperplane code whose width "
+    "is auto-sized from the corpus count at plan time (log2-tracking, "
+    "clamped [6, 20]; SPARK_GRAFT_ANN_LSH_BITS pins it), candidates = "
+    "same-bucket vectors only, then exact cosine rank. Equi-join on the "
+    "code → shuffle is O(corpus), never quadratic",
     tags=("similarity", "lsh"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     base = _quantized_with_norm(t["embeddings"])
+    # plan-time width from a plain .count() (cheap metadata-ish scan, the
+    # sim_ann_ivf stride pattern); using the first `bits` planes equals
+    # masking the full-width code to its low bits, which is exactly what
+    # the oracle does SQL-side from COUNT(*)
+    bits = ann_lsh_bits(t["embeddings"].count())
     n = base.join(
-        _plane_dot_codes(base, [_PLANES]).select(
+        _plane_dot_codes(base, [_PLANES[:bits]]).select(
             "vec_id", F.col("c").alias("code")
         ),
         "vec_id",
@@ -378,7 +404,21 @@ def _ivf_oracle() -> str:
 
 
 def _lsh_oracle() -> str:
-    code = _duck_lsh_code("qv")
+    # full-width code masked to the auto width: the mask keeps the low
+    # `bits` planes, which is exactly the Spark side's "first bits planes"
+    if _ENV_ANN_BITS:
+        bits_expr = str(N_PLANES)
+    else:
+        bits_expr = duck_auto_bits(
+            "(SELECT COUNT(*) FROM embeddings)",
+            ANN_TARGET_BUCKET,
+            ANN_LSH_MIN_BITS,
+            ANN_LSH_MAX_BITS,
+        )
+    code = (
+        f"({_duck_lsh_code('qv')} & "
+        f"((CAST(1 AS BIGINT) << ({bits_expr})) - 1))"
+    )
     return f"""
     WITH q AS (
       SELECT vec_id,

@@ -379,7 +379,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_variant_extract",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k
     FROM events
     GROUP BY event_type

@@ -362,8 +362,9 @@ def _pack_oracle() -> str:
     ),
     placed AS (
       SELECT doc_id, pack_part, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY pack_part ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+             CAST(SUM(n_tokens) OVER (PARTITION BY pack_part ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_off
       FROM docs
     )
     SELECT doc_id, pack_part, n_tokens, start_off,
@@ -459,7 +460,8 @@ def _curate_oracle() -> str:
       SELECT q.* FROM quality q JOIN keep_first USING (doc_id)
       WHERE {h} % 100 < CASE lang {cases} ELSE {SAMPLE_DEFAULT_RATE} END
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
            ROUND(SUM(n_punct) * 1.0 / SUM(n_chars_txt), 6) AS punct_ratio
     FROM sampled GROUP BY lang ORDER BY lang
     """
@@ -632,7 +634,8 @@ def text_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.lang,
            ROUND(ANY_VALUE(s.p50), 4) AS p50_chars,
            ROUND(ANY_VALUE(s.p90), 4) AS p90_chars,
-           SUM(CASE WHEN d.n_chars > s.p90 THEN 1 ELSE 0 END) AS n_above_p90
+           CAST(SUM(CASE WHEN d.n_chars > s.p90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_p90
     FROM documents d JOIN stats s USING (lang)
     GROUP BY d.lang
     ORDER BY d.lang
@@ -753,7 +756,12 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.col("text")).alias("lt"),
     ).select("lang", F.substring(F.col("lt"), F.col("i"), 3).alias("tri"))
     counts = (
-        grams.filter(~F.col("tri").contains(" "))
+        # sequence() is end-INCLUSIVE while the oracle's range() is
+        # end-exclusive: position len-1 yields a trailing 2-char gram (and
+        # len<=2 docs yield sub-trigram grams) the oracle never generates —
+        # keep only full trigrams so both engines count the same universe
+        grams.filter(F.length("tri") == 3)
+        .filter(~F.col("tri").contains(" "))
         .groupBy("lang", "tri")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -770,7 +778,7 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(length(bin(GREATEST(n_chars, 1))) - 1 AS INTEGER) AS log2_bucket,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars
     FROM documents

@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,8 +80,12 @@ def run_corpus(
     tables: dict[str, DataFrame] | None = None,
     counts: dict[str, int] | None = None,
     per_query_timeout: float | None = None,
-) -> list[tuple[str, int | None]]:
-    """Execute (a subset of) the corpus; returns sorted (query_id, cnt).
+    with_timing: bool = False,
+) -> list[tuple]:
+    """Execute (a subset of) the corpus; returns sorted (query_id, cnt)
+    pairs, or (query_id, cnt, wall_sec) triples when ``with_timing`` —
+    the per-query rows make A/B regressions attributable query-by-query
+    instead of only via mode totals.
 
     mode='compass'  — sketch-chosen join order (the engine's planner)
     mode='fallback' — size-descending order (MapD default heuristic), same
@@ -132,9 +137,16 @@ def run_corpus(
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
-    def one(qid: str) -> tuple[str, int | None]:
+    def one(qid: str) -> tuple:
+        t0 = time.perf_counter()
+
+        def _ret(cnt: int | None) -> tuple:
+            if with_timing:
+                return qid, cnt, round(time.perf_counter() - t0, 2)
+            return qid, cnt
+
         if per_query_timeout is None:
-            return qid, run_one(qid)
+            return _ret(run_one(qid))
         # job-group cancellation: pinned-thread mode maps this Python
         # thread to one JVM thread, so the group tags only this query
         sc = spark.sparkContext
@@ -145,9 +157,9 @@ def run_corpus(
         )
         timer.start()
         try:
-            return qid, run_one(qid)
+            return _ret(run_one(qid))
         except Exception:
-            return qid, None  # cancelled (DNF) or failed under cancellation
+            return _ret(None)  # cancelled (DNF) or failed under cancellation
         finally:
             timer.cancel()
 

@@ -127,12 +127,14 @@ def stream_upsert_ingest(
 
     def merge_batch(batch_df, batch_id):
         s = batch_df.sparkSession
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         incoming = batch_df.withColumn("__bucket", bucket_expr.cast("int"))
-        try:
-            existing = s.read.parquet(sink_path)
-        except Exception:
-            existing = None
+        # existence must be decided by the filesystem, not by whether the
+        # read raised: treating ANY read exception as "no table yet" turns
+        # a transient failure on an EXISTING sink into a dynamic overwrite
+        # that silently drops the kept rows of every touched bucket
+        jpath = s._jvm.org.apache.hadoop.fs.Path(sink_path)
+        fs = jpath.getFileSystem(s._jsc.hadoopConfiguration())
+        existing = s.read.parquet(sink_path) if fs.exists(jpath) else None
         if existing is not None:
             touched = [r["__bucket"] for r in incoming.select("__bucket").distinct().collect()]
             keep = existing.filter(F.col("__bucket").isin(touched)).join(
@@ -142,7 +144,11 @@ def stream_upsert_ingest(
         else:
             merged = incoming
         (
+            # per-write dynamic overwrite: scoping the mode to this writer
+            # (not session conf) means concurrent writers on the shared
+            # session keep their own semantics
             merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket")
             .parquet(sink_path)
         )
