@@ -73,22 +73,49 @@ def stream_kafka_ingest(
     topic: str,
     sink_path: str,
     stream_params: StreamParams | None = None,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+    watermark: tuple[str, str] | None = None,
 ) -> StreamingQuery:
     """Kafka append ingest (Import/KafkaImporter.cpp analog): raw
     key/value bytes with Kafka metadata appended to a parquet table.
-    Requires the spark-sql-kafka connector on the cluster classpath."""
+    Requires the spark-sql-kafka connector on the cluster classpath.
+
+    Offset/late-data knobs (the consumer-group offset management the
+    reference's importer owns itself, expressed as source options):
+
+    - ``starting_offsets``: "earliest" / "latest" / per-partition JSON —
+      where a NEW query (no checkpoint yet) begins; restarts always resume
+      from the checkpoint.
+    - ``max_offsets_per_trigger``: per-batch record cap across partitions —
+      bounds batch size the way StreamParams.max_files_per_trigger does for
+      file drops (the importer's poll-batch analog).
+    - ``fail_on_data_loss``: fail vs. skip when offsets were aged out by
+      retention before being read.
+    - ``watermark``: optional (event_time_col, delay) applied to the loaded
+      stream (e.g. ("timestamp", "10 minutes"), Kafka's broker-append time)
+      so downstream stateful sinks can bound their state.
+    """
     sp = stream_params or StreamParams()
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
     try:
-        src = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic)
-            .load()
-        )
+        src = reader.load()
     except Exception as e:  # pragma: no cover - no kafka jar in test env
         raise NotImplementedError(
             "kafka source requires the spark-sql-kafka connector jar"
         ) from e
+    if watermark is not None:
+        col, delay = watermark
+        src = src.withWatermark(col, delay)
     return (
         src.writeStream.format("parquet")
         .outputMode("append")

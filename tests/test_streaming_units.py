@@ -84,6 +84,20 @@ def test_kafka_ingest_gate_and_call_shape(spark, tmp_path):
             topic="events",
             sink_path=str(tmp_path / "sink"),
         )
+    # offset/rate/loss/watermark options must flow through the reader
+    # builder BEFORE the gated load() — a typo'd option name or wrong value
+    # type would raise here instead of the documented gate
+    with pytest.raises(NotImplementedError, match="kafka"):
+        stream_kafka_ingest(
+            spark,
+            bootstrap_servers="localhost:9092",
+            topic="events",
+            sink_path=str(tmp_path / "sink2"),
+            starting_offsets='{"events":{"0":42}}',
+            max_offsets_per_trigger=10_000,
+            fail_on_data_loss=False,
+            watermark=("timestamp", "10 minutes"),
+        )
 
 
 def test_file_ingest_roundtrip(spark, tmp_path):
