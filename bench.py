@@ -63,6 +63,8 @@ HEADLINE = [
     "pipeline_curate",            # composed quality→dedup→sample pipeline
     "mm_frame_sample",            # multimodal frame sampling via Arrow
     "stream_window_rollup",       # Structured Streaming windowed rollup
+    "text_segment_dedup",         # C4/RefinedWeb-style sub-doc exact dedup
+    "dedup_semantic",             # SemDedup: cluster + in-cell cosine
 ]
 
 

@@ -553,8 +553,132 @@ def _dup_lsh_oracle() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDedup-style: cluster, then cosine-threshold inside cells)
+# ---------------------------------------------------------------------------
+# Near-dup pairs that share no n-grams (translations, templated rewrites)
+# only show up in embedding space; clustering first bounds the pairwise
+# comparison to same-cell vectors (Abbas et al., "SemDedup", arXiv
+# 2303.09540). Cell count scales with corpus size (ceil(n / target), min
+# IVF_K) so per-cell population — and with it the quadratic verify — stays
+# ~constant; the keep rule ("drop a vector iff a smaller-id same-cell
+# vector is >= threshold similar") is deterministic, so the DuckDB oracle
+# reproduces it exactly from the same stride centroids.
+SEM_CELL_TARGET = 128  # expected vectors per cell the cell count aims for
+
+
+@query(
+    "dedup_semantic",
+    None,  # generated below (shares the IVF oracle building blocks)
+    doc="SemDedup-style semantic dedup: deterministic stride centroids "
+    f"(>= {IVF_K} cells, ~{SEM_CELL_TARGET} vectors/cell), exact "
+    "quantized-L2 assignment against the broadcast centroid table, then "
+    "pairwise exact cosine ONLY inside each cell — a vector is dropped "
+    f"iff a smaller-id cell-mate is >= {COSINE_DUP_THRESHOLD} similar. "
+    "Cells bound the quadratic term to cell_size^2 per cell at any "
+    "corpus size",
+    tags=("dedup", "embedding", "semantic"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n = _quantized_with_norm(t["embeddings"]).localCheckpoint()
+    cnt = t["embeddings"].count()
+    k = max(IVF_K, (cnt + SEM_CELL_TARGET - 1) // SEM_CELL_TARGET)
+    stride = max(1, (cnt + k - 1) // k)
+    cents = n.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    cells = (
+        n.join(F.broadcast(cents), how="cross")
+        .select("vec_id", "qv", "nrm2", "cid", d2.alias("d2"))
+        .withColumn("crk", F.row_number().over(w_cell))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "qv", "nrm2", "cid")
+    )
+    a = cells.select(
+        F.col("vec_id").alias("va"), F.col("qv").alias("qa"),
+        F.col("nrm2").alias("na"), "cid",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vb"), F.col("qv").alias("qb"),
+        F.col("nrm2").alias("nb"), "cid",
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("vb") < F.col("va"))
+        .withColumn(
+            "cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("hit", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            F.col("hit").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
+    ),
+    params AS (
+      SELECT GREATEST(1, (cnt + k - 1) // k) AS stride
+      FROM (SELECT COUNT(*) AS cnt,
+                   GREATEST({IVF_K}, (COUNT(*) + {SEM_CELL_TARGET} - 1)
+                            // {SEM_CELL_TARGET}) AS k
+            FROM embeddings)
+    ),
+    cents AS (
+      SELECT vec_id AS cid, qv AS cv FROM n, params WHERE vec_id % stride = 0
+    ),
+    dists AS (
+      SELECT n.vec_id, n.qv, n.nrm2, c.cid,
+             list_sum(list_transform(range(1, len(n.qv) + 1),
+                                     i -> (n.qv[i] - c.cv[i]) * (n.qv[i] - c.cv[i]))) AS d2
+      FROM n CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, qv, nrm2, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
+        FROM dists
+      ) WHERE crk = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM cells a JOIN cells b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
+              / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE)))
+            >= {COSINE_DUP_THRESHOLD}
+    )
+    SELECT c.vec_id, c.cid AS cell, (d.vec_id IS NULL) AS kept
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    ORDER BY c.vec_id
+    """
+
+
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["sim_ann_lsh"].oracle = _lsh_oracle()
 _registry._REGISTRY["sim_ann_ivf"].oracle = _ivf_oracle()
 _registry._REGISTRY["dedup_embedding_lsh"].oracle = _dup_lsh_oracle()
+_registry._REGISTRY["dedup_semantic"].oracle = _semantic_oracle()

@@ -809,3 +809,162 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# segment-level exact dedup (line/paragraph dedup à la C4/RefinedWeb)
+# ---------------------------------------------------------------------------
+# Sub-document exact dedup: boilerplate repeats ACROSS documents (headers,
+# license blocks, navigation chrome) that whole-document fingerprints can't
+# see. Production pipelines dedup at line/paragraph granularity (C4 drops
+# repeated lines; RefinedWeb/Dolma run exact substring dedup); the synthetic
+# corpus has no newlines, so the segment unit here is a fixed window of
+# SEGMENT_LEN whitespace tokens — same plan shape, different splitter.
+SEGMENT_LEN = 20
+
+
+@query(
+    "text_segment_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, g.i AS seg_idx,
+             array_to_string(list_slice(t, g.i * {SEGMENT_LEN} + 1,
+                                        g.i * {SEGMENT_LEN} + {SEGMENT_LEN}),
+                             ' ') AS seg
+      FROM toks,
+           unnest(range(0, GREATEST((len(t) + {SEGMENT_LEN} - 1)
+                                    // {SEGMENT_LEN}, 1))) AS g(i)
+    ),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS kept_frac
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=f"segment-level exact dedup: each document is cut into "
+    f"{SEGMENT_LEN}-token windows, a segment survives only at its first "
+    "corpus-wide occurrence ((doc_id, seg_idx) order), and each document "
+    "reports how much of it survives. One shuffle keyed on the segment "
+    "md5 (the row_number window), one on doc_id for the rollup; the "
+    "segment universe, not the corpus, bounds state — this is the "
+    "line-dedup shape of C4/RefinedWeb with a token-window splitter",
+    tags=("text", "dedup", "curation"),
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = _tokens(F.col("text"))
+    # ceil(len/SEG) segments, at least one (sequence(0,-1) would descend)
+    n_segs = F.greatest(
+        (F.size(toks) + F.lit(SEGMENT_LEN - 1)) / F.lit(SEGMENT_LEN), F.lit(1)
+    ).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * SEGMENT_LEN + 1, SEGMENT_LEN), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "seg_idx")
+    return (
+        segs.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.round(
+                F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (Zipf report)
+# ---------------------------------------------------------------------------
+ZIPF_KS = (10, 100, 1000)  # vocabulary sizes the coverage curve reports
+
+
+@query(
+    "text_zipf_coverage",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1),
+    total AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tf FROM counts),
+    ranked AS (
+      SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rn
+      FROM counts
+    )
+    SELECT k,
+           CAST(SUM(CASE WHEN rn <= k THEN tf ELSE 0 END) AS BIGINT)
+               AS top_tf_sum,
+           ANY_VALUE(total_tf) AS total_tf,
+           ROUND(SUM(CASE WHEN rn <= k THEN tf ELSE 0 END) * 1.0
+                 / ANY_VALUE(total_tf), 6) AS coverage
+    FROM ranked, (VALUES {', '.join(f'({k})' for k in ZIPF_KS)}) AS ks(k), total
+    WHERE rn <= {max(ZIPF_KS)}
+    GROUP BY k ORDER BY k
+    """,
+    doc="vocabulary coverage curve: what fraction of all token "
+    f"occurrences the top-k tokens cover, for k in {ZIPF_KS} — the report "
+    "that sizes a tokenizer vocabulary. Plan: one combiner aggregate to "
+    "(token, tf) rows, TakeOrdered(max k) to a bounded candidate set, "
+    "rank + coverage over those ≤1000 rows (bounded by construction, so "
+    "the single-partition window is safe), one scalar total broadcast",
+    tags=("text", "curation"),
+)
+def text_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    total = counts.agg(F.sum("tf").alias("total_tf"))
+    # TakeOrderedAndProject keeps the global sort distributed; the window
+    # below ranks only the max(ZIPF_KS) surviving rows
+    top = counts.orderBy(F.col("tf").desc(), "token").limit(max(ZIPF_KS))
+    ranked = top.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("tf").desc(), "token"))
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in ZIPF_KS])).alias("k")
+    return (
+        ranked.select("tf", "rn", ks)
+        .groupBy("k")
+        .agg(F.sum(F.when(F.col("rn") <= F.col("k"), F.col("tf")).otherwise(0)).alias("top_tf_sum"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "top_tf_sum",
+            "total_tf",
+            F.round(F.col("top_tf_sum") * 1.0 / F.col("total_tf"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("k")
+    )

@@ -77,6 +77,10 @@ _SAMPLE_PRIORITY = [
     "text_contamination",
     "dedup_embedding_lsh",
     "stream_stream_join",
+    # -- new in round 5 --
+    "text_segment_dedup",
+    "text_zipf_coverage",
+    "dedup_semantic",
     # -- changed in round 5 (oracle typing / auto-sized widths) --
     "events_variant_extract",
     "dedup_simhash",
@@ -105,9 +109,6 @@ _SAMPLE_PRIORITY = [
     "stream_window_rollup",
     "stream_stateful_user_totals",
     "events_json_extract",
-    "temporal_asof_join",
-    "temporal_range_join",
-    "events_funnel",
     "job_corpus",
 ]
 

@@ -133,3 +133,34 @@ def test_stratified_sample_no_shuffle_before_filter(spark):
     plan = formatted_plan(spark, "text_stratified_sample")
     for node in ("Join", "MapInPandas", "BatchEvalPython"):
         assert node not in plan
+
+
+def test_segment_dedup_window_is_keyed_and_python_free(spark):
+    """Segment dedup shuffles on the segment hash (keyed window), never a
+    global window, and stays entirely JVM-side."""
+    plan = formatted_plan(spark, "text_segment_dedup")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+
+
+def test_zipf_coverage_window_is_bounded_by_limit(spark):
+    """The rank window runs AFTER TakeOrdered cut the candidate set to
+    max(ZIPF_KS) rows — a global window is only acceptable because the
+    limit bounds its input by construction."""
+    plan = formatted_plan(spark, "text_zipf_coverage")
+    assert "TakeOrderedAndProject" in plan
+    limit_pos = plan.index("TakeOrderedAndProject")
+    win_pos = plan.index("Window")
+    # formatted plans print downstream operators first: the window node
+    # must appear before (= consume) the TakeOrdered node
+    assert win_pos < limit_pos
+
+
+def test_semantic_dedup_centroids_broadcast(spark):
+    """Cell assignment broadcasts the tiny centroid table; the pairwise
+    verify is an equi-join on the cell id, never a cartesian product."""
+    plan = formatted_plan(spark, "dedup_semantic")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
