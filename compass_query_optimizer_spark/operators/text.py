@@ -968,3 +968,121 @@ def text_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates (tokenizer training support)
+# ---------------------------------------------------------------------------
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "text_bpe_top_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT t[g.i] || ' ' || t[g.i + 1] AS pair
+      FROM toks, unnest(range(1, GREATEST(len(t), 1))) AS g(i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS INTEGER)
+               AS rank
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+    doc=f"BPE-style merge candidates: the {BPE_TOP_PAIRS} most frequent "
+    "adjacent token pairs corpus-wide — exactly the statistic one "
+    "byte-pair-encoding merge step maximizes (Sennrich et al., ACL 2016), "
+    "at word granularity to match the synthetic corpus. Plan: per-doc "
+    "adjacent zip via a position transform (no self-join), one "
+    "combiner-friendly pair aggregate, TakeOrdered",
+    tags=("text", "tokenizer"),
+)
+def text_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = _tokens(F.col("text"))
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counted.orderBy(F.col("cnt").desc(), "pair").limit(BPE_TOP_PAIRS)
+    # rank over the already-bounded top rows (LIMIT precedes the window)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "pair")),
+    ).orderBy(F.col("cnt").desc(), "pair")
+
+
+# ---------------------------------------------------------------------------
+# language-ID evaluation (confusion matrix)
+# ---------------------------------------------------------------------------
+@query(
+    "text_langid_confusion",
+    None,  # generated below — reuses the langid lexicon SQL
+    doc="language-ID evaluation: confusion matrix of the stopword "
+    "classifier's prediction vs the labeled lang column, one row per "
+    "(labeled, predicted) cell with count and row-normalized rate — the "
+    "eval report that gates a classifier swap in a curation pipeline. "
+    "Plan: the langid argmax plus one tiny (lang x lang) aggregate",
+    tags=("text", "eval"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    labeled = docs.select("doc_id", F.col("lang").alias("labeled_lang"))
+    cells = (
+        labeled.join(pred, "doc_id")
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("labeled_lang")
+    return (
+        cells.withColumn("row_total", F.sum("n").over(w))
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("row_total"), 6).alias("rate"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    base = _langid_oracle().strip().rstrip()
+    # reuse the langid program as a subquery: same lexicon, same argmax
+    return f"""
+    WITH pred AS ({base}),
+    cells AS (
+      SELECT d.lang AS labeled_lang, p.predicted_lang, COUNT(*) AS n
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT labeled_lang, predicted_lang, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY labeled_lang), 6) AS rate
+    FROM cells
+    ORDER BY labeled_lang, predicted_lang
+    """
+
+
+from compass_query_optimizer_spark import registry as _registry2  # noqa: E402
+
+_registry2._REGISTRY["text_langid_confusion"].oracle = _langid_confusion_oracle()

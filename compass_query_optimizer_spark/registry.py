@@ -81,6 +81,8 @@ _SAMPLE_PRIORITY = [
     "text_segment_dedup",
     "text_zipf_coverage",
     "dedup_semantic",
+    "text_bpe_top_pairs",
+    "text_langid_confusion",
     # -- changed in round 5 (oracle typing / auto-sized widths) --
     "events_variant_extract",
     "dedup_simhash",
@@ -100,7 +102,6 @@ _SAMPLE_PRIORITY = [
     "text_tokens",
     "text_fingerprint",
     "text_pii_redact",
-    "dedup_incremental",
     "docs_snapshot_diff",
     "mm_frame_sample",
     "mm_payload_features",
@@ -108,7 +109,6 @@ _SAMPLE_PRIORITY = [
     "dialect_shim",
     "stream_window_rollup",
     "stream_stateful_user_totals",
-    "events_json_extract",
     "job_corpus",
 ]
 
