@@ -58,6 +58,57 @@ class CopyParams:
     threads: int = 0  # 0 = let Spark pick (task parallelism)
 
 
+@dataclass
+class S3Params:
+    """Per-query S3 credentials/endpoint (Import/Importer.h:76-78
+    s3_access_key / s3_secret_key / s3_region override the ambient
+    ~/.aws//env settings; Archive/S3Archive.cpp owns the client config).
+
+    Spark-first: the S3A connector reads these from the Hadoop
+    configuration, so "per-query override" maps to per-BUCKET scoped conf
+    keys (``fs.s3a.bucket.<bucket>.*``) when ``bucket`` is set — two COPYs
+    against different stores coexist in one session — or the global
+    ``fs.s3a.*`` keys otherwise. ``endpoint``/``path_style`` cover
+    S3-compatible object stores (MinIO, Ceph)."""
+
+    access_key: str | None = None
+    secret_key: str | None = None
+    session_token: str | None = None
+    region: str | None = None
+    endpoint: str | None = None
+    path_style: bool | None = None  # path-style addressing for non-AWS stores
+    bucket: str | None = None  # scope the settings to one bucket
+
+
+def apply_s3_params(spark: SparkSession, p: S3Params) -> list[str]:
+    """Write the S3A conf keys for ``p`` into the session's Hadoop conf;
+    returns the keys written (the unit tests assert exact placement — the
+    actual network path needs a real store, which this container lacks)."""
+    prefix = f"fs.s3a.bucket.{p.bucket}." if p.bucket else "fs.s3a."
+    kv = {
+        "access.key": p.access_key,
+        "secret.key": p.secret_key,
+        "session.token": p.session_token,
+        "endpoint.region": p.region,
+        "endpoint": p.endpoint,
+        "path.style.access": (
+            None if p.path_style is None else str(p.path_style).lower()
+        ),
+    }
+    if p.session_token:
+        # static keys + token need the temporary-credentials provider
+        kv["aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+        )
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    written = []
+    for k, v in kv.items():
+        if v is not None:
+            conf.set(prefix + k, v)
+            written.append(prefix + k)
+    return written
+
+
 _CORRUPT = "_corrupt_record"
 
 # container formats needing driver-side extraction (gz/bz2 of a SINGLE file
@@ -136,12 +187,17 @@ def copy_from(
     path: str | list[str],
     schema: T.StructType,
     params: CopyParams | None = None,
+    s3_params: S3Params | None = None,
 ) -> tuple[DataFrame, int]:
     """COPY FROM: load delimited file(s) at ``path`` (plain/gz/bz2 CSV, or
     zip/tar/7z archives of them, or s3:// URLs) into a DataFrame with
     the declared ``schema``. Returns (rows, rejected_count); raises when
-    rejects exceed ``max_reject`` like the reference's COPY abort."""
+    rejects exceed ``max_reject`` like the reference's COPY abort.
+    ``s3_params`` installs per-query S3 credentials/endpoint before the
+    read (Import/Importer.h s3_access_key/s3_secret_key/s3_region)."""
     p = params or CopyParams()
+    if s3_params is not None:
+        apply_s3_params(spark, s3_params)
     path = resolve_import_paths(path)
     read_schema = T.StructType(
         list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
