@@ -594,14 +594,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    w_cell = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    cells = (
+    # argmin via min(struct(d2, cid)) — map-side partial aggregation
+    # collapses the N×K assignment rows to one per vector BEFORE the
+    # shuffle (the emb_kmeans_iter pattern), where a per-vector rank
+    # window would shuffle all N×K rows first. min of (d2, cid) ==
+    # ORDER BY d2, cid LIMIT 1, which is what the oracle computes.
+    assigned = (
         n.join(F.broadcast(cents), how="cross")
-        .select("vec_id", "qv", "nrm2", "cid", d2.alias("d2"))
-        .withColumn("crk", F.row_number().over(w_cell))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "qv", "nrm2", "cid")
+        .select("vec_id", d2.alias("d2"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
     )
+    cells = n.join(assigned, "vec_id").select("vec_id", "qv", "nrm2", "cid")
     a = cells.select(
         F.col("vec_id").alias("va"), F.col("qv").alias("qa"),
         F.col("nrm2").alias("na"), "cid",

@@ -164,3 +164,10 @@ def test_semantic_dedup_centroids_broadcast(spark):
     plan = formatted_plan(spark, "dedup_semantic")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_argmin_combines_map_side(spark):
+    """Cell assignment must collapse the N×K distance rows map-side
+    (partial_min) rather than shuffling them all through a rank window."""
+    plan = formatted_plan(spark, "dedup_semantic")
+    assert "partial_min" in plan or "partial min" in plan.lower()
