@@ -45,6 +45,12 @@ class PushdownConfig:
     broadcast_rows: int = 1_000_000  # selective sides below this get a hint
     arrow_build: bool = True  # mapInPandas sketch build (vs JVM groupBy)
     parallel_tables: int = 8  # concurrent per-table sketch passes
+    # eager COUNT(*) aggregation (optimizer.build_count_join): inside an
+    # eager plan, only pay a re-aggregation shuffle on prefixes the sketch
+    # estimates at least this large — on a small prefix the collapse can't
+    # win back the exchange. (Per-table pre-aggregation always happens;
+    # it is the main lever and rides the join shuffle it replaces.)
+    eager_reagg_min_rows: float = 100_000.0
 
 
 @dataclass

@@ -21,6 +21,7 @@ from compass_query_optimizer_spark.plans.job_corpus import (
     families,
     fixture_counts,
     job_oracle_sql,
+    job_tables,
     load_corpus,
     run_corpus,
 )
@@ -91,3 +92,39 @@ def test_fixture_counts_metadata_only():
     counts = fixture_counts(paths)
     assert counts["cast_info"] >= 36000
     assert set(counts) == set(paths)
+
+
+def test_eager_count_matches_plain_and_oracle(spark):
+    """The eager-aggregation count plan (build_count_join) must compute the
+    same COUNT(*) as the raw-join count and DuckDB for a corpus sample —
+    the multiplicity algebra (SUM of per-key count products, re-aggregated
+    onto surviving keys) is an exact rewrite, not an approximation. The
+    sample includes residual-predicate and self-join queries."""
+    import duckdb
+
+    from compass_query_optimizer_spark.fixtures import ensure_job_fixture
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    corpus = load_corpus()
+    sample = ["1a", "6a", "11b", "17a", "29a", "33c"]
+    tables, counts = job_tables(spark, scale=1)
+    paths = ensure_job_fixture(scale=1)
+    con = duckdb.connect()
+    for n, p in paths.items():
+        con.execute(f"CREATE VIEW {n} AS SELECT * FROM '{p}'")
+    opt = CompassOptimizer(spark)
+    for qid in sample:
+        eager = int(
+            opt.execute_count(
+                corpus[qid], tables=tables, counts=counts, eager=True,
+                count_cache_tag="eager_gate_x1",
+            ).collect()[0]["cnt"]
+        )
+        plain = int(
+            opt.execute_count(
+                corpus[qid], tables=tables, counts=counts, eager=False,
+                count_cache_tag="eager_gate_x1",
+            ).collect()[0]["cnt"]
+        )
+        want = con.execute(corpus[qid]).fetchone()[0]
+        assert eager == plain == want, (qid, eager, plain, want)
