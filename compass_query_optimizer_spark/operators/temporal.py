@@ -569,3 +569,80 @@ def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .orderBy("hr", "rn")
     )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH gapped AS (
+      SELECT user_id, ts, event_id,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_sec
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN gap_sec IS NULL OR gap_sec > 1800 THEN 1 ELSE 0 END
+               AS is_new
+      FROM gapped
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             date_diff('second', MIN(ts), MAX(ts)) AS dur_sec
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT n_events,
+           COUNT(*) AS n_sessions,
+           ROUND(AVG(dur_sec), 2) AS avg_duration_sec
+    FROM per_session
+    GROUP BY n_events
+    ORDER BY n_events
+    """,
+    doc="batch sessionization (30-minute inactivity gap): per-user ordered "
+    "gap detection via lag, session ids via a running sum of session-start "
+    "flags, then per-session stats rolled into a session-length histogram. "
+    "The batch twin of stream_session_window. Every window is keyed by "
+    "user_id — the plan has no global (SinglePartition) window, so at "
+    "100 TB the sort/scan parallelism is user-hash parallelism; the "
+    "histogram output is bounded by the longest session length",
+    tags=("temporal", "sessionize"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # epoch-second floor on both engines: cast→long truncates, DuckDB's
+    # date_diff('second') counts second boundaries — identical for the
+    # positive epochs in the fixture
+    sec = F.col("ts").cast("timestamp_ltz").cast("long")
+    gapped = events.select(
+        "user_id", "ts", "event_id", sec.alias("sec")
+    ).withColumn("gap_sec", F.col("sec") - F.lag("sec").over(w))
+    marked = gapped.withColumn(
+        "is_new",
+        F.when(F.col("gap_sec").isNull() | (F.col("gap_sec") > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("dur_sec"),
+    )
+    return (
+        per_session.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("dur_sec"), 2).alias("avg_duration_sec"),
+        )
+        .orderBy("n_events")
+    )

@@ -1086,3 +1086,53 @@ def _langid_confusion_oracle() -> str:
 from compass_query_optimizer_spark import registry as _registry2  # noqa: E402
 
 _registry2._REGISTRY["text_langid_confusion"].oracle = _langid_confusion_oracle()
+
+
+@query(
+    "text_train_split",
+    f"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             {duck_portable_hash("'split-' || CAST(doc_id AS VARCHAR)")} % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 96 THEN 'train'
+                WHEN bucket < 98 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM assigned
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="deterministic train/val/test split: each doc hashes to a bucket "
+    "in [0,100) on its identity (portable md5 hash, bit-identical across "
+    "engines and re-runs), buckets map 96/2/2 to train/val/test. Hash-based "
+    "assignment is the only split that stays stable under corpus growth, "
+    "re-sharding, and distributed evaluation order — no global sort, no "
+    "sampling state; the plan is one scan + one small keyed aggregate, and "
+    "membership for any doc is recomputable anywhere from its id alone",
+    tags=("text", "split", "curation"),
+)
+def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        spark_portable_hash(
+            F.concat(F.lit("split-"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 96, "train").when(bucket < 98, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+        .orderBy("split", "lang")
+    )

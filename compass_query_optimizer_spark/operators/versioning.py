@@ -155,3 +155,108 @@ def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+@query(
+    "docs_scd2",
+    """
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    v3 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 83 = 0 THEN text || ' [rev3]' ELSE text END
+               AS text
+      FROM v2 WHERE doc_id % 101 <> 0
+    ),
+    snaps AS (
+      SELECT doc_id, 1 AS version, md5(text) AS fp FROM documents
+      UNION ALL SELECT doc_id, 2, md5(text) FROM v2
+      UNION ALL SELECT doc_id, 3, md5(text) FROM v3
+    ),
+    hist AS (
+      SELECT doc_id, version, fp,
+             lag(fp) OVER (PARTITION BY doc_id ORDER BY version) AS prev_fp,
+             MAX(version) OVER (PARTITION BY doc_id) AS last_v
+      FROM snaps
+    ),
+    scd AS (
+      SELECT doc_id, version AS valid_from,
+             COALESCE(lead(version) OVER (PARTITION BY doc_id
+                                          ORDER BY version) - 1,
+                      last_v) AS valid_to
+      FROM hist
+      WHERE prev_fp IS NULL OR fp <> prev_fp
+    )
+    SELECT valid_from, valid_to, COUNT(*) AS n_rows
+    FROM scd GROUP BY valid_from, valid_to
+    ORDER BY valid_from, valid_to
+    """,
+    doc="SCD2 history build: three deterministic corpus snapshots (drops + "
+    "revisions derived from doc_id residues) collapse into slowly-changing-"
+    "dimension rows with [valid_from, valid_to] spans — a row opens at each "
+    "fingerprint change and closes at the next change or the doc's last "
+    "surviving version (so deletions close spans early). Bodies reduce to "
+    "md5 scan-side; every window is doc_id-keyed over <= 3 rows, so the "
+    "shuffle carries (doc_id, version, 32B) per snapshot row at any scale",
+    tags=("versioning", "scd2"),
+)
+def docs_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    v2 = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    v3 = v2.filter(F.col("doc_id") % 101 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 83 == 0, F.concat(F.col("text"), F.lit(" [rev3]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    snaps = (
+        docs.select("doc_id", F.lit(1).alias("version"), F.md5("text").alias("fp"))
+        .unionByName(
+            v2.select("doc_id", F.lit(2).alias("version"), F.md5("text").alias("fp"))
+        )
+        .unionByName(
+            v3.select("doc_id", F.lit(3).alias("version"), F.md5("text").alias("fp"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("version")
+    hist = snaps.select(
+        "doc_id",
+        "version",
+        "fp",
+        F.lag("fp").over(w).alias("prev_fp"),
+        F.max("version").over(
+            Window.partitionBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("last_v"),
+    )
+    changes = hist.filter(
+        F.col("prev_fp").isNull() | (F.col("fp") != F.col("prev_fp"))
+    )
+    scd = changes.select(
+        "doc_id",
+        F.col("version").alias("valid_from"),
+        F.coalesce(
+            F.lead("version").over(w) - F.lit(1), F.col("last_v")
+        ).alias("valid_to"),
+    )
+    return (
+        scd.groupBy("valid_from", "valid_to")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("valid_from", "valid_to")
+    )

@@ -83,6 +83,9 @@ _SAMPLE_PRIORITY = [
     "dedup_semantic",
     "text_bpe_top_pairs",
     "text_langid_confusion",
+    "events_sessionize",
+    "docs_scd2",
+    "text_train_split",
     # -- changed in round 5 (oracle typing / auto-sized widths) --
     "events_variant_extract",
     "dedup_simhash",
@@ -99,13 +102,10 @@ _SAMPLE_PRIORITY = [
     "sim_ann_ivf",
     "text_langid",
     "text_quality",
-    "text_tokens",
-    "text_fingerprint",
     "text_pii_redact",
     "docs_snapshot_diff",
     "mm_frame_sample",
     "mm_payload_features",
-    "geo_functions",
     "dialect_shim",
     "stream_window_rollup",
     "stream_stateful_user_totals",

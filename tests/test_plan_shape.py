@@ -171,3 +171,32 @@ def test_semantic_dedup_argmin_combines_map_side(spark):
     (partial_min) rather than shuffling them all through a rank window."""
     plan = formatted_plan(spark, "dedup_semantic")
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_sessionize_windows_are_user_keyed(spark):
+    """Batch sessionization must parallelize by user: lag + running-sum
+    windows partition on user_id, never a global (SinglePartition) window."""
+    plan = formatted_plan(spark, "events_sessionize")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_scd2_windows_are_doc_keyed(spark):
+    """SCD2 history build: all three windows (lag/max/lead) partition on
+    doc_id, and snapshot bodies reduce to md5 before any exchange — the
+    shuffled payload is (doc_id, version, fp), never document text."""
+    plan = formatted_plan(spark, "docs_scd2")
+    assert "SinglePartition" not in plan
+    # text only appears below the md5 projection, not in any exchange
+    for line in plan.splitlines():
+        if "Exchange" in line and "text" in line:
+            raise AssertionError(f"document text crosses an exchange: {line}")
+
+
+def test_train_split_is_one_scan_one_agg(spark):
+    """Deterministic split assignment adds no join and no window — one
+    pruned scan, map-side hash arithmetic, one keyed aggregate."""
+    plan = formatted_plan(spark, "text_train_split")
+    assert "Join" not in plan and "Window" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read  # split hashes doc_id, never the body
