@@ -281,7 +281,11 @@ class CompassOptimizer:
             ))
         return "\n".join(lines)
 
-    def build_count_join(self, plan: CompassPlan) -> DataFrame:
+    def build_count_join(
+        self,
+        plan: CompassPlan,
+        group_by: list[tuple[str, str]] | None = None,
+    ) -> DataFrame:
         """COUNT(*) of the join via eager aggregation (Yan & Larson,
         "Eager Aggregation and Lazy Aggregation", VLDB 1995; the groupjoin
         in Moerkotte & Neumann, "Accelerating Queries with Group-By and
@@ -298,6 +302,13 @@ class CompassOptimizer:
         stays at key cardinality. COUNT(*) == SUM(Π multiplicities)
         exactly, including the empty-join → 0 case; the 113-query DuckDB
         differential gates this equivalence.
+
+        ``group_by``: optional [(alias, col), ...] — the grouped form
+        ``SELECT cols, COUNT(*) GROUP BY cols``. Group columns ride the
+        chain like residual columns (kept through every re-aggregation)
+        and the final aggregate keys on them, so a grouped count over a
+        many-way join still never materializes join rows. Output columns
+        are the bare column names plus ``cnt``.
         """
         import re as _re
 
@@ -310,6 +321,9 @@ class CompassOptimizer:
             needed[a].add(ca)
             needed[b].add(cb)
         residual_cols: set[tuple[str, str]] = set()
+        for al, col in group_by or ():
+            residual_cols.add((al, col))
+            needed[al].add(col)
         if spec.post_filters:
             aliases = "|".join(
                 _re.escape(a) for a in sorted(spec.tables, key=len, reverse=True)
@@ -395,6 +409,10 @@ class CompassOptimizer:
 
         for residual in spec.post_filters:
             joined = joined.filter(_rewrite_residual(residual, spec))
+        if group_by:
+            return joined.groupBy(
+                *[F.col(f"{al}__{col}").alias(col) for al, col in group_by]
+            ).agg(F.sum("__cnt").alias("cnt"))
         return joined.agg(
             F.coalesce(F.sum("__cnt"), F.lit(0).cast("long")).alias("cnt")
         )
@@ -408,12 +426,14 @@ class CompassOptimizer:
         use_fallback: bool = False,
         count_cache_tag: str | None = None,
         eager: bool | None = None,
+        group_by: list[tuple[str, str]] | None = None,
     ) -> DataFrame:
         """The reference's benchmark form: COUNT(*) of the join.
 
         ``eager`` selects the eager-aggregation count plan
         (:meth:`build_count_join`, default; SPARK_GRAFT_EAGER_COUNT=0
-        falls back to counting the raw join)."""
+        falls back to counting the raw join). ``group_by`` [(alias, col),
+        ...] computes the grouped form (bare column names + ``cnt``)."""
         import os
 
         plan = self.plan(
@@ -436,5 +456,10 @@ class CompassOptimizer:
             # algebra most.
             eager = os.environ.get("SPARK_GRAFT_EAGER_COUNT", "1") != "0"
         if eager:
-            return self.build_count_join(plan)
-        return self.build_join(plan).agg(F.count(F.lit(1)).alias("cnt"))
+            return self.build_count_join(plan, group_by=group_by)
+        joined = self.build_join(plan)
+        if group_by:
+            return joined.groupBy(
+                *[F.col(f"{al}__{col}").alias(col) for al, col in group_by]
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+        return joined.agg(F.count(F.lit(1)).alias("cnt"))

@@ -82,3 +82,46 @@ def compass_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
 
     return CompassOptimizer(spark).execute_count(SELF_JOIN_SQL, sf_dir)
+
+
+# Grouped form: COUNT(*) GROUP BY through the same eager-aggregation chain.
+# The count-form text below is what the planner parses (join graph + filters);
+# the GROUP BY columns are passed programmatically and ride the multiplicity
+# chain like residual columns — the oracle runs the real grouped SQL.
+GROUPED_COUNT_SQL = """
+SELECT COUNT(*) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+"""
+
+GROUPED_COUNT_ORACLE = """
+SELECT n.n_name, COUNT(*) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query(
+    "compass_grouped_count",
+    GROUPED_COUNT_ORACLE,
+    doc="grouped COUNT(*) over a COMPASS-planned 4-way join via eager "
+    "aggregation: group columns ride the multiplicity chain, so the "
+    "grouped count never materializes join rows — each table collapses "
+    "to (keys, multiplicity) and the final aggregate keys on the group "
+    "columns. Same answers as the plain GROUP BY SQL",
+    tags=("compass", "join", "grouped"),
+)
+def compass_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    return (
+        CompassOptimizer(spark)
+        .execute_count(GROUPED_COUNT_SQL, sf_dir, group_by=[("n", "n_name")])
+        .orderBy("n_name")
+    )

@@ -92,6 +92,7 @@ _SAMPLE_PRIORITY = [
     "sim_ann_lsh",
     # -- flagship + family representatives --
     "compass_count_multijoin",
+    "compass_grouped_count",
     "compass_residual_filter",
     "compass_self_join",
     "dedup_exact",
@@ -101,7 +102,6 @@ _SAMPLE_PRIORITY = [
     "sim_topk_bruteforce",
     "sim_ann_ivf",
     "text_langid",
-    "text_quality",
     "text_pii_redact",
     "docs_snapshot_diff",
     "mm_frame_sample",

@@ -128,3 +128,28 @@ def test_eager_count_matches_plain_and_oracle(spark):
         )
         want = con.execute(corpus[qid]).fetchone()[0]
         assert eager == plain == want, (qid, eager, plain, want)
+
+
+def test_grouped_eager_count_matches_raw_join(spark):
+    """Grouped eager counts must equal the raw-join GROUP BY, including
+    when the re-aggregation step fires mid-chain (forced with
+    eager_reagg_min_rows=0) — group columns must survive every shrink."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+    from compass_query_optimizer_spark.plans.queries import GROUPED_COUNT_SQL
+
+    sf = "/root/testdata/sf0.001"
+    opt = CompassOptimizer(spark, config=PushdownConfig(eager_reagg_min_rows=0.0))
+    eager = {
+        r["n_name"]: r["cnt"]
+        for r in opt.execute_count(
+            GROUPED_COUNT_SQL, sf, group_by=[("n", "n_name")], eager=True
+        ).collect()
+    }
+    plain = {
+        r["n_name"]: r["cnt"]
+        for r in opt.execute_count(
+            GROUPED_COUNT_SQL, sf, group_by=[("n", "n_name")], eager=False
+        ).collect()
+    }
+    assert eager and eager == plain
