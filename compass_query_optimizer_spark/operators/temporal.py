@@ -646,3 +646,47 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_events")
     )
+
+
+@query(
+    "events_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY event_type), 4)
+             AS p_transition
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, next_type
+    ORDER BY from_type, to_type
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: lead() pairs each event with its successor, counts roll "
+    "into (from, to) cells with row-normalized probabilities. The "
+    "sequence window is user-keyed (no SinglePartition), the matrix is "
+    "event-type² cells regardless of corpus size, and the normalizing "
+    "window runs over those few cells, not over events",
+    tags=("temporal", "analytics"),
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(norm), 4).alias("p_transition"),
+    ).orderBy("from_type", "to_type")

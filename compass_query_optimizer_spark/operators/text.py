@@ -1136,3 +1136,73 @@ def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "text_lm_perplexity",
+    """
+    WITH chars AS (
+      SELECT d.doc_id, d.lang, substr(lower(d.text), g.i, 1) AS ch
+      FROM documents d,
+           unnest(range(1, length(d.text) + 1)) AS g(i)
+    ),
+    cc AS (SELECT ch, COUNT(*) AS cnt FROM chars GROUP BY ch),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cc),
+    nll AS (
+      SELECT c.doc_id, c.lang, AVG(-ln(cc.cnt / tot.total)) AS nll
+      FROM chars c JOIN cc ON c.ch = cc.ch CROSS JOIN tot
+      GROUP BY c.doc_id, c.lang
+    )
+    SELECT lang,
+           CAST(LEAST(FLOOR(nll), 9) AS INTEGER) AS nll_bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(nll), 4) AS avg_nll
+    FROM nll
+    GROUP BY lang, nll_bucket
+    ORDER BY lang, nll_bucket
+    """,
+    doc="LM-based quality scoring (the CCNet/Gopher perplexity filter "
+    "shape): a char-unigram language model trained on the corpus itself, "
+    "each doc scored by average negative log-likelihood, docs bucketed by "
+    "floor(nll) into head/middle/tail quality bands. Scale shape: the "
+    "char explode feeds a ~100-row (char, count) aggregate that "
+    "broadcasts back; per-doc scores reduce map-side (combiner-friendly "
+    "avg keyed by doc), so no shuffle ever carries char-level rows; "
+    "bucket ids are small ints so the final aggregate is tiny. Floats "
+    "cross engines: p(c) divides exact integers, bucket edges are "
+    "integers (ulp-safe), group averages rounded to 4",
+    tags=("text", "quality", "lm"),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    chars = (
+        docs.select("doc_id", "lang", F.lower(F.col("text")).alias("lt"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.length("lt"))).alias("i"),
+            "lt",
+        )
+        .select(
+            "doc_id", "lang", F.substring(F.col("lt"), F.col("i"), 1).alias("ch")
+        )
+    )
+    cc = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cc.agg(F.sum("cnt").cast("long").alias("total"))
+    nll = (
+        chars.join(F.broadcast(cc), "ch")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("cnt") / F.col("total"))).alias("nll"))
+    )
+    return (
+        nll.groupBy(
+            "lang",
+            F.least(F.floor("nll"), F.lit(9)).cast("int").alias("nll_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+        )
+        .orderBy("lang", "nll_bucket")
+    )

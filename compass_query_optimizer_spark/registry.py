@@ -86,6 +86,8 @@ _SAMPLE_PRIORITY = [
     "events_sessionize",
     "docs_scd2",
     "text_train_split",
+    "text_lm_perplexity",
+    "events_transitions",
     # -- changed in round 5 (oracle typing / auto-sized widths) --
     "events_variant_extract",
     "dedup_simhash",
@@ -103,10 +105,8 @@ _SAMPLE_PRIORITY = [
     "sim_ann_ivf",
     "text_langid",
     "text_pii_redact",
-    "docs_snapshot_diff",
     "mm_frame_sample",
     "mm_payload_features",
-    "dialect_shim",
     "stream_window_rollup",
     "stream_stateful_user_totals",
     "job_corpus",

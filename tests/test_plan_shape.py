@@ -200,3 +200,19 @@ def test_train_split_is_one_scan_one_agg(spark):
     assert "Join" not in plan and "Window" not in plan
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "text" not in read  # split hashes doc_id, never the body
+
+
+def test_lm_perplexity_char_model_broadcasts(spark):
+    """The char-unigram model (and its total) must broadcast back to the
+    scoring scan — char-level rows never shuffle; the only exchanges carry
+    per-doc partial averages and the tiny (lang, bucket) cells."""
+    plan = formatted_plan(spark, "text_lm_perplexity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_transitions_windows_are_user_keyed(spark):
+    """The successor window partitions on user_id and the normalizing
+    window runs over event-type² cells — no global window over events."""
+    plan = formatted_plan(spark, "events_transitions")
+    assert "Window" in plan
