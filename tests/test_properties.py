@@ -110,3 +110,81 @@ def test_connected_components_matches_union_find(spark, edges):
     # min-merge union-find roots equal the component minima (the larger
     # root is always parented under the smaller), matching min-label CC
     assert got == _union_find_components(norm)
+
+
+# --- eager-aggregation COUNT(*) vs raw join vs DuckDB -------------------
+
+@st.composite
+def join_case(draw):
+    """A random 2–4 table chain-join spec over tiny integer tables with
+    small key domains (forcing heavy multiplicities, empty joins, and
+    skew), optionally with a per-table filter and a cross-alias residual."""
+    n_tables = draw(st.integers(2, 4))
+    tables = [
+        draw(
+            st.lists(
+                st.tuples(st.integers(0, 3), st.integers(0, 3)),
+                min_size=1,
+                max_size=12,
+            )
+        )
+        for _ in range(n_tables)
+    ]
+    edges = []
+    for t in range(1, n_tables):
+        prev = draw(st.integers(0, t - 1))
+        edges.append(
+            (prev, draw(st.sampled_from(["k1", "k2"])),
+             t, draw(st.sampled_from(["k1", "k2"])))
+        )
+    filt = draw(st.none() | st.integers(0, 3))
+    residual = draw(st.booleans())
+    return tables, edges, filt, residual
+
+
+@given(join_case())
+@settings(max_examples=12, deadline=None)
+def test_eager_count_equals_raw_and_duckdb(spark, case):
+    """The eager multiplicity-algebra count must equal the raw-join count
+    and DuckDB on arbitrary join graphs — including empty joins, repeated
+    keys, self-referencing chains, filters, and non-equi residuals."""
+    import duckdb
+    import pandas as pd
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+
+    tables, edges, filt, residual = case
+    n = len(tables)
+    names = [f"t{i}" for i in range(n)]
+    pdfs = {
+        nm: pd.DataFrame(rows, columns=["k1", "k2"])
+        for nm, rows in zip(names, tables)
+    }
+    sdfs = {nm: spark.createDataFrame(pdf) for nm, pdf in pdfs.items()}
+    counts = {nm: len(pdf) for nm, pdf in pdfs.items()}
+
+    froms = ", ".join(f"{nm} a{i}" for i, nm in enumerate(names))
+    conds = [f"a{p}.{ca} = a{t}.{cb}" for p, ca, t, cb in edges]
+    if filt is not None:
+        conds.append(f"a0.k2 <= {filt}")
+    if residual:
+        conds.append(f"a0.k1 <= a{n - 1}.k2")
+    sql = f"SELECT COUNT(*) AS cnt FROM {froms} WHERE {' AND '.join(conds)}"
+
+    # force the mid-chain re-aggregation to fire on every step so the
+    # shrink path is exercised, not just per-table pre-aggregation
+    opt = CompassOptimizer(spark, config=PushdownConfig(eager_reagg_min_rows=0.0))
+    eager = int(
+        opt.execute_count(sql, tables=sdfs, counts=counts, eager=True)
+        .collect()[0]["cnt"]
+    )
+    plain = int(
+        opt.execute_count(sql, tables=sdfs, counts=counts, eager=False)
+        .collect()[0]["cnt"]
+    )
+    con = duckdb.connect()
+    for nm, pdf in pdfs.items():
+        con.register(nm, pdf)
+    want = con.execute(sql).fetchone()[0]
+    assert eager == plain == want, (sql, eager, plain, want)
