@@ -1206,3 +1206,55 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "nll_bucket")
     )
+
+
+@query(
+    "text_chunk",
+    """
+    WITH chunks AS (
+      SELECT d.doc_id, length(substr(d.text, g.i, 256)) AS chunk_len
+      FROM documents d,
+           unnest(range(1, length(d.text) + 1, 192)) AS g(i)
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(chunk_len) AS BIGINT) AS chunk_chars
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT n_chunks, COUNT(*) AS n_docs,
+           CAST(SUM(chunk_chars) AS BIGINT) AS total_chunk_chars
+    FROM per_doc GROUP BY n_chunks ORDER BY n_chunks
+    """,
+    doc="overlapping document chunking (256-char windows, stride 192 — "
+    "the RAG/embedding preprocessing shape): chunk starts come from a "
+    "stepped sequence (Spark sequence() end-inclusive == DuckDB range() "
+    "end-exclusive on +1, both stepped), per-doc chunk counts roll into a "
+    "chunks-per-doc histogram. Chunking is a map-side explode — chunk "
+    "text never crosses an exchange; the shuffles carry per-doc counter "
+    "pairs and then histogram cells",
+    tags=("text", "chunking"),
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text"), F.lit(192))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.length(F.substring(F.col("text"), F.col("i"), 256)).alias("chunk_len"),
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("chunk_chars"),
+    )
+    return (
+        per_doc.groupBy("n_chunks")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chunk_chars").alias("total_chunk_chars"),
+        )
+        .orderBy("n_chunks")
+    )

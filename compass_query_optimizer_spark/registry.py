@@ -88,6 +88,7 @@ _SAMPLE_PRIORITY = [
     "text_train_split",
     "text_lm_perplexity",
     "events_transitions",
+    "text_chunk",
     # -- changed in round 5 (oracle typing / auto-sized widths) --
     "events_variant_extract",
     "dedup_simhash",
@@ -106,7 +107,6 @@ _SAMPLE_PRIORITY = [
     "text_langid",
     "text_pii_redact",
     "mm_frame_sample",
-    "mm_payload_features",
     "stream_window_rollup",
     "stream_stateful_user_totals",
     "job_corpus",
