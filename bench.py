@@ -65,6 +65,10 @@ HEADLINE = [
     "stream_window_rollup",       # Structured Streaming windowed rollup
     "text_segment_dedup",         # C4/RefinedWeb-style sub-doc exact dedup
     "dedup_semantic",             # SemDedup: cluster + in-cell cosine
+    "compass_grouped_count",      # grouped COUNT via the eager multiplicity chain
+    "text_lm_perplexity",         # char-LM perplexity quality bands
+    "events_sessionize",          # batch 30-min-gap sessionization
+    "text_chunk",                 # overlapping RAG chunking histogram
 ]
 
 

@@ -1174,7 +1174,11 @@ def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "lm"),
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
+    from compass_query_optimizer_spark.catalog import spread
+
+    # the char explode multiplies each doc into ~n_chars rows; a narrow
+    # single-split scan would run that on one core — widen first
+    docs = spread(load_tables(spark, sf_dir)["documents"])
     chars = (
         docs.select("doc_id", "lang", F.lower(F.col("text")).alias("lt"))
         .select(
