@@ -142,6 +142,10 @@ def to_spark_sql(sql: str) -> str:
     sql = _rewrite_calls(sql, "NOW", lambda a: "CURRENT_TIMESTAMP")
     # UNNEST(arr) → EXPLODE(arr)  (RelAlgTranslator.cpp:1016 → generator)
     sql = _rewrite_calls(sql, "UNNEST", lambda a: f"EXPLODE({a[0]})")
+    # LIKELY/UNLIKELY(cond) → (cond): selectivity hints are semantic
+    # no-ops (RelAlgTranslator.cpp:995-999 passthrough)
+    sql = _rewrite_calls(sql, "LIKELY", lambda a: f"({a[0]})")
+    sql = _rewrite_calls(sql, "UNLIKELY", lambda a: f"({a[0]})")
     # ILIKE / LIKE / REGEXP_LIKE / CHAR_LENGTH / LENGTH / EXTRACT /
     # DATE_TRUNC / math fns are native Spark SQL — passthrough.
     return sql

@@ -48,6 +48,12 @@ def test_dialect_unnest_and_quotes_survive():
     assert "'DATEADD(x)'" in out  # string literal untouched
 
 
+def test_dialect_likely_hints_are_noops():
+    # RelAlgTranslator.cpp:995-999: selectivity hints pass through
+    out = to_spark_sql("SELECT * FROM t WHERE LIKELY(a > 1) AND UNLIKELY(b = 2)")
+    assert out == "SELECT * FROM t WHERE (a > 1) AND (b = 2)"
+
+
 def test_dialect_executes(spark):
     rows = spark.sql(
         to_spark_sql(
