@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.catalog import load_tables, spread
 from compass_query_optimizer_spark.registry import query
 
 _TOKEN_RE = "[a-z0-9]+"
@@ -201,7 +201,7 @@ def _repetition_oracle() -> str:
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     is_eval = (F.col("doc_id") % EVAL_MOD) == 0
-    shingled = t["documents"].select(
+    shingled = spread(t["documents"]).select(
         "doc_id",
         F.array_distinct(_grams(_toks(F.col("text")), SHINGLE_N)).alias("shingles"),
     )

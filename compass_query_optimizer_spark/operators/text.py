@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.catalog import load_tables, spread
 from compass_query_optimizer_spark.functions.hashing import (
     P31,
     duck_portable_hash,
@@ -747,7 +747,7 @@ _registry._REGISTRY["pipeline_curate"].oracle = _curate_oracle()
 def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = spread(load_tables(spark, sf_dir)["documents"])
     grams = docs.select(
         "lang",
         F.explode(
@@ -1005,7 +1005,7 @@ BPE_TOP_PAIRS = 20
 def text_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = spread(load_tables(spark, sf_dir)["documents"])
     toks = _tokens(F.col("text"))
     pairs = docs.select(
         F.explode(
@@ -1174,8 +1174,6 @@ def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "lm"),
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from compass_query_optimizer_spark.catalog import spread
-
     # the char explode multiplies each doc into ~n_chars rows; a narrow
     # single-split scan would run that on one core — widen first
     docs = spread(load_tables(spark, sf_dir)["documents"])
