@@ -284,3 +284,49 @@ def copy_from_json(
 def copy_to_json(df: DataFrame, path: str) -> None:
     """COPY (query) TO 'path' as JSON lines."""
     df.write.mode("overwrite").json(path)
+
+
+def copy_from_orc(
+    spark: SparkSession, path: str | list[str], schema: T.StructType
+) -> DataFrame:
+    """COPY FROM for ORC sources (beyond reference parity — a second
+    columnar format besides parquet, native in Spark): declared-schema
+    read with footer validation like catalog.load_table; same s3:// path
+    resolution as :func:`copy_from`. Columnar formats are self-describing
+    so there is no PERMISSIVE/reject path — schema drift raises."""
+    path = resolve_import_paths(path)
+    # validate the declared schema against the file footer: every declared
+    # column must exist with the same type class (a declared SUBSET is
+    # fine — that is column pruning); name or type drift raises
+    footer = {
+        f.name: type(f.dataType).__name__ for f in spark.read.orc(path).schema
+    }
+    for f in schema.fields:
+        got = footer.get(f.name)
+        want = type(f.dataType).__name__
+        if got != want:
+            raise ValueError(
+                f"ORC schema drift on {f.name!r}: file has {got}, declared {want}"
+            )
+    return spark.read.schema(schema).orc(path)
+
+
+def copy_to_orc(df: DataFrame, path: str) -> None:
+    """COPY (query) TO 'path' as ORC."""
+    df.write.mode("overwrite").orc(path)
+
+
+def copy_to_avro(df: DataFrame, path: str) -> None:
+    """COPY TO for Avro: Spark ships the Avro core jars but not the
+    spark-avro datasource module in this distribution — gate honestly
+    (the same posture as the Kafka connector gate in streaming/ingest)."""
+    try:
+        df.write.mode("overwrite").format("avro").save(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        if "avro" in str(e).lower():
+            raise NotImplementedError(
+                "spark-avro datasource jar not present in this Spark "
+                "distribution; add org.apache.spark:spark-avro to use "
+                "Avro export"
+            ) from e
+        raise

@@ -308,3 +308,45 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(merged.columns) >= {"id", "v", "score"}
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+# --------------------------------------------------------------- orc / avro
+def test_copy_orc_roundtrip(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from compass_query_optimizer_spark.sources.copy_io import (
+        copy_from_orc,
+        copy_to_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, s string"
+    )
+    out = str(tmp_path / "orc_out")
+    copy_to_orc(df, out)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    back = copy_from_orc(spark, out, schema)
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [
+        (1, "a"), (2, "b"), (3, None),
+    ]
+    # a declared SUBSET is column pruning — allowed
+    sub = T.StructType([T.StructField("id", T.LongType())])
+    assert copy_from_orc(spark, out, sub).columns == ["id"]
+    # type drift raises instead of silently casting
+    bad = T.StructType([T.StructField("id", T.StringType())])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema drift"):
+        copy_from_orc(spark, out, bad)
+
+
+def test_copy_avro_is_gated(spark, tmp_path):
+    import pytest as _pytest
+
+    from compass_query_optimizer_spark.sources.copy_io import copy_to_avro
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        copy_to_avro(df, str(tmp_path / "avro_out"))
