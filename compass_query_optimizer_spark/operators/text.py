@@ -1260,3 +1260,97 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_chunks")
     )
+
+
+DSIR_BUCKETS = 256  # hashed char-bigram feature space
+
+
+@query(
+    "text_dsir_weights",
+    f"""
+    WITH grams AS (
+      SELECT d.doc_id, d.lang,
+             {duck_portable_hash("substr(lower(d.text), g.i, 2)")}
+               % {DSIR_BUCKETS} AS b
+      FROM documents d,
+           unnest(range(1, length(d.text))) AS g(i)
+    ),
+    tgt AS (SELECT b, COUNT(*) AS cnt FROM grams WHERE lang = 'en' GROUP BY b),
+    raw AS (SELECT b, COUNT(*) AS cnt FROM grams GROUP BY b),
+    tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM tgt),
+    rt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM raw),
+    w AS (
+      SELECT g.doc_id, g.lang,
+             SUM(ln((COALESCE(t.cnt, 0) + 1) * 1.0 / (tt.tot + {DSIR_BUCKETS}))
+               - ln((r.cnt + 1) * 1.0 / (rt.tot + {DSIR_BUCKETS}))) AS w
+      FROM grams g
+      LEFT JOIN tgt t USING (b)
+      JOIN raw r USING (b)
+      CROSS JOIN tt CROSS JOIN rt
+      GROUP BY g.doc_id, g.lang
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(w), 4) AS avg_weight,
+           ROUND(MIN(w), 2) AS min_weight,
+           ROUND(MAX(w), 2) AS max_weight
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+    doc="DSIR importance weights (Xie et al., 'Data Selection for Language "
+    "Models via Importance Resampling', NeurIPS 2023): hashed char-bigram "
+    "bag-of-ngrams features, add-1-smoothed unigram models for the target "
+    "(lang='en') and raw distributions, per-doc weight = log-likelihood "
+    "ratio — the score DSIR resamples by. Scale shape: both models are "
+    f"{DSIR_BUCKETS}-bucket aggregates broadcast back to the scoring "
+    "scan; per-doc sums reduce map-side; bigram rows never shuffle. "
+    "Smoothed probabilities divide exact integers, so both engines "
+    "compute identical log inputs",
+    tags=("text", "curation", "dsir"),
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    grams = (
+        docs.select("doc_id", "lang", F.lower(F.col("text")).alias("lt"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.length("lt") - 1)).alias("i"),
+            "lt",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                spark_portable_hash(F.substring(F.col("lt"), F.col("i"), 2))
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    tgt = grams.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("t_cnt")
+    )
+    raw = grams.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tt = tgt.agg(F.sum("t_cnt").cast("long").alias("t_tot"))
+    rt = raw.agg(F.sum("r_cnt").cast("long").alias("r_tot"))
+    term = F.log(
+        (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1)
+        * 1.0
+        / (F.col("t_tot") + DSIR_BUCKETS)
+    ) - F.log((F.col("r_cnt") + 1) * 1.0 / (F.col("r_tot") + DSIR_BUCKETS))
+    w = (
+        grams.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(term).alias("w"))
+    )
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("w"), 4).alias("avg_weight"),
+            F.round(F.min("w"), 2).alias("min_weight"),
+            F.round(F.max("w"), 2).alias("max_weight"),
+        )
+        .orderBy("lang")
+    )

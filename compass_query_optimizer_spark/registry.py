@@ -89,6 +89,7 @@ _SAMPLE_PRIORITY = [
     "text_lm_perplexity",
     "events_transitions",
     "text_chunk",
+    "text_dsir_weights",
     # -- changed in round 5 (oracle typing / auto-sized widths) --
     "events_variant_extract",
     "dedup_simhash",
@@ -106,7 +107,6 @@ _SAMPLE_PRIORITY = [
     "sim_ann_ivf",
     "text_langid",
     "text_pii_redact",
-    "mm_frame_sample",
     "stream_window_rollup",
     "stream_stateful_user_totals",
     "job_corpus",

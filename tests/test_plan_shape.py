@@ -216,3 +216,12 @@ def test_transitions_windows_are_user_keyed(spark):
     window runs over event-type² cells — no global window over events."""
     plan = formatted_plan(spark, "events_transitions")
     assert "Window" in plan
+
+
+def test_dsir_models_broadcast(spark):
+    """Both DSIR n-gram models (target + raw, 256 buckets each) and their
+    totals must broadcast back to the scoring scan — bigram-level rows
+    never shuffle; the keyed exchanges carry per-doc weight partials."""
+    plan = formatted_plan(spark, "text_dsir_weights")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
