@@ -235,3 +235,139 @@ def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round(norm, 4).alias("centered_norm"))
         .orderBy("vec_id")
     )
+
+
+# truncate-toward-zero integer division, identical in both engines (DuckDB
+# // floors, Spark div truncates — they differ on negatives, so both sides
+# spell out the sign-aware form)
+def _tzdiv(col, div):
+    neg = (-col).cast("long")
+    return (
+        F.when(col >= 0, (col / div).cast("long"))
+        .otherwise(-(neg / div).cast("long"))
+    )
+
+
+def _duck_tzdiv(expr: str, div: str) -> str:
+    return (
+        f"CASE WHEN ({expr}) >= 0 THEN ({expr}) // ({div}) "
+        f"ELSE -((-({expr})) // ({div})) END"
+    )
+
+
+# Self-normalizing stage scale: divide a stage vector by the power of ten
+# that caps its max |component| below 1e5. Data-adaptive (random-sign
+# cancellation makes fixed shifts either overflow or zero out), exact in
+# both engines (digit count of a BIGINT via its decimal string; POWER(10,
+# k) is an exact double for k <= 15).
+PCA_KEEP_DIGITS = 5
+
+
+def _stage_scale(col):
+    digits = F.length(F.greatest(F.abs(col), F.lit(1)).cast("string"))
+    return F.pow(
+        F.lit(10.0), F.greatest(digits - F.lit(PCA_KEEP_DIGITS), F.lit(0))
+    ).cast("long")
+
+
+def _duck_stage_scale(expr: str) -> str:
+    return (
+        f"CAST(POWER(10, GREATEST(length(CAST(GREATEST(ABS({expr}), 1) "
+        f"AS VARCHAR)) - {PCA_KEEP_DIGITS}, 0)) AS BIGINT)"
+    )
+
+
+@query(
+    "emb_pca_power",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, g.j, qv[g.j] AS qj
+      FROM q, unnest(range(1, len(qv) + 1)) AS g(j)
+    ),
+    d0 AS (
+      SELECT vec_id, CAST(SUM(qj) AS BIGINT) AS d0 FROM ex GROUP BY vec_id
+    ),
+    s1p AS (
+      SELECT j, CAST(SUM(e.qj * d.d0) AS BIGINT) AS s1p
+      FROM ex e JOIN d0 d USING (vec_id) GROUP BY j
+    ),
+    m1 AS (SELECT MAX(ABS(s1p)) AS m FROM s1p),
+    s1 AS (
+      SELECT j, {_duck_tzdiv("s1p", _duck_stage_scale("m1.m"))} AS s1
+      FROM s1p CROSS JOIN m1
+    ),
+    d1p AS (
+      SELECT e.vec_id, CAST(SUM(e.qj * s.s1) AS BIGINT) AS d1p
+      FROM ex e JOIN s1 s USING (j) GROUP BY e.vec_id
+    ),
+    m2 AS (SELECT MAX(ABS(d1p)) AS m FROM d1p),
+    d1 AS (
+      SELECT vec_id, {_duck_tzdiv("d1p", _duck_stage_scale("m2.m"))} AS d1
+      FROM d1p CROSS JOIN m2
+    ),
+    s2 AS (
+      SELECT j, CAST(SUM(e.qj * d.d1) AS BIGINT) AS s2
+      FROM ex e JOIN d1 d USING (vec_id) GROUP BY j
+    )
+    SELECT s1.j AS dim, s1.s1 AS power1, s2.s2 AS power2
+    FROM s1 JOIN s2 USING (j) ORDER BY dim
+    """,
+    doc="top principal direction via two power-iteration steps "
+    "(v_k+1 = X^T (X v_k), v_0 = 1): the canonical distributed "
+    "linear-algebra kernel under PCA/whitening/spectral methods. All "
+    "arithmetic is EXACT int64 — vectors quantized x1e4; between stages "
+    "each vector is downscaled by the data-adaptive power of ten that "
+    "caps components below 1e5 (digit-count of the max |component|), so "
+    "magnitudes stay bounded at any corpus size without zeroing out "
+    "under random-sign cancellation — both engines agree bit-for-bit, "
+    "no float tolerance. Scale shape: per-stage shuffles alternate "
+    "between dim-keyed (64 cells, combiner-friendly) and vec-keyed "
+    "partial sums; the 64-row direction vectors and scalar maxima "
+    "broadcast back",
+    tags=("embeddings", "pca", "linear-algebra"),
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_tables(spark, sf_dir)["embeddings"])
+    q = emb.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    ex = q.select(
+        "vec_id", F.posexplode("qv").alias("j0", "qj")
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "qj")
+    d0 = ex.groupBy("vec_id").agg(F.sum("qj").cast("long").alias("d0"))
+    s1p = (
+        ex.join(d0, "vec_id")
+        .groupBy("j")
+        .agg(F.sum(F.col("qj") * F.col("d0")).cast("long").alias("s1p"))
+    )
+    m1 = s1p.agg(F.max(F.abs(F.col("s1p"))).alias("m"))
+    s1 = s1p.crossJoin(F.broadcast(m1)).select(
+        "j", _tzdiv(F.col("s1p"), _stage_scale(F.col("m"))).alias("s1")
+    )
+    d1p = (
+        ex.join(F.broadcast(s1), "j")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qj") * F.col("s1")).cast("long").alias("d1p"))
+    )
+    m2 = d1p.agg(F.max(F.abs(F.col("d1p"))).alias("m"))
+    d1 = d1p.crossJoin(F.broadcast(m2)).select(
+        "vec_id", _tzdiv(F.col("d1p"), _stage_scale(F.col("m"))).alias("d1")
+    )
+    s2 = (
+        ex.join(d1, "vec_id")
+        .groupBy("j")
+        .agg(F.sum(F.col("qj") * F.col("d1")).cast("long").alias("s2"))
+    )
+    return (
+        s1.join(s2, "j")
+        .select(
+            F.col("j").alias("dim"),
+            F.col("s1").alias("power1"),
+            F.col("s2").alias("power2"),
+        )
+        .orderBy("dim")
+    )

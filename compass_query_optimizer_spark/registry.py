@@ -90,6 +90,7 @@ _SAMPLE_PRIORITY = [
     "events_transitions",
     "text_chunk",
     "text_dsir_weights",
+    "emb_pca_power",
     # -- changed in round 5 (oracle typing / auto-sized widths) --
     "events_variant_extract",
     "dedup_simhash",
@@ -102,7 +103,6 @@ _SAMPLE_PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
     "sim_topk_bruteforce",
     "sim_ann_ivf",
     "text_langid",

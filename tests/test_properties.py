@@ -188,3 +188,46 @@ def test_eager_count_equals_raw_and_duckdb(spark, case):
         con.register(nm, pdf)
     want = con.execute(sql).fetchone()[0]
     assert eager == plain == want, (sql, eager, plain, want)
+
+
+def test_pca_power_tracks_numpy_iterate(spark):
+    """The integer pipeline must track numpy's exact power iterate: both
+    stage outputs (X^T(X·1) and the second application on the downscaled
+    carry) point where float linear algebra points (cosine > 0.9999) —
+    the adaptive integer downscales cost <1e-4 of direction, never zero
+    the vector out (the failure mode of fixed shifts under random-sign
+    cancellation). The fixture's near-isotropic spectrum (λ1/λ2 ≈ 1.07)
+    means NO two-step method reaches the top eigenvector — convergence
+    per step is what power iteration guarantees, and that is what the
+    exact iterate comparison checks."""
+    import numpy as np
+
+    from compass_query_optimizer_spark.registry import all_queries
+
+    rows = (
+        all_queries()["emb_pca_power"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: r["dim"])
+    v1 = np.array([r["power1"] for r in rows], float)
+    v2 = np.array([r["power2"] for r in rows], float)
+
+    import pyarrow.parquet as pq
+
+    X = np.array(
+        pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        .column("embedding")
+        .to_pylist(),
+        dtype=float,
+    )
+    Xq = np.round(X * 10_000.0)  # the quantized matrix the operator sees
+    t1 = Xq.T @ (Xq @ np.ones(64))
+    t2 = Xq.T @ (Xq @ v1)  # second stage consumes the downscaled carry
+
+    def cos(a, b):
+        return abs(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    assert cos(v1, t1) > 0.9999, cos(v1, t1)
+    assert cos(v2, t2) > 0.9999, cos(v2, t2)
+    assert np.linalg.norm(v2) > 0  # fixed-shift zero-out regression
