@@ -330,3 +330,33 @@ def copy_to_avro(df: DataFrame, path: str) -> None:
                 "Avro export"
             ) from e
         raise
+
+
+def copy_from_xml(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+    row_tag: str = "row",
+    max_reject: int = 100_000,
+) -> tuple[DataFrame, int]:
+    """COPY FROM for XML sources (beyond reference parity — Spark 4 ships
+    the XML datasource natively): declared-schema + PERMISSIVE + max_reject
+    contract like :func:`copy_from`, rows addressed by ``row_tag``."""
+    path = resolve_import_paths(path)
+    read_schema = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    df = (
+        spark.read.schema(read_schema)
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .xml(path)
+    )
+    df = df.cache()
+    rejected = df.filter(F.col(_CORRUPT).isNotNull()).count()
+    if rejected > max_reject:
+        raise ValueError(
+            f"COPY aborted: {rejected} rejected rows exceed max_reject={max_reject}"
+        )
+    return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT), rejected

@@ -387,3 +387,20 @@ def test_copy_avro_is_gated(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(NotImplementedError, match="spark-avro"):
         copy_to_avro(df, str(tmp_path / "avro_out"))
+
+
+def test_copy_from_xml(spark, tmp_path):
+    from compass_query_optimizer_spark.sources.copy_io import copy_from_xml
+
+    p = tmp_path / "t.xml"
+    p.write_text(
+        "<rows><row><k>1</k><v>a</v></row>"
+        "<row><k>2</k><v>b</v></row>"
+        "<row><k>oops</k><v>c</v></row></rows>"
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    df, rejected = copy_from_xml(spark, str(p), schema)
+    assert rejected == 1  # the non-integer k row lands in the corrupt column
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == [(1, "a"), (2, "b")]
