@@ -690,3 +690,111 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(norm), 4).alias("p_transition"),
     ).orderBy("from_type", "to_type")
+
+
+@query(
+    "events_cohort_matrix",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events
+    )
+    SELECT f.cohort_wk,
+           CAST(date_diff('day', f.cohort_wk, a.wk) / 7 AS INTEGER)
+             AS weeks_since,
+           COUNT(*) AS n_active
+    FROM active a JOIN first_seen f USING (user_id)
+    GROUP BY f.cohort_wk, weeks_since
+    ORDER BY f.cohort_wk, weeks_since
+    """,
+    doc="cohort retention matrix: users grouped by first-seen week, "
+    "activity counted per (cohort, weeks-since-signup) cell — the "
+    "generalization of week-over-week retention every growth dashboard "
+    "draws. Events reduce to DISTINCT (user, week) and one MIN per user "
+    "before the join, so the join input is user-week cardinality; the "
+    "matrix itself is weeks² cells",
+    tags=("temporal", "analytics"),
+)
+def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("timestamp_ntz").alias("cohort_wk")
+    )
+    active = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("timestamp_ntz").alias("wk"),
+    ).distinct()
+    weeks_since = (
+        F.datediff(F.col("wk").cast("date"), F.col("cohort_wk").cast("date"))
+        / 7
+    ).cast("int")
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("cohort_wk", weeks_since.alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_wk", "weeks_since")
+    )
+
+
+@query(
+    "events_ohlc",
+    """
+    WITH keyed AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             value,
+             (CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS BIGINT)
+               - 1577836800) * 1000000000 + event_id AS ord
+      FROM events
+    )
+    SELECT event_type, hr,
+           ROUND(arg_min(value, ord), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(arg_max(value, ord), 4) AS close,
+           COUNT(*) AS n_events
+    FROM keyed
+    GROUP BY event_type, hr
+    ORDER BY event_type, hr
+    """,
+    doc="OHLC time-series downsampling: per (series, hour) bucket the "
+    "first/last/min/max of value — the standard lossy compaction for "
+    "dashboards and feature windows. first/last are argmin/argmax over a "
+    "deterministic integer order key (epoch-seconds scaled + event_id "
+    "tiebreak — identical in both engines), so results are stable under "
+    "any partitioning. One combiner-friendly keyed aggregate; no window, "
+    "no sort of raw events",
+    tags=("temporal", "analytics", "downsample"),
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    # rebased epoch (2020-01-01) keeps seconds * 1e9 + event_id inside
+    # int64 for the next ~2 centuries; event_id < 1e9 is the tiebreak range
+    ord_key = (
+        (F.col("ts").cast("timestamp_ltz").cast("long") - F.lit(1_577_836_800))
+        * F.lit(1_000_000_000)
+        + F.col("event_id")
+    )
+    keyed = events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hr"),
+        "value",
+        ord_key.alias("ord"),
+    )
+    return (
+        keyed.groupBy("event_type", "hr")
+        .agg(
+            F.round(F.min_by("value", "ord"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "ord"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -91,6 +91,8 @@ _SAMPLE_PRIORITY = [
     "text_chunk",
     "text_dsir_weights",
     "emb_pca_power",
+    "events_cohort_matrix",
+    "events_ohlc",
     # -- changed in round 5 (oracle typing / auto-sized widths) --
     "events_variant_extract",
     "dedup_simhash",
@@ -102,9 +104,7 @@ _SAMPLE_PRIORITY = [
     "compass_self_join",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
-    "sim_ann_ivf",
     "text_langid",
     "text_pii_redact",
     "stream_window_rollup",
