@@ -228,7 +228,9 @@ class CompassOptimizer:
             joined = joined.filter(_rewrite_residual(residual, plan.spec))
         return joined
 
-    def explain(self, plan: CompassPlan, physical: bool = False) -> str:
+    def explain(
+        self, plan: CompassPlan, physical: bool = False, count: bool = False
+    ) -> str:
         """Human-readable plan report — the engine's analog of the
         reference's EXPLAIN / EXPLAIN CALCITE surface (MapDHandler.cpp
         `sql_execute` explain modes; RA dump vs generated-IR dump). Shows
@@ -238,7 +240,9 @@ class CompassOptimizer:
 
         ``physical=True`` appends Spark's formatted physical plan of the
         built chain (the whole-stage-codegen / exchange view — the analog
-        of the reference's IR dump)."""
+        of the reference's IR dump); ``count=True`` dumps the
+        eager-aggregation count plan (:meth:`build_count_join`) instead
+        of the row-producing join."""
         lines = [f"COMPASS plan: {' ⋈ '.join(plan.search.order)}"]
         mode = "fallback (size-descending)" if plan.search.fallback else "sketch search"
         lines.append(
@@ -274,7 +278,7 @@ class CompassOptimizer:
                 if est is not None:
                     lines.append(f"    {{{', '.join(seen)}}} ≈ {est:.1f}")
         if physical:
-            df = self.build_join(plan)
+            df = self.build_count_join(plan) if count else self.build_join(plan)
             lines.append("  spark physical plan:")
             lines.append(df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"

@@ -226,3 +226,10 @@ def test_explain_report(spark):
     full = opt.explain(plan, physical=True)
     assert "spark physical plan:" in full
     assert "== Physical Plan ==" in full
+
+    # the eager count plan pre-aggregates every table before joining:
+    # its physical dump must show per-table partial aggregates (the
+    # multiplicity collapse), which the row-producing join has none of
+    cnt = opt.explain(plan, physical=True, count=True)
+    assert "== Physical Plan ==" in cnt
+    assert cnt.count("HashAggregate") > full.count("HashAggregate")
