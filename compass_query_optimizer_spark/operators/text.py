@@ -1354,3 +1354,114 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) heavy
+# hitters: d=4 pairwise-independent rows x w=512 buckets. Estimates never
+# undercount; overcount is bounded by colliding mass, so the gate checks
+# true <= est <= true + slack*N/w with generous slack for the 4-row min.
+CMS_ROWS = 4
+CMS_WIDTH = 512
+CMS_TOPK = 20
+CMS_SLACK = 8
+
+
+@query(
+    "text_heavy_hitters_cms",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token)
+    SELECT token, cnt, TRUE AS within_bound
+    FROM exact ORDER BY cnt DESC, token LIMIT {CMS_TOPK}
+    """,
+    doc="count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): "
+    f"a {CMS_ROWS}x{CMS_WIDTH} CMS built as ONE groupBy over (row, "
+    "bucket) cells — a mergeable, fixed-size summary any executor "
+    "topology can combine — then the top tokens' estimates checked "
+    "in-engine against the CMS guarantee (never undercounts; overcount "
+    "bounded by colliding mass). Oracle = exact counts + TRUE, the same "
+    "exact-plus-bound gate as approx_count_distinct (q11). At 100 TB the "
+    "sketch is 2048 cells regardless of vocabulary size — the point of "
+    "CMS over exact counting when only heavy hitters matter",
+    tags=("text", "sketch", "approx"),
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compass_query_optimizer_spark.functions.hashing import (
+        cw_params,
+        spark_cw_hash,
+    )
+
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    g = (spark_portable_hash(F.col("token")) % F.lit(P31)).alias("g")
+    hashed = toks.select("token", g)
+    params = cw_params(CMS_ROWS, salt="cms")
+
+    # ONE pass builds all d rows: explode the token into its d (row,
+    # bucket) targets, then a single combiner-friendly aggregate
+    cells = (
+        hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (spark_cw_hash(F.col("g"), a, b) % CMS_WIDTH).alias(
+                                "bucket"
+                            ),
+                        )
+                        for r, (a, b) in enumerate(params)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+    exact = hashed.groupBy("token", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    top = exact.orderBy(F.col("cnt").desc(), "token").limit(CMS_TOPK)
+    total = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+
+    # estimate = min over rows of the candidate's cell
+    cand = top.select(
+        "token",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (spark_cw_hash(F.col("g"), a, b) % CMS_WIDTH).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r, (a, b) in enumerate(params)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "cnt", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        cand.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("token", "cnt")
+        .agg(F.min("cell").alias("est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            (
+                (F.col("est") >= F.col("cnt"))
+                & (
+                    F.col("est")
+                    <= F.col("cnt")
+                    + F.lit(CMS_SLACK) * F.col("n_tokens") / F.lit(CMS_WIDTH)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("cnt").desc(), "token")
+    )

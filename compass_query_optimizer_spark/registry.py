@@ -93,6 +93,7 @@ _SAMPLE_PRIORITY = [
     "emb_pca_power",
     "events_cohort_matrix",
     "events_ohlc",
+    "text_heavy_hitters_cms",
     # -- changed in round 5 (oracle typing / auto-sized widths) --
     "events_variant_extract",
     "dedup_simhash",
@@ -103,7 +104,6 @@ _SAMPLE_PRIORITY = [
     "compass_residual_filter",
     "compass_self_join",
     "dedup_exact",
-    "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "text_langid",
     "text_pii_redact",
