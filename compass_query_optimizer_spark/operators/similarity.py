@@ -560,53 +560,56 @@ def _dup_lsh_oracle() -> str:
 # Near-dup pairs that share no n-grams (translations, templated rewrites)
 # only show up in embedding space; clustering first bounds the pairwise
 # comparison to same-cell vectors (Abbas et al., "SemDedup", arXiv
-# 2303.09540). Cell count scales with corpus size (ceil(n / target), min
-# IVF_K) so per-cell population — and with it the quadratic verify — stays
-# ~constant; the keep rule ("drop a vector iff a smaller-id same-cell
-# vector is >= threshold similar") is deterministic, so the DuckDB oracle
-# reproduces it exactly from the same stride centroids.
-SEM_CELL_TARGET = 128  # expected vectors per cell the cell count aims for
+# 2303.09540). Cells are random-hyperplane sign codes (Charikar STOC'02),
+# NOT nearest-centroid assignment: the round-5 version assigned each vector
+# to the closest of K = ceil(N/128) stride centroids via a broadcast
+# cross-join — O(N·K) = O(N²/128) distance evaluations and a broadcast
+# table growing linearly with the corpus, a scale-killer at 10⁹ vectors.
+# The sign code is computed per-row from a compile-time ±1 plane matrix:
+# assignment cost is LINEAR in N, nothing corpus-sized is ever broadcast,
+# and the expected cell population N/2^bits stays ~SEM_CELL_TARGET because
+# the width auto-tracks log2(N) (the sim_ann_lsh formula; the oracle
+# derives the identical width from COUNT(*) and masks the identical
+# full-width code). The keep rule ("drop a vector iff a smaller-id
+# same-cell vector is >= threshold similar") is deterministic, so the
+# DuckDB oracle reproduces it exactly.
+SEM_CELL_TARGET = 128  # expected vectors per cell the width aims for
+SEM_MIN_BITS = 2
+SEM_MAX_BITS = 24  # 2^24 cells serves ~2·10⁹ vectors at the 128/cell target
+SEM_PLANES = plane_signs(SEM_MAX_BITS, EMBED_DIM, salt="sem")
+
+
+def sem_cell_bits(n_rows: int) -> int:
+    """Plan-time semantic-cell code width for ``n_rows`` vectors."""
+    return auto_bits(n_rows, SEM_CELL_TARGET, SEM_MIN_BITS, SEM_MAX_BITS)
 
 
 @query(
     "dedup_semantic",
-    None,  # generated below (shares the IVF oracle building blocks)
-    doc="SemDedup-style semantic dedup: deterministic stride centroids "
-    f"(>= {IVF_K} cells, ~{SEM_CELL_TARGET} vectors/cell), exact "
-    "quantized-L2 assignment against the broadcast centroid table, then "
-    "pairwise exact cosine ONLY inside each cell — a vector is dropped "
-    f"iff a smaller-id cell-mate is >= {COSINE_DUP_THRESHOLD} similar. "
-    "Cells bound the quadratic term to cell_size^2 per cell at any "
-    "corpus size",
+    None,  # generated below (shares the LSH oracle building blocks)
+    doc="SemDedup-style semantic dedup: hyperplane-LSH cells (width "
+    f"auto-sized from corpus count, ~{SEM_CELL_TARGET} vectors/cell, "
+    "join-free per-row assignment — linear in N, no corpus-sized "
+    "broadcast), then pairwise exact cosine ONLY inside each cell — a "
+    f"vector is dropped iff a smaller-id cell-mate is >= "
+    f"{COSINE_DUP_THRESHOLD} similar. Cells bound the quadratic term to "
+    "cell_size^2 per cell at any corpus size",
     tags=("dedup", "embedding", "semantic"),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # materialized once: the code pass + both verify sides reuse it
     n = _quantized_with_norm(t["embeddings"]).localCheckpoint()
-    cnt = t["embeddings"].count()
-    k = max(IVF_K, (cnt + SEM_CELL_TARGET - 1) // SEM_CELL_TARGET)
-    stride = max(1, (cnt + k - 1) // k)
-    cents = n.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    # argmin via min(struct(d2, cid)) — map-side partial aggregation
-    # collapses the N×K assignment rows to one per vector BEFORE the
-    # shuffle (the emb_kmeans_iter pattern), where a per-vector rank
-    # window would shuffle all N×K rows first. min of (d2, cid) ==
-    # ORDER BY d2, cid LIMIT 1, which is what the oracle computes.
-    assigned = (
-        n.join(F.broadcast(cents), how="cross")
-        .select("vec_id", d2.alias("d2"), "cid")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select("vec_id", F.col("m.cid").alias("cid"))
-    )
-    cells = n.join(assigned, "vec_id").select("vec_id", "qv", "nrm2", "cid")
+    bits = sem_cell_bits(t["embeddings"].count())
+    # cell id = first `bits` planes of the full-width sign code, computed
+    # by the codegen aggregate form (_plane_dot_codes) and joined back on
+    # vec_id — two linear keyed passes, no cross join anywhere
+    cells = n.join(
+        _plane_dot_codes(n, [SEM_PLANES[:bits]]).select(
+            "vec_id", F.col("c").alias("cid")
+        ),
+        "vec_id",
+    ).select("vec_id", "qv", "nrm2", "cid")
     a = cells.select(
         F.col("vec_id").alias("va"), F.col("qv").alias("qa"),
         F.col("nrm2").alias("na"), "cid",
@@ -637,36 +640,28 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_oracle() -> str:
+    # full-width sign code masked to the auto width — "first bits planes",
+    # exactly the Spark side's SEM_PLANES[:bits] (the _lsh_oracle trick)
+    bits_expr = duck_auto_bits(
+        "(SELECT COUNT(*) FROM embeddings)",
+        SEM_CELL_TARGET,
+        SEM_MIN_BITS,
+        SEM_MAX_BITS,
+    )
+    cid = (
+        f"({_duck_lsh_code('qv', SEM_PLANES)} & "
+        f"((CAST(1 AS BIGINT) << ({bits_expr})) - 1))"
+    )
     return f"""
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
       FROM embeddings
     ),
-    n AS (
-      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
-    ),
-    params AS (
-      SELECT GREATEST(1, (cnt + k - 1) // k) AS stride
-      FROM (SELECT COUNT(*) AS cnt,
-                   GREATEST({IVF_K}, (COUNT(*) + {SEM_CELL_TARGET} - 1)
-                            // {SEM_CELL_TARGET}) AS k
-            FROM embeddings)
-    ),
-    cents AS (
-      SELECT vec_id AS cid, qv AS cv FROM n, params WHERE vec_id % stride = 0
-    ),
-    dists AS (
-      SELECT n.vec_id, n.qv, n.nrm2, c.cid,
-             list_sum(list_transform(range(1, len(n.qv) + 1),
-                                     i -> (n.qv[i] - c.cv[i]) * (n.qv[i] - c.cv[i]))) AS d2
-      FROM n CROSS JOIN cents c
-    ),
     cells AS (
-      SELECT vec_id, qv, nrm2, cid FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
-        FROM dists
-      ) WHERE crk = 1
+      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2,
+             {cid} AS cid
+      FROM q
     ),
     dropped AS (
       SELECT DISTINCT a.vec_id

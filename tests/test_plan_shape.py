@@ -158,19 +158,25 @@ def test_zipf_coverage_window_is_bounded_by_limit(spark):
     assert win_pos < limit_pos
 
 
-def test_semantic_dedup_centroids_broadcast(spark):
-    """Cell assignment broadcasts the tiny centroid table; the pairwise
-    verify is an equi-join on the cell id, never a cartesian product."""
+def test_semantic_dedup_assignment_is_linear(spark):
+    """Round-6 fix: cell assignment is a per-row hyperplane sign code, not
+    nearest-centroid over a broadcast centroid table — the round-5 version
+    cross-joined the corpus against K = ceil(N/128) broadcast centroids,
+    O(N²/128) distance evaluations with a build side that grew linearly
+    with the corpus. The plan must contain NO cross/nested-loop join of
+    any kind: every join is a keyed equi-join (vec_id or the cell id), so
+    assignment cost is linear in N and nothing corpus-sized is built."""
     plan = formatted_plan(spark, "dedup_semantic")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_semantic_dedup_argmin_combines_map_side(spark):
-    """Cell assignment must collapse the N×K distance rows map-side
-    (partial_min) rather than shuffling them all through a rank window."""
+def test_semantic_dedup_code_pass_combines_map_side(spark):
+    """The plane-dot code pass must collapse the posexploded (vec, dim)
+    rows map-side (partial sums per plane) before its shuffle, one output
+    row per vector — the _plane_dot_codes invariant."""
     plan = formatted_plan(spark, "dedup_semantic")
-    assert "partial_min" in plan or "partial min" in plan.lower()
+    assert "partial_sum" in plan or "partial sum" in plan.lower()
 
 
 def test_sessionize_windows_are_user_keyed(spark):
