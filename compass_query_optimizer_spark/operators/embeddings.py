@@ -237,15 +237,14 @@ def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# truncate-toward-zero integer division, identical in both engines (DuckDB
-# // floors, Spark div truncates — they differ on negatives, so both sides
-# spell out the sign-aware form)
+# truncate-toward-zero integer division, identical in both engines. Spark's
+# `div` operator (IntegralDivide) already truncates toward zero on int64 —
+# exact at ANY magnitude, unlike `/` + cast, whose double intermediate
+# rounds across integer boundaries past 2^53 (1339999999999999990/1e14
+# gives 13400, not 13399, once stage sums reach ~1e16). DuckDB `//` floors,
+# so its twin spells out the sign-aware form.
 def _tzdiv(col, div):
-    neg = (-col).cast("long")
-    return (
-        F.when(col >= 0, (col / div).cast("long"))
-        .otherwise(-(neg / div).cast("long"))
-    )
+    return F.call_function("div", col.cast("long"), div.cast("long"))
 
 
 def _duck_tzdiv(expr: str, div: str) -> str:

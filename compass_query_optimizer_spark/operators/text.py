@@ -42,6 +42,19 @@ def _tokens(col):
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
+def char_positions(col, last_offset: int = 0):
+    """1..length(col)+last_offset as an explode-safe int array.
+
+    Spark's sequence() auto-steps -1 when start > stop, so an unguarded
+    sequence(1, length-1) on a 1-char doc yields [1, 0] — phantom
+    positions a DuckDB oracle's end-exclusive range(1, length) never
+    generates. Empty when the stop falls below 1."""
+    stop = F.length(col) + F.lit(last_offset)
+    return F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 @query(
     "text_langid",
     None,  # set below (generated SQL) — see _langid_oracle()
@@ -1182,7 +1195,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.explode(F.sequence(F.lit(1), F.length("lt"))).alias("i"),
+            F.explode(char_positions(F.col("lt"))).alias("i"),
             "lt",
         )
         .select(
@@ -1313,7 +1326,7 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.explode(F.sequence(F.lit(1), F.length("lt") - 1)).alias("i"),
+            F.explode(char_positions(F.col("lt"), last_offset=-1)).alias("i"),
             "lt",
         )
         .select(

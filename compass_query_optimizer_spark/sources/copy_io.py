@@ -296,14 +296,17 @@ def copy_from_orc(
     so there is no PERMISSIVE/reject path — schema drift raises."""
     path = resolve_import_paths(path)
     # validate the declared schema against the file footer: every declared
-    # column must exist with the same type class (a declared SUBSET is
-    # fine — that is column pruning); name or type drift raises
+    # column must exist with the same full type — simpleString carries the
+    # parameters, so decimal(10,2) vs decimal(38,0) or array<int> vs
+    # array<string> drift raises instead of being silently coerced/nulled
+    # by the schema'd read (a declared SUBSET of columns is fine — that is
+    # column pruning)
     footer = {
-        f.name: type(f.dataType).__name__ for f in spark.read.orc(path).schema
+        f.name: f.dataType.simpleString() for f in spark.read.orc(path).schema
     }
     for f in schema.fields:
         got = footer.get(f.name)
-        want = type(f.dataType).__name__
+        want = f.dataType.simpleString()
         if got != want:
             raise ValueError(
                 f"ORC schema drift on {f.name!r}: file has {got}, declared {want}"

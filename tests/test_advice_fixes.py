@@ -223,3 +223,106 @@ def test_template_cache_keyed_by_dataset_tag(spark):
         keys_b = set(pd_mod._TEMPLATE_CACHE) - keys_a
     assert keys_b and all(k[0] == "cat-B" for k in keys_b)
     pd_mod.clear_template_cache()
+
+
+# -------------------------------------------- round-5 ADVICE regressions
+def test_tzdiv_is_exact_beyond_double_precision(spark):
+    """_tzdiv must divide in integer space: `/` + cast rounds across
+    integer boundaries past 2^53 (1339999999999999990 / 1e14 gave 13400
+    instead of 13399), breaking emb_pca_power's exact-int64 guarantee at
+    ~10^6+ vectors. Also locks the negative-operand parity with DuckDB's
+    sign-aware floor-division form."""
+    import duckdb
+
+    from compass_query_optimizer_spark.operators.embeddings import (
+        _duck_tzdiv,
+        _tzdiv,
+    )
+
+    cases = [
+        (1339999999999999990, 100000000000000),
+        (-1339999999999999990, 100000000000000),
+        (9007199254740993, 2),  # 2^53 + 1: first int double can't hold
+        (-7, 2),
+        (7, 2),
+        (0, 5),
+    ]
+    df = spark.createDataFrame(cases, "x long, d long")
+    got = {
+        (r["x"], r["d"]): r["q"]
+        for r in df.select("x", "d", _tzdiv(F.col("x"), F.col("d")).alias("q")).collect()
+    }
+    con = duckdb.connect()
+    for x, d in cases:
+        want = con.execute(
+            f"SELECT {_duck_tzdiv(str(x), str(d))}"
+        ).fetchone()[0]
+        assert got[(x, d)] == want, (x, d, got[(x, d)], want)
+    # the exact values, independently of either engine
+    assert got[(1339999999999999990, 100000000000000)] == 13399
+    assert got[(9007199254740993, 2)] == 4503599627370496
+    assert got[(-7, 2)] == -3
+
+
+def test_char_positions_short_docs_emit_no_phantoms(spark):
+    """sequence() descends when start > stop, so unguarded position
+    sequences on empty/1-char docs emit phantom rows ([1, 0]) that an
+    end-exclusive oracle range never generates. char_positions guards
+    both the full (lm_perplexity) and len-1 (dsir bigram) forms."""
+    from compass_query_optimizer_spark.operators.text import char_positions
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "ab"), (4, "abc")], "doc_id long, t string"
+    )
+    rows = df.select(
+        "doc_id",
+        char_positions(F.col("t")).alias("full"),
+        char_positions(F.col("t"), last_offset=-1).alias("m1"),
+    ).collect()
+    full = {r["doc_id"]: list(r["full"]) for r in rows}
+    m1 = {r["doc_id"]: list(r["m1"]) for r in rows}
+    assert full == {1: [], 2: [1], 3: [1, 2], 4: [1, 2, 3]}
+    assert m1 == {1: [], 2: [], 3: [1], 4: [1, 2]}
+
+
+def test_orc_schema_drift_catches_parameterized_types(spark, tmp_path):
+    """Type-class-name comparison let decimal(10,2) vs decimal(38,0) or
+    array<int> vs array<string> drift pass undetected (both read as
+    'DecimalType'/'ArrayType') and then silently coerce/null; the check
+    must compare the full parameterized type."""
+    from pyspark.sql import types as T
+
+    from compass_query_optimizer_spark.sources.copy_io import (
+        copy_from_orc,
+        copy_to_orc,
+    )
+
+    path = str(tmp_path / "drift.orc")
+    df = spark.createDataFrame([(1,)], "id long").select(
+        "id",
+        F.col("id").cast("decimal(10,2)").alias("amt"),
+        F.array(F.lit(1), F.lit(2)).alias("xs"),
+    )
+    copy_to_orc(df, path)
+
+    with pytest.raises(ValueError, match="amt"):
+        copy_from_orc(
+            spark,
+            path,
+            T.StructType([T.StructField("amt", T.DecimalType(38, 0))]),
+        )
+    with pytest.raises(ValueError, match="xs"):
+        copy_from_orc(
+            spark,
+            path,
+            T.StructType(
+                [T.StructField("xs", T.ArrayType(T.StringType()))]
+            ),
+        )
+    # exact parameterized match (a declared subset) still reads
+    ok = copy_from_orc(
+        spark,
+        path,
+        T.StructType([T.StructField("amt", T.DecimalType(10, 2))]),
+    )
+    assert ok.count() == 1
