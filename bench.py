@@ -15,10 +15,19 @@ same-code swings between rounds.
 
 job_ab is the reference's own headline claim (JOB wall-clock): all 113 Join
 Order Benchmark queries at fixture scale SPARK_GRAFT_JOB_SCALE (default 10)
-through three planners — plain Catalyst (sparksql), size-descending
-fallback (MapD's heuristic), and the COMPASS sketch order. The template
-cache is warmed by a plan-only pass first so the A/B isolates join-order
-quality from the one-time sketch build. Disable with SPARK_GRAFT_JOB_AB=0.
+through four planners — plain Catalyst (sparksql), size-descending
+fallback (MapD's heuristic), the COMPASS sketch order, and compass_raw
+(COMPASS order with the eager-aggregation count algebra disabled), so the
+join-order win and the multiplicity-algebra win are separately
+attributable. The template cache is warmed by a plan-only pass first so
+the A/B isolates join-order quality from the one-time sketch build.
+Disable with SPARK_GRAFT_JOB_AB=0.
+
+Stdout contract: the driver parses a 2,000-char stdout TAIL, so the line
+printed here is the SUMMARY form (compact_line) — per-query A/B rows and
+DNF id lists live only in the bench_out.json sidecar, which carries every
+field. Round 5's full 8,839-char line started mid-tail and recorded
+parsed=null despite a green run; never print the fat form again.
 
 DNF readout: the zipf-skewed fixture grows some counts combinatorially
 with scale (e.g. 17a = 40M at scale 10), so a tail of queries is
@@ -71,6 +80,33 @@ HEADLINE = [
     "text_chunk",                 # overlapping RAG chunking histogram
 ]
 
+MAX_WORKERS = 6  # A/B worker threads; per_query walls are N-way-concurrent
+STDOUT_TAIL_BUDGET = 1900  # the driver parses a 2,000-char stdout tail
+
+
+def compact_line(out: dict) -> str:
+    """Summary-only bench JSON for stdout.
+
+    The sidecar keeps every field; the stdout copy drops the per-query
+    A/B rows and DNF id lists (the blocks that ballooned round 5's line
+    to 8,839 chars), points at the sidecar, and — should a fat headline
+    set ever push it past the budget anyway — drops the per-query
+    headline timings too. The result must ALWAYS fit the driver's
+    2,000-char stdout tail."""
+    slim = dict(out)
+    if isinstance(slim.get("job_ab"), dict):
+        slim["job_ab"] = {
+            k: v
+            for k, v in slim["job_ab"].items()
+            if k != "per_query" and not k.endswith("_dnf_ids")
+        }
+    slim["detail"] = "bench_out.json"
+    line = json.dumps(slim)
+    if len(line) > STDOUT_TAIL_BUDGET:
+        slim.pop("queries", None)
+        line = json.dumps(slim)
+    return line
+
 
 def main() -> None:
     """Accumulate results into one dict; on the way out (normal, error, or
@@ -97,6 +133,13 @@ def main() -> None:
         "plan_quality": None,
         "job_ab": None,
     }
+    # box load before/after: round 5's driver walls were 2-6x inflated by
+    # concurrent load on the box — record it so contention is
+    # self-diagnosing instead of reading as a code regression
+    try:
+        out["loadavg_start"] = [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        pass
 
     def _term(signum, frame):
         out["truncated"] = "sigterm"
@@ -107,8 +150,16 @@ def main() -> None:
         _run(out, sf_dir)
     finally:
         out["value"] = round(sum(out["queries"].values()), 3)
-        line = json.dumps(out)
-        _write_sidecar(line)
+        try:
+            out["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
+        except OSError:
+            pass
+        # a planner correctness regression in the JOB sweep must be
+        # visible to a headline-only reader, not only inside job_ab
+        if (out.get("job_ab") or {}).get("count_mismatches"):
+            out["count_mismatch"] = True
+        _write_sidecar(json.dumps(out))
+        line = compact_line(out)
         _shutdown_jvm()
         sys.stderr.flush()
         sys.stdout.write(line + "\n")
@@ -240,6 +291,10 @@ def _run(out: dict, sf_dir: str) -> None:
             compared = [(c, fb) for _, c, fb in plan_rows if fb]
             job_ab = out["job_ab"] = {"scale": job_scale, "n_queries": 113,
                       "per_query_timeout": job_timeout,
+                      # per_query walls are N-way-concurrent walls: they
+                      # sum to ~concurrency x the mode's wall clock —
+                      # valid for cross-mode ratios, never for adding up
+                      "per_query_concurrency": MAX_WORKERS,
                       "template_warm_sec": round(warm_s, 1),
                       "plan_cost_wins": sum(c <= fb for c, fb in compared),
                       "plan_cost_compared": len(compared),
@@ -248,12 +303,16 @@ def _run(out: dict, sf_dir: str) -> None:
                           / max(len(compared), 1)), 8)}
             results = {}
             # compass first: if the deadline truncates the A/B, the
-            # engine's own mode is the one guaranteed to have run
-            for mode in ("compass", "fallback", "sparksql"):
+            # engine's own mode is the one guaranteed to have run.
+            # compass_raw (same join order, eager-count algebra OFF) last:
+            # it exists to attribute compass's win between join order and
+            # the multiplicity algebra, and is the least-bad one to lose
+            # to the deadline
+            for mode in ("compass", "fallback", "sparksql", "compass_raw"):
                 # worst case for a mode ≈ DNF tail at ~max_workers-wide
                 # concurrency; budget conservatively at half the corpus
-                # hitting the timeout serially across 6 workers
-                est_mode_s = job_timeout * 113 / 6 / 2
+                # hitting the timeout serially across the worker pool
+                est_mode_s = job_timeout * 113 / MAX_WORKERS / 2
                 if time.monotonic() + est_mode_s > bench_deadline:
                     job_ab["deadline_truncated"] = mode
                     print(f"  job_ab: deadline before {mode}", file=sys.stderr)
@@ -265,6 +324,7 @@ def _run(out: dict, sf_dir: str) -> None:
                 spark = get_spark(app_name=f"compass-bench-{mode}")
                 t0 = time.perf_counter()
                 rows = run_corpus(spark, mode=mode, scale=job_scale,
+                                  max_workers=MAX_WORKERS,
                                   per_query_timeout=job_timeout,
                                   with_timing=True)
                 results[mode] = {q: c for q, c, _ in rows}

@@ -87,11 +87,14 @@ def run_corpus(
     the per-query rows make A/B regressions attributable query-by-query
     instead of only via mode totals.
 
-    mode='compass'  — sketch-chosen join order (the engine's planner)
-    mode='fallback' — size-descending order (MapD default heuristic), same
-                      push-down, for A/B join-order comparisons
-    mode='sparksql' — plain spark.sql over the original text (Catalyst's
-                      own plan; CBO reordering is off per session.py)
+    mode='compass'     — sketch-chosen join order (the engine's planner)
+    mode='compass_raw' — same order, eager-aggregation COUNT disabled
+                         (counts the materialized join) — isolates the
+                         join-order win from the multiplicity-algebra win
+    mode='fallback'    — size-descending order (MapD default heuristic),
+                         same push-down, for A/B join-order comparisons
+    mode='sparksql'    — plain spark.sql over the original text (Catalyst's
+                         own plan; CBO reordering is off per session.py)
 
     ``per_query_timeout`` (seconds) cancels a query's Spark job group when
     it exceeds the budget and records its count as None (DNF). Unordered
@@ -121,7 +124,7 @@ def run_corpus(
         def run_one(qid: str) -> int:
             return int(spark.sql(corpus[qid]).collect()[0][0])
 
-    elif mode in ("compass", "fallback"):
+    elif mode in ("compass", "compass_raw", "fallback"):
         opt = CompassOptimizer(spark)
 
         def run_one(qid: str) -> int:
@@ -131,6 +134,7 @@ def run_corpus(
                 counts=counts,
                 use_fallback=(mode == "fallback"),
                 count_cache_tag=cache_tag,
+                eager=False if mode == "compass_raw" else None,
             )
             return int(df.collect()[0]["cnt"])
 

@@ -56,60 +56,74 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # registration order — so adding a query without touching this list still
 # works, it just lands in the unsampled tail until promoted.
 _SAMPLE_PRIORITY = [
-    # -- never driver-sampled through round 4 --
-    "text_stratified_sample",
-    "text_source_cap",
-    "text_length_histogram",
-    "text_percentile_approx",
-    "text_pack_sequences",
-    "text_vocabulary",
-    "text_quality_percentile",
-    "emb_standardize",
-    "emb_quantize_int8",
-    "pipeline_curate",
-    "emb_kmeans_iter",
-    "text_mixture_sample",
-    "text_ngram_profile",
-    "text_repetition",
-    "stream_enrich_join",
-    "stream_dedup_events",
-    "stream_session_window",
-    "text_contamination",
-    "dedup_embedding_lsh",
-    "stream_stream_join",
-    # -- new in round 5 --
-    "text_segment_dedup",
-    "text_zipf_coverage",
-    "dedup_semantic",
-    "text_bpe_top_pairs",
-    "text_langid_confusion",
-    "events_sessionize",
-    "docs_scd2",
-    "text_train_split",
-    "text_lm_perplexity",
-    "events_transitions",
-    "text_chunk",
-    "text_dsir_weights",
-    "emb_pca_power",
-    "events_cohort_matrix",
-    "events_ohlc",
-    "text_heavy_hitters_cms",
-    # -- changed in round 5 (oracle typing / auto-sized widths) --
-    "events_variant_extract",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    # -- flagship + family representatives --
-    "compass_count_multijoin",
-    "compass_grouped_count",
-    "compass_residual_filter",
-    "compass_self_join",
-    "dedup_exact",
-    "sim_topk_bruteforce",
-    "text_langid",
-    "text_pii_redact",
-    "stream_window_rollup",
-    "stream_stateful_user_totals",
+    # -- changed in round 6: fresh driver evidence required --
+    "dedup_semantic",      # linear hyperplane-LSH cell assignment
+    "emb_pca_power",       # exact integer division (div operator)
+    "text_lm_perplexity",  # guarded char-position sequence
+    "text_dsir_weights",   # guarded bigram-position sequence
+    # -- round-6 rotation: every round-5 prefix entry passed first
+    # exposure, so the prefix swings back to the tail that has been
+    # running on r3/r4 evidence (the TPC-H-ish workload + temporal/dedup
+    # families, unsampled in r5) --
+    "q01_pricing_summary",
+    "q02_topk_parts",
+    "q03_shipping_priority",
+    "q04_semi_join_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_count_star_multijoin",
+    "q08_group_having",
+    "q09_distinct",
+    "q10_agg_kinds",
+    "q11_approx_count_distinct",
+    "q12_case_cast_in",
+    "q13_date_functions",
+    "q14_string_functions",
+    "q15_left_outer_join",
+    "q16_scalar_subquery",
+    "q17_limit_offset",
+    "q18_array_ops",
+    "q19_in_integer_set",
+    "q20_null_semantics",
+    "q21_cross_join_small",
+    "q22_math_functions",
+    "q23_events_rollup",
+    "q24_sessionization",
+    "q25_window_functions",
+    "q26_set_operations",
+    "q27_grouping_rollup",
+    "q28_not_exists_anti_join",
+    "q29_full_outer_join",
+    "q30_pivot",
+    "q31_market_basket",
+    "q32_correlated_agg_subquery",
+    "q33_lateral_topn",
+    "temporal_asof_join",
+    "temporal_range_join",
+    "events_funnel",
+    "events_retention",
+    "events_json_extract",
+    "dedup_incremental",
+    "docs_snapshot_diff",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "sim_ann_ivf",
+    "mm_frame_sample",
+    # -- the most expensive entry (113-query differential) closes the
+    # 50-entry prefix --
     "job_corpus",
+    # -- next-round rotation candidates (past the prefix this round;
+    # r3/r4 driver-green and covered by the local differential) --
+    "temporal_asof_forward",
+    "events_anomaly",
+    "events_windowed_topk",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "mm_payload_features",
+    "geo_functions",
+    "dialect_shim",
 ]
 
 

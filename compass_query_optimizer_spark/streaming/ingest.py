@@ -67,6 +67,29 @@ def stream_csv_ingest(
     return writer.start()
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """Source options for the Kafka reader, as the exact string map Spark's
+    DataSource sees. Split out of :func:`stream_kafka_ingest` so the call
+    shape — including the offset-management knobs — stays unit-testable
+    while the connector jar is absent from the container (`.load()` is the
+    first point that needs the jar)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def stream_kafka_ingest(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -98,15 +121,15 @@ def stream_kafka_ingest(
       so downstream stateful sinks can bound their state.
     """
     sp = stream_params or StreamParams()
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    reader = spark.readStream.format("kafka").options(
+        **kafka_source_options(
+            bootstrap_servers,
+            topic,
+            starting_offsets=starting_offsets,
+            max_offsets_per_trigger=max_offsets_per_trigger,
+            fail_on_data_loss=fail_on_data_loss,
+        )
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
     try:
         src = reader.load()
     except Exception as e:  # pragma: no cover - no kafka jar in test env

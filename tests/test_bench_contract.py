@@ -44,3 +44,80 @@ def test_headline_names_are_registered():
     names = set(all_queries())
     missing = [n for n in bench.HEADLINE if n not in names]
     assert not missing, f"HEADLINE references unknown queries: {missing}"
+
+
+def _worst_case_out():
+    """A bench payload strictly fatter than round 5's real 8,839-char one:
+    33 headline timings, four A/B modes with per-query rows for all 113
+    JOB queries, DNF id lists, loadavg, and the mismatch flag."""
+    bench = _load_bench()
+    qids = [f"{n}{c}" for n in range(1, 34) for c in "abcd"][:113]
+    job_ab = {
+        "scale": 10, "n_queries": 113, "per_query_timeout": 45.0,
+        "per_query_concurrency": 6, "template_warm_sec": 48.0,
+        "plan_cost_wins": 113, "plan_cost_compared": 113,
+        "plan_cost_ratio_geomean": 5.75e-06,
+        "per_query": {
+            q: {"compass": 1.23, "compass_raw": 12.3, "fallback": None,
+                "sparksql": None}
+            for q in qids
+        },
+    }
+    for mode in ("compass", "compass_raw", "fallback", "sparksql"):
+        job_ab[f"{mode}_sec"] = 123.4
+        job_ab[f"{mode}_dnf"] = 16
+        job_ab[f"{mode}_dnf_ids"] = qids[:16]
+    job_ab["compass_dnf_subset_of_sparksql"] = True
+    job_ab["count_mismatches"] = []
+    return {
+        "metric": "headline_queries_total_wall", "value": 33.7,
+        "unit": "sec",
+        "queries": {n: 1.234 for n in bench.HEADLINE},
+        "sf": 0.1,
+        "plan_quality": {"chosen_cost": 25.7, "fallback_cost": 1629114.0,
+                         "ratio": 0.0},
+        "job_ab": job_ab,
+        "loadavg_start": [1.23, 4.56, 7.89],
+        "loadavg_end": [31.23, 14.56, 7.89],
+        "count_mismatch": True,
+    }
+
+
+def test_stdout_line_fits_driver_tail():
+    """The driver parses a 2,000-char stdout TAIL: round 5's 8,839-char
+    full line started mid-tail and recorded parsed=null for the round.
+    The stdout form must stay under budget on a worst-case payload while
+    keeping the summary fields a reader needs."""
+    bench = _load_bench()
+    line = bench.compact_line(_worst_case_out())
+    assert len(line) <= bench.STDOUT_TAIL_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == 33.7
+    assert parsed["detail"] == "bench_out.json"
+    assert parsed["count_mismatch"] is True
+    ja = parsed["job_ab"]
+    assert "per_query" not in ja and "compass_dnf_ids" not in ja
+    for mode in ("compass", "compass_raw", "fallback", "sparksql"):
+        assert ja[f"{mode}_sec"] == 123.4 and ja[f"{mode}_dnf"] == 16
+    assert ja["per_query_concurrency"] == 6
+
+
+def test_compact_line_drops_timings_before_overflowing():
+    """Even with an absurdly wide headline set the line must fit — the
+    per-query timings are the next block overboard."""
+    bench = _load_bench()
+    out = _worst_case_out()
+    out["queries"] = {f"very_long_query_name_number_{i:04d}": 1.234
+                     for i in range(200)}
+    line = bench.compact_line(out)
+    assert len(line) <= bench.STDOUT_TAIL_BUDGET
+    assert "queries" not in json.loads(line)
+
+
+def test_compact_line_keeps_sidecar_full(tmp_path, monkeypatch):
+    """compact_line must not mutate the payload the sidecar records."""
+    bench = _load_bench()
+    out = _worst_case_out()
+    before = json.dumps(out)
+    bench.compact_line(out)
+    assert json.dumps(out) == before

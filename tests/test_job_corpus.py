@@ -153,3 +153,11 @@ def test_grouped_eager_count_matches_raw_join(spark):
         ).collect()
     }
     assert eager and eager == plain
+
+def test_compass_raw_mode_same_answers(spark, oracle_counts):
+    """compass_raw (COMPASS order, eager-count algebra OFF — the bench
+    A/B's attribution mode) counts the materialized join and must agree
+    with the oracle on a sample."""
+    sample = _SUBSET[::8]
+    got = dict(run_corpus(spark, mode="compass_raw", query_ids=sample))
+    assert got == {q: oracle_counts[q] for q in sample}

@@ -5,19 +5,29 @@ and the ordering must stay a clean permutation of the registry."""
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from compass_query_optimizer_spark.registry import _SAMPLE_PRIORITY, all_queries
 
-# every entry with no driver sample in CORRECTNESS_r01..r04 — these need
-# their first hard evidence, so they must be reachable by a 50-entry prefix
-NEVER_SAMPLED_THROUGH_R4 = {
-    "dedup_embedding_lsh", "text_stratified_sample", "text_pack_sequences",
-    "pipeline_curate", "text_mixture_sample", "text_vocabulary",
-    "text_source_cap", "text_quality_percentile", "text_percentile_approx",
-    "text_ngram_profile", "text_length_histogram", "text_repetition",
-    "text_contamination", "emb_kmeans_iter", "emb_quantize_int8",
-    "emb_standardize", "stream_enrich_join", "stream_dedup_events",
-    "stream_stream_join", "stream_session_window",
+# entries whose implementation or oracle changed in round 6 — each needs a
+# fresh driver row this round, so they lead the prefix
+CHANGED_THIS_ROUND = {
+    "dedup_semantic",      # hyperplane-LSH cell assignment (was centroids)
+    "emb_pca_power",       # exact integer division via the div operator
+    "text_lm_perplexity",  # guarded char-position sequence
+    "text_dsir_weights",   # guarded bigram-position sequence
 }
+
+
+def _driver_sampled() -> set:
+    """Every query name with a driver row in any recorded round."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    names: set = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        names |= set(json.load(open(path)))
+    return names
 
 
 def test_priority_names_all_registered():
@@ -27,12 +37,38 @@ def test_priority_names_all_registered():
     assert len(set(_SAMPLE_PRIORITY)) == len(_SAMPLE_PRIORITY), "duplicates"
 
 
-def test_unsampled_entries_fit_driver_prefix():
+def test_prefix_serves_the_evidence_gap():
+    """The 50-entry prefix must (a) re-sample everything changed this
+    round, (b) spend its remaining slots on entries whose newest driver
+    evidence is oldest — concretely, every prefix slot not taken by a
+    changed entry or job_corpus goes to an entry that was NOT sampled in
+    the latest recorded round."""
     prefix = list(all_queries())[:50]
-    missing = NEVER_SAMPLED_THROUGH_R4 - set(prefix)
-    assert not missing, f"never-sampled entries outside the prefix: {missing}"
-    # the one round-4 red row must get re-sampled after its oracle fix
-    assert "events_variant_extract" in prefix
+    missing = CHANGED_THIS_ROUND - set(prefix)
+    assert not missing, f"round-6-changed entries outside the prefix: {missing}"
+
+    # pinned to the round this rotation was designed against (re-pin when
+    # re-rotating the priority list next round)
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest = set(json.load(open(os.path.join(root, "CORRECTNESS_r05.json"))))
+    rotated = [
+        n for n in prefix
+        if n not in CHANGED_THIS_ROUND and n != "job_corpus"
+    ]
+    stale = [n for n in rotated if n in latest]
+    assert not stale, (
+        f"prefix slots wasted on entries already green last round: {stale}"
+    )
+
+
+def test_every_registered_query_has_driver_evidence_or_prefix_slot():
+    """No registered query may be unsampled across all recorded rounds AND
+    outside the sampling prefix — that combination means it can never earn
+    driver evidence."""
+    names = list(all_queries())
+    sampled = _driver_sampled()
+    orphans = [n for n in names if n not in sampled and n not in names[:50]]
+    assert not orphans, f"queries that can never be sampled: {orphans}"
 
 
 def test_order_is_a_permutation_of_the_registry():

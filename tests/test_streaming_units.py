@@ -100,6 +100,40 @@ def test_kafka_ingest_gate_and_call_shape(spark, tmp_path):
         )
 
 
+def test_kafka_source_options_exact_map():
+    """The option map handed to Spark's Kafka source, key by key — the
+    connector silently ignores unknown options, so a typo'd key would
+    otherwise only surface on a live cluster."""
+    from compass_query_optimizer_spark.streaming.ingest import (
+        kafka_source_options,
+    )
+
+    assert kafka_source_options("h1:9092,h2:9092", "events") == {
+        "kafka.bootstrap.servers": "h1:9092,h2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+    }
+    got = kafka_source_options(
+        "h:9092",
+        "events",
+        starting_offsets='{"events":{"0":42}}',  # per-partition JSON form
+        max_offsets_per_trigger=10_000,
+        fail_on_data_loss=False,
+    )
+    assert got == {
+        "kafka.bootstrap.servers": "h:9092",
+        "subscribe": "events",
+        "startingOffsets": '{"events":{"0":42}}',
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    # every value must already be a string: readStream.options() would
+    # otherwise stringify python bools as 'True'/'False', which Kafka's
+    # option parser rejects
+    assert all(isinstance(v, str) for v in got.values())
+
+
 def test_file_ingest_roundtrip(spark, tmp_path):
     """File-drop CSV ingest drains into a parquet sink table (the
     StreamImporter analog) with availableNow."""
