@@ -78,6 +78,10 @@ HEADLINE = [
     "text_lm_perplexity",         # char-LM perplexity quality bands
     "events_sessionize",          # batch 30-min-gap sessionization
     "text_chunk",                 # overlapping RAG chunking histogram
+    "events_gap_fill",            # hourly grid + forward-fill densification
+    "text_winnowing",             # SIGMOD'03 winnowing fingerprint pairs
+    "dedup_bloom",                # Bloom-join dedup prefilter
+    "emb_prefix_norm",            # Matryoshka truncation audit
 ]
 
 MAX_WORKERS = 6  # A/B worker threads; per_query walls are N-way-concurrent

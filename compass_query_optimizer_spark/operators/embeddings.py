@@ -370,3 +370,82 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# prefix dims audited: how much of each vector's energy the first k
+# dimensions carry (Matryoshka truncation quality, Kusupati et al.,
+# NeurIPS'22 — MRL-trained embeddings front-load information so serving
+# can truncate; this measures whether a given corpus's vectors actually do)
+PREFIX_KS = (8, 16, 32)
+PREFIX_GOOD = 0.9  # "k dims suffice" threshold on the norm ratio
+
+
+@query(
+    "emb_prefix_norm",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    r AS (
+      SELECT vec_id, ks.k AS k,
+             sqrt(CAST(list_sum(list_transform(qv[1:ks.k], x -> x * x)) AS DOUBLE))
+               / sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+               AS ratio
+      FROM q CROSS JOIN (VALUES {", ".join(f"({k})" for k in PREFIX_KS)}) AS ks(k)
+    )
+    SELECT k,
+           ROUND(AVG(ratio), 4) AS avg_ratio,
+           ROUND(MIN(ratio), 6) AS min_ratio,
+           CAST(SUM(CASE WHEN ratio >= {PREFIX_GOOD} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           COUNT(*) AS n_vectors
+    FROM r GROUP BY k ORDER BY k
+    """,
+    doc="Matryoshka-style truncation audit: per vector, the fraction of "
+    f"L2 norm captured by the first k dims (k in {PREFIX_KS}); reports "
+    f"avg/min ratio and how many vectors clear {PREFIX_GOOD} per k — the "
+    "go/no-go check before serving truncated embeddings. Per-vector "
+    "ratios are sqrt/div over EXACT integer sums (bit-identical doubles "
+    "in both engines); one scan, one k-keyed aggregate, zero joins",
+    tags=("embedding", "quality"),
+)
+def emb_prefix_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_tables(spark, sf_dir)["embeddings"])
+    qv = quantized(F.col("embedding"))
+
+    def _sq_sum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        )
+
+    full = _sq_sum(qv)
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    (
+                        F.sqrt(_sq_sum(F.slice(qv, 1, k)).cast("double"))
+                        / F.sqrt(full.cast("double"))
+                    ).alias("ratio"),
+                )
+                for k in PREFIX_KS
+            ]
+        )
+    )
+    r = emb.select(bands.alias("b")).select("b.k", "b.ratio")
+    return (
+        r.groupBy("k")
+        .agg(
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.sum(
+                F.when(F.col("ratio") >= PREFIX_GOOD, 1).otherwise(0)
+            ).cast("long").alias("n_good"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("k")
+    )

@@ -798,3 +798,70 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+@query(
+    "events_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             AVG(value) AS v
+      FROM events GROUP BY event_type, hr
+    ),
+    span AS (
+      SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly
+      GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type,
+             UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM span
+    ),
+    joined AS (
+      SELECT g.event_type, g.hr, h.v
+      FROM grid g LEFT JOIN hourly h USING (event_type, hr)
+    )
+    SELECT event_type, hr,
+           ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS avg_value,
+           (v IS NULL) AS filled
+    FROM joined
+    ORDER BY event_type, hr
+    """,
+    doc="time-series gap filling: per-series hourly grid over the observed "
+    "span, missing buckets forward-filled from the last observation — the "
+    "standard densification step before resampling/feature windows "
+    "(Postgres/Timescale time_bucket_gapfill + locf shape). The grid "
+    "explode is bounded by each series' own span, the carry window is "
+    "series-keyed (no SinglePartition), and raw events reduce to "
+    "(series, hour) aggregates before any join",
+    tags=("temporal", "analytics", "gapfill"),
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    hourly = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hr"),
+    ).agg(F.avg("value").alias("v"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    joined = grid.join(hourly, ["event_type", "hr"], "left")
+    carry = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        "event_type",
+        "hr",
+        F.round(F.last("v", ignorenulls=True).over(carry), 4).alias("avg_value"),
+        F.col("v").isNull().alias("filled"),
+    ).orderBy("event_type", "hr")

@@ -1478,3 +1478,126 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the MOSS
+# algorithm): hash every K-char gram, slide a W-hash window, keep each
+# window's minimum. Guarantees any shared substring of length >= K+W-1
+# produces a shared fingerprint, while storing only ~2/(W+1) of the gram
+# hashes — the classic local dedup/plagiarism index.
+# ---------------------------------------------------------------------------
+WINNOW_K = 8     # gram width (chars)
+WINNOW_W = 4     # hashes per winnowing window
+WINNOW_MAX_DF = 10   # drop fingerprints shared by more docs (stop-grams)
+WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many prints
+
+
+@query(
+    "text_winnowing",
+    f"""
+    WITH base AS (
+      SELECT doc_id, LOWER(text) AS lt FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, GREATEST(len(lt) - {WINNOW_K} + 1, 0) + 1),
+               i -> {duck_portable_hash(f"substr(lt, i, {WINNOW_K})")}
+             ) AS hs
+      FROM base
+    ),
+    prints AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(len(hs) - {WINNOW_W} + 1, 0) + 1),
+               j -> list_min(hs[j:j + {WINNOW_W} - 1])
+             )) AS fps
+      FROM hashes
+    ),
+    fp AS (
+      SELECT doc_id, UNNEST(fps) AS fp FROM prints
+    ),
+    rare AS (
+      SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAX_DF}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+      FROM fp a
+      JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      WHERE a.fp IN (SELECT fp FROM rare)
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, shared_fps FROM pairs
+    WHERE shared_fps >= {WINNOW_MIN_SHARED}
+    ORDER BY id_a, id_b
+    """,
+    doc="winnowing fingerprint near-dup candidates (Schleimer et al., "
+    f"SIGMOD'03): {WINNOW_K}-char gram hashes, window-of-{WINNOW_W} "
+    "minima, distinct per doc — any shared run of >= "
+    f"{WINNOW_K + WINNOW_W - 1} chars yields a shared print. Gram "
+    "hashing is a codegen explode projected to (doc, pos, hash) in the "
+    "scan stage; the window minimum is a doc-keyed sliding frame; then "
+    f"a fingerprint-keyed equi-join bounded by a df <= {WINNOW_MAX_DF} "
+    "stop-gram filter caps per-key fan-out at any corpus size (the "
+    "hot-key guard PPJoin gets from prefix filtering)",
+    tags=("text", "dedup", "winnowing"),
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    # gram hashing runs on EXPLODED positions, not inside an array
+    # higher-order transform: HOF lambdas are interpreted expression eval
+    # (no whole-stage codegen), and ~1.5k md5s per doc that way measured
+    # 189 s at sf0.01 vs ~4 s for this codegen explode (the
+    # _plane_dot_codes lesson). The exploded rows project down to
+    # (doc_id, i, 48-bit hash) in the scan stage — gram text never
+    # crosses an exchange.
+    lowered = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
+    grams = lowered.select(
+        "doc_id",
+        F.explode(
+            char_positions(F.col("lt"), last_offset=-(WINNOW_K - 1))
+        ).alias("i"),
+        "lt",
+    ).select(
+        "doc_id",
+        "i",
+        spark_portable_hash(
+            F.substring(F.col("lt"), F.col("i"), WINNOW_K)
+        ).alias("h"),
+    )
+    # winnowing minimum per sliding window, doc-keyed (no SinglePartition):
+    # frame = this gram + the next W-1; frames that run off the doc's end
+    # (fewer than W rows) are not windows and are dropped via the count
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.currentRow, WINNOW_W - 1
+    )
+    # materialized once: three consumers (the df filter + both join sides)
+    # would otherwise each re-run the gram scan + window + distinct
+    fp = (
+        grams.select(
+            "doc_id",
+            F.min("h").over(w).alias("fp"),
+            F.count(F.lit(1)).over(w).alias("nf"),
+        )
+        .filter(F.col("nf") == WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint()
+    )
+    rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= WINNOW_MAX_DF
+    )
+    kept = fp.join(rare.select("fp"), "fp")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )

@@ -260,3 +260,126 @@ def docs_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("valid_from", "valid_to")
     )
+
+
+# Bloom-filter dedup prefilter: BITS cells, BLOOM_K salted hash positions
+# per fingerprint. The filter is a <= BITS-element sorted position array —
+# KILOBYTES regardless of corpus size — so at 100 TB the standing corpus
+# reduces to one broadcastable bitmap and only bloom HITS (true dups +
+# ~(fill)^k false positives) ever reach the exact verify join; the misses,
+# the overwhelming majority of a fresh crawl, never shuffle at all. This is
+# the classic Bloom-join pattern (Bloom CACM'70; Mullin TSE'90).
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def _bloom_positions(fp_col, engine: str):
+    """The BLOOM_K salted cell positions of a fingerprint, as expressions.
+
+    Spark form returns a list of Columns; DuckDB form a list of SQL
+    fragments — identical md5-derived arithmetic, so the driver oracle
+    reproduces the filter bit-for-bit."""
+    from compass_query_optimizer_spark.functions.hashing import (
+        duck_portable_hash,
+        spark_portable_hash,
+    )
+
+    if engine == "spark":
+        return [
+            spark_portable_hash(F.concat(F.lit(f"bloom{j}-"), fp_col))
+            % BLOOM_BITS
+            for j in range(BLOOM_K)
+        ]
+    out = []
+    for j in range(BLOOM_K):
+        salted = f"'bloom{j}-' || {fp_col}"
+        out.append(f"({duck_portable_hash(salted)} % {BLOOM_BITS})")
+    return out
+
+
+def _bloom_oracle() -> str:
+    pos_list = ", ".join(_bloom_positions("fp", "duck"))
+    return f"""
+    WITH corpus AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM corpus, UNNEST([{pos_list}]) AS t(pos)
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, md5(text) AS fp
+      FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+    ),
+    probed AS (
+      SELECT doc_id, fp,
+             (SELECT COUNT(*) FROM bits WHERE pos IN ({pos_list}))
+               = {BLOOM_K} AS bloom_hit
+      FROM batch
+    ),
+    dup AS (SELECT DISTINCT fp FROM corpus)
+    SELECT p.doc_id, p.bloom_hit,
+           (p.bloom_hit AND d.fp IS NOT NULL) AS is_dup
+    FROM probed p LEFT JOIN dup d ON p.bloom_hit AND p.fp = d.fp
+    ORDER BY p.doc_id
+    """
+
+
+@query(
+    "dedup_bloom",
+    _bloom_oracle,  # deferred (cheap, but keeps f-string noise out of import)
+    doc="Bloom-join dedup prefilter: the standing corpus folds into a "
+    f"{BLOOM_BITS}-cell / {BLOOM_K}-hash Bloom filter (a sorted position "
+    "array, kilobytes at ANY corpus size) that is broadcast over the "
+    "arrival batch; only bloom hits reach the exact fingerprint "
+    "semi-join, so misses never shuffle. Reports per batch doc the bloom "
+    "verdict and the exact verdict — every true dup must be a bloom hit "
+    "(no false negatives), extra hits are the filter's bounded false-"
+    "positive rate",
+    tags=("dedup", "versioning", "bloom"),
+)
+def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.md5("text").alias("fp")
+    )
+    # the filter: distinct occupied cells, one sorted array row (<= BITS)
+    bits = (
+        corpus.select(
+            F.explode(F.array(*_bloom_positions(F.col("fp"), "spark"))).alias(
+                "pos"
+            )
+        )
+        .agg(F.array_sort(F.collect_set("pos")).alias("bloom"))
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    ).unionByName(
+        docs.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0))
+        .select((F.col("doc_id") + 500000).alias("doc_id"), F.md5("text").alias("fp"))
+    )
+    probe_pos = _bloom_positions(F.col("fp"), "spark")
+    hit = None
+    for p in probe_pos:
+        c = F.array_contains(F.col("bloom"), p)
+        hit = c if hit is None else (hit & c)
+    probed = batch.crossJoin(F.broadcast(bits)).select(
+        "doc_id", "fp", hit.alias("bloom_hit")
+    )
+    # exact verify ONLY for bloom hits: the miss rows skip the join
+    dup = corpus.distinct().withColumn("__seen", F.lit(1))
+    verified = (
+        probed.filter(F.col("bloom_hit"))
+        .join(dup, "fp", "left")
+        .select("doc_id", F.col("__seen").isNotNull().alias("is_dup"))
+    )
+    return (
+        probed.join(verified, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -61,6 +61,11 @@ _SAMPLE_PRIORITY = [
     "emb_pca_power",       # exact integer division (div operator)
     "text_lm_perplexity",  # guarded char-position sequence
     "text_dsir_weights",   # guarded bigram-position sequence
+    # -- new in round 6: first driver exposure --
+    "events_gap_fill",     # hourly grid + forward fill
+    "text_winnowing",      # SIGMOD'03 winnowing fingerprints
+    "emb_prefix_norm",     # Matryoshka truncation audit
+    "dedup_bloom",         # Bloom-join dedup prefilter
     # -- round-6 rotation: every round-5 prefix entry passed first
     # exposure, so the prefix swings back to the tail that has been
     # running on r3/r4 evidence (the TPC-H-ish workload + temporal/dedup
@@ -106,15 +111,15 @@ _SAMPLE_PRIORITY = [
     "dedup_incremental",
     "docs_snapshot_diff",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "sim_ann_ivf",
-    "mm_frame_sample",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
     # -- next-round rotation candidates (past the prefix this round;
     # r3/r4 driver-green and covered by the local differential) --
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "sim_ann_ivf",
+    "mm_frame_sample",
     "temporal_asof_forward",
     "events_anomaly",
     "events_windowed_topk",

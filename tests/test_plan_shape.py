@@ -231,3 +231,44 @@ def test_dsir_models_broadcast(spark):
     plan = formatted_plan(spark, "text_dsir_weights")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_gap_fill_windows_are_series_keyed(spark):
+    """Gap filling parallelizes by series: the forward-fill carry window
+    partitions on event_type, never a global (SinglePartition) window, and
+    raw events reduce to (series, hour) aggregates before the grid join."""
+    plan = formatted_plan(spark, "events_gap_fill")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_winnowing_gram_pass_is_codegen_and_doc_keyed(spark):
+    """The gram hash pass must be a codegen explode (a higher-order
+    transform would interpret ~1.5k md5s per doc — measured 12x slower),
+    the winnow window doc-keyed, and document text must never cross an
+    exchange (rows project to (doc, pos, 48-bit hash) scan-side)."""
+    plan = formatted_plan(spark, "text_winnowing")
+    assert "SinglePartition" not in plan
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and ("text" in line or " lt" in line):
+            raise AssertionError(f"document text crosses an exchange: {line}")
+
+
+def test_prefix_norm_is_one_scan_no_joins(spark):
+    """The truncation audit is a scan + k-keyed aggregate: no join, no
+    window, nothing corpus-sized ever built or broadcast."""
+    plan = formatted_plan(spark, "emb_prefix_norm")
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_bloom_filter_build_side_is_bounded(spark):
+    """The Bloom bitmap is ONE aggregated row (<= 4096 positions) — the
+    only nested-loop/broadcast in the plan is that single-row bitmap
+    attach; the exact verify is a keyed equi-join, never a cartesian
+    product over corpus rows."""
+    plan = formatted_plan(spark, "dedup_bloom")
+    assert "CartesianProduct" not in plan
+    # the bitmap attach is a broadcast of a 1-row aggregate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
