@@ -299,6 +299,15 @@ def _bloom_positions(fp_col, engine: str):
 
 def _bloom_oracle() -> str:
     pos_list = ", ".join(_bloom_positions("fp", "duck"))
+    # per-position membership, ANDed — NOT "count of matching cells == K":
+    # if two of a fingerprint's K salted positions collide, they occupy one
+    # cell and a distinct-count formulation would report a false negative
+    # for a true duplicate (and diverge from the Spark side's per-position
+    # array_contains conjunction)
+    hit = " AND ".join(
+        f"({p} IN (SELECT pos FROM bits))"
+        for p in _bloom_positions("fp", "duck")
+    )
     return f"""
     WITH corpus AS (
       SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0
@@ -313,9 +322,7 @@ def _bloom_oracle() -> str:
       FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
     ),
     probed AS (
-      SELECT doc_id, fp,
-             (SELECT COUNT(*) FROM bits WHERE pos IN ({pos_list}))
-               = {BLOOM_K} AS bloom_hit
+      SELECT doc_id, fp, {hit} AS bloom_hit
       FROM batch
     ),
     dup AS (SELECT DISTINCT fp FROM corpus)

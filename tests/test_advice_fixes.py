@@ -326,3 +326,50 @@ def test_orc_schema_drift_catches_parameterized_types(spark, tmp_path):
         T.StructType([T.StructField("amt", T.DecimalType(10, 2))]),
     )
     assert ok.count() == 1
+
+
+# ------------------------------------------------- round-6 self-caught bug
+def test_bloom_oracle_survives_position_collision():
+    """A fingerprint whose K salted positions collide occupies fewer than
+    K distinct cells; a 'count of matching cells == K' oracle would call a
+    true duplicate a bloom MISS (false negative — the one error class a
+    Bloom filter must never make) and diverge from Spark's per-position
+    conjunction. 'probe-496' md5-hashes to positions [2291, 2986, 2986]."""
+    import duckdb
+
+    from compass_query_optimizer_spark.operators.versioning import (
+        BLOOM_K,
+        _bloom_positions,
+    )
+
+    hit = " AND ".join(
+        f"({p} IN (SELECT pos FROM bits))"
+        for p in _bloom_positions("fp", "duck")
+    )
+    pos_list = ", ".join(_bloom_positions("fp", "duck"))
+    con = duckdb.connect()
+    got = con.execute(f"""
+        WITH corpus AS (SELECT md5('probe-496') AS fp),
+        bits AS (
+          SELECT DISTINCT pos FROM corpus, UNNEST([{pos_list}]) AS t(pos)
+        ),
+        batch AS (SELECT md5('probe-496') AS fp)
+        SELECT {hit} AS bloom_hit,
+               (SELECT COUNT(*) FROM bits) AS n_cells
+        FROM batch
+    """).fetchone()
+    assert got[1] == BLOOM_K - 1  # the collision really occupies K-1 cells
+    assert got[0] is True  # ...and the probe must still be a HIT
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every exact duplicate must be a bloom hit, at query level."""
+    from compass_query_optimizer_spark.registry import all_queries
+
+    rows = all_queries()["dedup_bloom"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "batch must be non-empty"
+    assert any(r.is_dup for r in rows), "fixture must exercise true dups"
+    bad = [r.doc_id for r in rows if r.is_dup and not r.bloom_hit]
+    assert not bad, f"bloom false negatives: {bad}"
