@@ -846,22 +846,40 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hr"),
     ).agg(F.avg("value").alias("v"))
-    span = hourly.groupBy("event_type").agg(
-        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    return gap_fill(hourly, series_col="event_type", ts_col="hr", value_col="v")
+
+
+def gap_fill(
+    buckets: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Densify a (series, bucket_ts, value) frame onto each series' own
+    time grid, forward-filling missing buckets from the last observation.
+
+    Returns (series, ts, avg_value ROUND 4, filled). The grid never starts
+    before a series' first observation, so the carry always has a value;
+    the carry window is series-keyed."""
+    span = buckets.groupBy(series_col).agg(
+        F.min(ts_col).alias("h0"), F.max(ts_col).alias("h1")
     )
     grid = span.select(
-        "event_type",
+        series_col,
         F.explode(
-            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("hr"),
+            F.sequence(F.col("h0"), F.col("h1"), F.expr(step))
+        ).alias(ts_col),
     )
-    joined = grid.join(hourly, ["event_type", "hr"], "left")
-    carry = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
+    joined = grid.join(buckets, [series_col, ts_col], "left")
+    carry = Window.partitionBy(series_col).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return joined.select(
-        "event_type",
-        "hr",
-        F.round(F.last("v", ignorenulls=True).over(carry), 4).alias("avg_value"),
-        F.col("v").isNull().alias("filled"),
-    ).orderBy("event_type", "hr")
+        series_col,
+        ts_col,
+        F.round(
+            F.last(value_col, ignorenulls=True).over(carry), 4
+        ).alias("avg_value"),
+        F.col(value_col).isNull().alias("filled"),
+    ).orderBy(series_col, ts_col)

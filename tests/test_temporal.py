@@ -197,3 +197,29 @@ def test_asof_direction_tolerance_bruteforce(spark, seed, direction, tol):
             ]
             want = min(cands)[1] if cands else None
         assert got[i] == want, (i, k, ts, direction, tol)
+
+
+def test_gap_fill_semantics(spark):
+    """Hand-built series: a 3-hour hole carries the last value forward and
+    flags the synthetic rows; each series gets its OWN grid span; a
+    single-bucket series yields exactly one unfilled row."""
+    from compass_query_optimizer_spark.operators.temporal import gap_fill
+
+    buckets = spark.createDataFrame(
+        [
+            ("a", _ts("2026-01-01T00:00:00"), 1.0),
+            ("a", _ts("2026-01-01T04:00:00"), 5.0),  # hole: 01,02,03
+            ("b", _ts("2026-01-01T10:00:00"), 7.0),  # single bucket
+        ],
+        "s string, hr timestamp, v double",
+    )
+    rows = gap_fill(buckets, "s", "hr", "v").collect()
+    got = [(r["s"], r["hr"].hour, r["avg_value"], r["filled"]) for r in rows]
+    assert got == [
+        ("a", 0, 1.0, False),
+        ("a", 1, 1.0, True),
+        ("a", 2, 1.0, True),
+        ("a", 3, 1.0, True),
+        ("a", 4, 5.0, False),
+        ("b", 10, 7.0, False),
+    ]
