@@ -1544,16 +1544,28 @@ WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many prints
     tags=("text", "dedup", "winnowing"),
 )
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_pairs(spread(load_tables(spark, sf_dir)["documents"]))
+
+
+def winnow_pairs(docs: DataFrame) -> DataFrame:
+    """Winnowing near-dup candidate pairs over a (doc_id, text) frame.
+
+    Guarantee (Schleimer et al., SIGMOD'03 §2): any substring shared by
+    two documents of length >= WINNOW_K + WINNOW_W - 1 chars contains at
+    least one full gram window, whose minimum hash both documents select
+    — so the pair shares a fingerprint (tests/test_dedup_baseline.py
+    pins this on hand-built docs).
+
+    Gram hashing runs on EXPLODED positions, not inside an array
+    higher-order transform: HOF lambdas are interpreted expression eval
+    (no whole-stage codegen), and ~1.5k md5s per doc that way measured
+    189 s at sf0.01 vs ~4 s for this codegen explode (the
+    _plane_dot_codes lesson). The exploded rows project down to
+    (doc_id, i, 48-bit hash) in the scan stage — gram text never
+    crosses an exchange.
+    """
     from pyspark.sql.window import Window
 
-    docs = spread(load_tables(spark, sf_dir)["documents"])
-    # gram hashing runs on EXPLODED positions, not inside an array
-    # higher-order transform: HOF lambdas are interpreted expression eval
-    # (no whole-stage codegen), and ~1.5k md5s per doc that way measured
-    # 189 s at sf0.01 vs ~4 s for this codegen explode (the
-    # _plane_dot_codes lesson). The exploded rows project down to
-    # (doc_id, i, 48-bit hash) in the scan stage — gram text never
-    # crosses an exchange.
     lowered = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
     grams = lowered.select(
         "doc_id",

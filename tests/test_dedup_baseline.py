@@ -96,3 +96,66 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing theorem (Schleimer et al. SIGMOD'03): documents
+    sharing a run of >= K+W-1 chars MUST share a fingerprint. Two docs
+    share a 64-char run embedded in different surroundings; a third is
+    unrelated. The shared pair must be reported, with no pair involving
+    the unrelated doc."""
+    from compass_query_optimizer_spark.operators.text import (
+        WINNOW_MIN_SHARED,
+        winnow_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog by the riverbank"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha prelude text {shared} omega postlude material"),
+            (2, f"completely different framing {shared} and other words"),
+            (3, "nothing in common with either of the others whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.shared_fps for r in winnow_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] >= WINNOW_MIN_SHARED
+    assert all({a, b} == {1, 2} for a, b in pairs)
+
+
+def test_semantic_dedup_recall_on_planted_neardups(spark, tmp_path):
+    """Round-6 regression: the hyperplane-cell rewrite must still catch
+    near-duplicates. Plant 20 cosine≈0.999 near-copies among 100 random
+    vectors (noise 0.005/dim: cosine ~0.9992, per-plane agreement
+    ~0.987, same-cell probability ~0.975 at 2 cell bits) — at least
+    18/20 planted dups must be dropped, and every dropped vector must
+    really have a smaller-id >=0.95-cosine partner (soundness: random
+    64-dim unit vectors are nowhere near cosine 0.95)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from compass_query_optimizer_spark.operators.similarity import dedup_semantic
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(100, 64).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    near = base[:20] + 0.005 * rng.randn(20, 64).astype(np.float32)
+    near /= np.linalg.norm(near, axis=1, keepdims=True)
+    vecs = np.vstack([base, near])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    dropped = {
+        r.vec_id for r in dedup_semantic(spark, str(tmp_path)).collect() if not r.kept
+    }
+    # recall: the planted copy (id 100+i, larger than its partner i) drops
+    assert len(dropped & {100 + i for i in range(20)}) >= 18
+    # soundness: nothing outside the planted near-dup set is dropped
+    assert dropped <= {100 + i for i in range(20)}
