@@ -289,6 +289,7 @@ class CompassOptimizer:
         self,
         plan: CompassPlan,
         group_by: list[tuple[str, str]] | None = None,
+        measure: tuple[str, str] | None = None,
     ) -> DataFrame:
         """COUNT(*) of the join via eager aggregation (Yan & Larson,
         "Eager Aggregation and Lazy Aggregation", VLDB 1995; the groupjoin
@@ -313,6 +314,16 @@ class CompassOptimizer:
         and the final aggregate keys on them, so a grouped count over a
         many-way join still never materializes join rows. Output columns
         are the bare column names plus ``cnt``.
+
+        ``measure``: optional (alias, col) — generalizes the algebra from
+        COUNT(*) to SUM(alias.col) (Yan & Larson's class-1 aggregates):
+        the measure table collapses to (keys → cnt, Σ col), every OTHER
+        table still collapses to (keys → cnt), and the chain carries
+        ``__sum`` alongside ``__cnt`` — multiplied by the partner's
+        multiplicity at each join, summed at each re-aggregation. SUM over
+        the join == Σ(per-key sums × Π other multiplicities) exactly; the
+        empty join yields NULL (SQL SUM semantics), matching the plain
+        plan. Adds ``sum_val`` before ``cnt`` to the output columns.
         """
         import re as _re
 
@@ -349,12 +360,23 @@ class CompassOptimizer:
                 for c in sorted(needed[alias])
                 if c in f.columns
             ]
-            g = f.select(*keys) if keys else f
-            agg = (
-                g.groupBy(*g.columns).agg(F.count(F.lit(1)).alias("__cnt_new"))
-                if keys
-                else g.agg(F.count(F.lit(1)).alias("__cnt_new"))
-            )
+            aggs = [F.count(F.lit(1)).alias("__cnt_new")]
+            if measure is not None and alias == measure[0]:
+                # the measure column is aggregated, never grouped — select
+                # it under a private name so it can coincide with a key
+                keys = keys + [F.col(measure[1]).alias("__mval")]
+                aggs.append(F.sum("__mval").alias("__sum_new"))
+                g = f.select(*keys)
+                agg = g.groupBy(
+                    *[c for c in g.columns if c != "__mval"]
+                ).agg(*aggs) if len(g.columns) > 1 else g.agg(*aggs)
+            else:
+                g = f.select(*keys) if keys else f
+                agg = (
+                    g.groupBy(*g.columns).agg(*aggs)
+                    if keys
+                    else g.agg(*aggs)
+                )
             if (
                 alias in plan.pushdown.materialized
                 and plan.pushdown.stats[alias].rows <= self.config.broadcast_rows
@@ -363,6 +385,8 @@ class CompassOptimizer:
             frames[alias] = agg
 
         joined = frames[order[0]].withColumnRenamed("__cnt_new", "__cnt")
+        if "__sum_new" in joined.columns:
+            joined = joined.withColumnRenamed("__sum_new", "__sum")
         in_chain = {order[0]}
         remaining = set(order[1:])
         for alias in order[1:]:
@@ -379,6 +403,20 @@ class CompassOptimizer:
                 for c in conds[1:]:
                     cond = cond & c
                 joined = joined.join(frames[alias], cond)
+            if measure is not None and alias == measure[0]:
+                # the incoming side owns the measure: each prefix row's
+                # count multiplies the per-key sum (Σ x over the matching
+                # measure rows), and the running count picks up the
+                # measure table's multiplicity as usual
+                joined = joined.withColumn(
+                    "__sum", F.col("__cnt") * F.col("__sum_new")
+                ).drop("__sum_new")
+            elif "__sum" in joined.columns:
+                # measure already in the prefix: the partner's multiplicity
+                # scales the running sum exactly as it scales the count
+                joined = joined.withColumn(
+                    "__sum", F.col("__sum") * F.col("__cnt_new")
+                )
             joined = joined.withColumn(
                 "__cnt", F.col("__cnt") * F.col("__cnt_new")
             ).drop("__cnt_new")
@@ -403,22 +441,29 @@ class CompassOptimizer:
                 if al in in_chain:
                     keep.add(f"{al}__{col}")
             keep &= set(joined.columns)
-            if set(joined.columns) - keep - {"__cnt"}:
+            if set(joined.columns) - keep - {"__cnt", "__sum"}:
+                aggs = [F.sum("__cnt").alias("__cnt")]
+                if "__sum" in joined.columns:
+                    aggs.append(F.sum("__sum").alias("__sum"))
                 if keep:
-                    joined = joined.groupBy(*sorted(keep)).agg(
-                        F.sum("__cnt").alias("__cnt")
-                    )
+                    joined = joined.groupBy(*sorted(keep)).agg(*aggs)
                 elif remaining:
-                    joined = joined.agg(F.sum("__cnt").alias("__cnt"))
+                    joined = joined.agg(*aggs)
 
         for residual in spec.post_filters:
             joined = joined.filter(_rewrite_residual(residual, spec))
+        final_aggs = []
+        if measure is not None:
+            # SQL SUM semantics: NULL over the empty join, like the plain
+            # plan and the oracle — no coalesce
+            final_aggs.append(F.sum("__sum").alias("sum_val"))
         if group_by:
             return joined.groupBy(
                 *[F.col(f"{al}__{col}").alias(col) for al, col in group_by]
-            ).agg(F.sum("__cnt").alias("cnt"))
+            ).agg(*final_aggs, F.sum("__cnt").alias("cnt"))
         return joined.agg(
-            F.coalesce(F.sum("__cnt"), F.lit(0).cast("long")).alias("cnt")
+            *final_aggs,
+            F.coalesce(F.sum("__cnt"), F.lit(0).cast("long")).alias("cnt"),
         )
 
     def execute_count(
@@ -431,13 +476,16 @@ class CompassOptimizer:
         count_cache_tag: str | None = None,
         eager: bool | None = None,
         group_by: list[tuple[str, str]] | None = None,
+        measure: tuple[str, str] | None = None,
     ) -> DataFrame:
         """The reference's benchmark form: COUNT(*) of the join.
 
         ``eager`` selects the eager-aggregation count plan
         (:meth:`build_count_join`, default; SPARK_GRAFT_EAGER_COUNT=0
         falls back to counting the raw join). ``group_by`` [(alias, col),
-        ...] computes the grouped form (bare column names + ``cnt``)."""
+        ...] computes the grouped form (bare column names + ``cnt``).
+        ``measure`` (alias, col) adds SUM(alias.col) as ``sum_val``
+        through the same algebra (see :meth:`build_count_join`)."""
         import os
 
         plan = self.plan(
@@ -460,10 +508,15 @@ class CompassOptimizer:
             # algebra most.
             eager = os.environ.get("SPARK_GRAFT_EAGER_COUNT", "1") != "0"
         if eager:
-            return self.build_count_join(plan, group_by=group_by)
+            return self.build_count_join(plan, group_by=group_by, measure=measure)
         joined = self.build_join(plan)
+        aggs = []
+        if measure is not None:
+            aggs.append(
+                F.sum(F.col(f"{measure[0]}__{measure[1]}")).alias("sum_val")
+            )
         if group_by:
             return joined.groupBy(
                 *[F.col(f"{al}__{col}").alias(col) for al, col in group_by]
-            ).agg(F.count(F.lit(1)).alias("cnt"))
-        return joined.agg(F.count(F.lit(1)).alias("cnt"))
+            ).agg(*aggs, F.count(F.lit(1)).alias("cnt"))
+        return joined.agg(*aggs, F.count(F.lit(1)).alias("cnt"))

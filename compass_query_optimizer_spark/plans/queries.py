@@ -125,3 +125,80 @@ def compass_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .execute_count(GROUPED_COUNT_SQL, sf_dir, group_by=[("n", "n_name")])
         .orderBy("n_name")
     )
+
+
+# SUM through the multiplicity chain (Yan & Larson's class-1 aggregates):
+# the measure table collapses to (keys -> cnt, SUM(x)); SUM over the join
+# = Σ per-key sums × Π other tables' multiplicities. Same planner text as
+# the grouped count; the measure rides programmatically.
+SUM_ORACLE = """
+SELECT ROUND(CAST(SUM(l.l_extendedprice) AS DOUBLE), 2) AS sum_rev,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+"""
+
+GROUPED_SUM_ORACLE = """
+SELECT n.n_name,
+       ROUND(CAST(SUM(l.l_extendedprice) AS DOUBLE), 2) AS sum_rev,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query(
+    "compass_sum_multijoin",
+    SUM_ORACLE,
+    doc="SUM(measure) + COUNT(*) over a COMPASS-planned 4-way join via "
+    "eager aggregation (Yan & Larson VLDB'95 class-1): the measure table "
+    "collapses to (keys, cnt, Σx), other tables to (keys, cnt), and the "
+    "chain multiplies the running sum by partner multiplicities — SUM "
+    "over the join without ever materializing join rows. Same answers as "
+    "the plain SQL",
+    tags=("compass", "join", "sum"),
+)
+def compass_sum_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        GROUPED_COUNT_SQL, sf_dir, measure=("l", "l_extendedprice")
+    )
+    return df.select(
+        F.round(F.col("sum_val").cast("double"), 2).alias("sum_rev"), "cnt"
+    )
+
+
+@query(
+    "compass_grouped_sum",
+    GROUPED_SUM_ORACLE,
+    doc="grouped SUM + COUNT over the COMPASS-planned join: group columns "
+    "ride the multiplicity chain, the measure rides as a running "
+    "per-group sum — the eager-aggregation generalization of "
+    "compass_grouped_count",
+    tags=("compass", "join", "sum", "grouped"),
+)
+def compass_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        GROUPED_COUNT_SQL,
+        sf_dir,
+        group_by=[("n", "n_name")],
+        measure=("l", "l_extendedprice"),
+    )
+    return df.select(
+        "n_name",
+        F.round(F.col("sum_val").cast("double"), 2).alias("sum_rev"),
+        "cnt",
+    ).orderBy("n_name")

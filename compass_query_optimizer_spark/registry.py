@@ -66,6 +66,8 @@ _SAMPLE_PRIORITY = [
     "text_winnowing",      # SIGMOD'03 winnowing fingerprints
     "emb_prefix_norm",     # Matryoshka truncation audit
     "dedup_bloom",         # Bloom-join dedup prefilter
+    "compass_sum_multijoin",  # eager SUM through the multiplicity chain
+    "compass_grouped_sum",    # grouped eager SUM
     # -- round-6 rotation: every round-5 prefix entry passed first
     # exposure, so the prefix swings back to the tail that has been
     # running on r3/r4 evidence (the TPC-H-ish workload + temporal/dedup
@@ -108,14 +110,14 @@ _SAMPLE_PRIORITY = [
     "events_funnel",
     "events_retention",
     "events_json_extract",
-    "dedup_incremental",
-    "docs_snapshot_diff",
     "dedup_minhash_lsh",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
     # -- next-round rotation candidates (past the prefix this round;
     # r3/r4 driver-green and covered by the local differential) --
+    "dedup_incremental",
+    "docs_snapshot_diff",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "sim_ann_ivf",

@@ -161,3 +161,63 @@ def test_compass_raw_mode_same_answers(spark, oracle_counts):
     sample = _SUBSET[::8]
     got = dict(run_corpus(spark, mode="compass_raw", query_ids=sample))
     assert got == {q: oracle_counts[q] for q in sample}
+
+
+def test_eager_sum_matches_raw_join(spark):
+    """The SUM generalization of the multiplicity algebra: eager
+    SUM(measure) must equal the raw-join SUM to double precision, grouped
+    and ungrouped, including when the mid-chain re-aggregation fires
+    (forced with eager_reagg_min_rows=0). The measure column must never
+    appear in any group key."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+    from compass_query_optimizer_spark.plans.queries import GROUPED_COUNT_SQL
+
+    sf = "/root/testdata/sf0.001"
+    opt = CompassOptimizer(spark, config=PushdownConfig(eager_reagg_min_rows=0.0))
+    measure = ("l", "l_extendedprice")
+
+    e = opt.execute_count(
+        GROUPED_COUNT_SQL, sf, measure=measure, eager=True
+    ).collect()[0]
+    p = opt.execute_count(
+        GROUPED_COUNT_SQL, sf, measure=measure, eager=False
+    ).collect()[0]
+    assert e["cnt"] == p["cnt"] > 0
+    assert abs(e["sum_val"] - p["sum_val"]) <= 1e-6 * abs(p["sum_val"])
+
+    eg = {
+        r["n_name"]: (r["sum_val"], r["cnt"])
+        for r in opt.execute_count(
+            GROUPED_COUNT_SQL, sf, group_by=[("n", "n_name")],
+            measure=measure, eager=True,
+        ).collect()
+    }
+    pg = {
+        r["n_name"]: (r["sum_val"], r["cnt"])
+        for r in opt.execute_count(
+            GROUPED_COUNT_SQL, sf, group_by=[("n", "n_name")],
+            measure=measure, eager=False,
+        ).collect()
+    }
+    assert eg.keys() == pg.keys() and eg
+    for k in eg:
+        assert eg[k][1] == pg[k][1]
+        assert abs(eg[k][0] - pg[k][0]) <= 1e-6 * abs(pg[k][0])
+
+
+def test_eager_sum_empty_join_is_null(spark):
+    """SQL SUM semantics over the empty join: sum_val NULL, cnt 0 —
+    exactly what the plain plan and any SQL engine produce."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    sql = """
+    SELECT COUNT(*) AS cnt
+    FROM lineitem l, orders o
+    WHERE l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'NO_SUCH'
+    """
+    row = CompassOptimizer(spark).execute_count(
+        sql, "/root/testdata/sf0.001", measure=("l", "l_extendedprice"),
+        eager=True,
+    ).collect()[0]
+    assert row["cnt"] == 0 and row["sum_val"] is None
