@@ -290,6 +290,7 @@ class CompassOptimizer:
         plan: CompassPlan,
         group_by: list[tuple[str, str]] | None = None,
         measure: tuple[str, str] | None = None,
+        measure_op: str = "sum",
     ) -> DataFrame:
         """COUNT(*) of the join via eager aggregation (Yan & Larson,
         "Eager Aggregation and Lazy Aggregation", VLDB 1995; the groupjoin
@@ -316,14 +317,23 @@ class CompassOptimizer:
         are the bare column names plus ``cnt``.
 
         ``measure``: optional (alias, col) — generalizes the algebra from
-        COUNT(*) to SUM(alias.col) (Yan & Larson's class-1 aggregates):
-        the measure table collapses to (keys → cnt, Σ col), every OTHER
-        table still collapses to (keys → cnt), and the chain carries
-        ``__sum`` alongside ``__cnt`` — multiplied by the partner's
-        multiplicity at each join, summed at each re-aggregation. SUM over
-        the join == Σ(per-key sums × Π other multiplicities) exactly; the
-        empty join yields NULL (SQL SUM semantics), matching the plain
-        plan. Adds ``sum_val`` before ``cnt`` to the output columns.
+        COUNT(*) to ``measure_op``(alias.col):
+
+        - ``sum`` (Yan & Larson's class-1): the measure table collapses
+          to (keys → cnt, Σ col), every OTHER table still collapses to
+          (keys → cnt), and the chain carries ``__agg`` alongside
+          ``__cnt`` — multiplied by the partner's multiplicity at each
+          join, summed at each re-aggregation. SUM over the join ==
+          Σ(per-key sums × Π other multiplicities) exactly. AVG follows
+          for free as agg_val / cnt.
+        - ``min`` / ``max`` (class-2, duplicate-insensitive): the measure
+          table collapses to per-key extremes; partner multiplicities are
+          irrelevant, so the chain carries ``__agg`` through joins
+          untouched and re-aggregations take the extreme. MIN/MAX over
+          the join == extreme over SURVIVING key combinations exactly.
+
+        All ops yield NULL over the empty join (SQL semantics), matching
+        the plain plan. Adds ``agg_val`` before ``cnt`` to the output.
         """
         import re as _re
 
@@ -362,10 +372,11 @@ class CompassOptimizer:
             ]
             aggs = [F.count(F.lit(1)).alias("__cnt_new")]
             if measure is not None and alias == measure[0]:
+                mfn = {"sum": F.sum, "min": F.min, "max": F.max}[measure_op]
                 # the measure column is aggregated, never grouped — select
                 # it under a private name so it can coincide with a key
                 keys = keys + [F.col(measure[1]).alias("__mval")]
-                aggs.append(F.sum("__mval").alias("__sum_new"))
+                aggs.append(mfn("__mval").alias("__agg_new"))
                 g = f.select(*keys)
                 agg = g.groupBy(
                     *[c for c in g.columns if c != "__mval"]
@@ -385,8 +396,8 @@ class CompassOptimizer:
             frames[alias] = agg
 
         joined = frames[order[0]].withColumnRenamed("__cnt_new", "__cnt")
-        if "__sum_new" in joined.columns:
-            joined = joined.withColumnRenamed("__sum_new", "__sum")
+        if "__agg_new" in joined.columns:
+            joined = joined.withColumnRenamed("__agg_new", "__agg")
         in_chain = {order[0]}
         remaining = set(order[1:])
         for alias in order[1:]:
@@ -404,18 +415,22 @@ class CompassOptimizer:
                     cond = cond & c
                 joined = joined.join(frames[alias], cond)
             if measure is not None and alias == measure[0]:
-                # the incoming side owns the measure: each prefix row's
-                # count multiplies the per-key sum (Σ x over the matching
-                # measure rows), and the running count picks up the
-                # measure table's multiplicity as usual
+                # the incoming side owns the measure. sum: each prefix
+                # row's count multiplies the per-key sum (Σ x over the
+                # matching measure rows); min/max are duplicate-
+                # insensitive — the prefix count is irrelevant
                 joined = joined.withColumn(
-                    "__sum", F.col("__cnt") * F.col("__sum_new")
-                ).drop("__sum_new")
-            elif "__sum" in joined.columns:
+                    "__agg",
+                    F.col("__cnt") * F.col("__agg_new")
+                    if measure_op == "sum"
+                    else F.col("__agg_new"),
+                ).drop("__agg_new")
+            elif "__agg" in joined.columns and measure_op == "sum":
                 # measure already in the prefix: the partner's multiplicity
                 # scales the running sum exactly as it scales the count
+                # (min/max pass through joins untouched)
                 joined = joined.withColumn(
-                    "__sum", F.col("__sum") * F.col("__cnt_new")
+                    "__agg", F.col("__agg") * F.col("__cnt_new")
                 )
             joined = joined.withColumn(
                 "__cnt", F.col("__cnt") * F.col("__cnt_new")
@@ -441,10 +456,11 @@ class CompassOptimizer:
                 if al in in_chain:
                     keep.add(f"{al}__{col}")
             keep &= set(joined.columns)
-            if set(joined.columns) - keep - {"__cnt", "__sum"}:
+            if set(joined.columns) - keep - {"__cnt", "__agg"}:
+                mfn = {"sum": F.sum, "min": F.min, "max": F.max}[measure_op]
                 aggs = [F.sum("__cnt").alias("__cnt")]
-                if "__sum" in joined.columns:
-                    aggs.append(F.sum("__sum").alias("__sum"))
+                if "__agg" in joined.columns:
+                    aggs.append(mfn("__agg").alias("__agg"))
                 if keep:
                     joined = joined.groupBy(*sorted(keep)).agg(*aggs)
                 elif remaining:
@@ -454,9 +470,10 @@ class CompassOptimizer:
             joined = joined.filter(_rewrite_residual(residual, spec))
         final_aggs = []
         if measure is not None:
-            # SQL SUM semantics: NULL over the empty join, like the plain
-            # plan and the oracle — no coalesce
-            final_aggs.append(F.sum("__sum").alias("sum_val"))
+            mfn = {"sum": F.sum, "min": F.min, "max": F.max}[measure_op]
+            # SQL aggregate semantics: NULL over the empty join, like the
+            # plain plan and the oracle — no coalesce
+            final_aggs.append(mfn("__agg").alias("agg_val"))
         if group_by:
             return joined.groupBy(
                 *[F.col(f"{al}__{col}").alias(col) for al, col in group_by]
@@ -477,6 +494,7 @@ class CompassOptimizer:
         eager: bool | None = None,
         group_by: list[tuple[str, str]] | None = None,
         measure: tuple[str, str] | None = None,
+        measure_op: str = "sum",
     ) -> DataFrame:
         """The reference's benchmark form: COUNT(*) of the join.
 
@@ -484,8 +502,9 @@ class CompassOptimizer:
         (:meth:`build_count_join`, default; SPARK_GRAFT_EAGER_COUNT=0
         falls back to counting the raw join). ``group_by`` [(alias, col),
         ...] computes the grouped form (bare column names + ``cnt``).
-        ``measure`` (alias, col) adds SUM(alias.col) as ``sum_val``
-        through the same algebra (see :meth:`build_count_join`)."""
+        ``measure`` (alias, col) adds ``measure_op``(alias.col) — sum,
+        min, or max — as ``agg_val`` through the same algebra (see
+        :meth:`build_count_join`)."""
         import os
 
         plan = self.plan(
@@ -508,12 +527,15 @@ class CompassOptimizer:
             # algebra most.
             eager = os.environ.get("SPARK_GRAFT_EAGER_COUNT", "1") != "0"
         if eager:
-            return self.build_count_join(plan, group_by=group_by, measure=measure)
+            return self.build_count_join(
+                plan, group_by=group_by, measure=measure, measure_op=measure_op
+            )
         joined = self.build_join(plan)
         aggs = []
         if measure is not None:
+            mfn = {"sum": F.sum, "min": F.min, "max": F.max}[measure_op]
             aggs.append(
-                F.sum(F.col(f"{measure[0]}__{measure[1]}")).alias("sum_val")
+                mfn(F.col(f"{measure[0]}__{measure[1]}")).alias("agg_val")
             )
         if group_by:
             return joined.groupBy(

@@ -173,7 +173,7 @@ def compass_sum_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUPED_COUNT_SQL, sf_dir, measure=("l", "l_extendedprice")
     )
     return df.select(
-        F.round(F.col("sum_val").cast("double"), 2).alias("sum_rev"), "cnt"
+        F.round(F.col("agg_val").cast("double"), 2).alias("sum_rev"), "cnt"
     )
 
 
@@ -199,6 +199,46 @@ def compass_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "n_name",
-        F.round(F.col("sum_val").cast("double"), 2).alias("sum_rev"),
+        F.round(F.col("agg_val").cast("double"), 2).alias("sum_rev"),
         "cnt",
     ).orderBy("n_name")
+
+
+MINMAX_ORACLE = """
+SELECT ROUND(CAST(MIN(l.l_extendedprice) AS DOUBLE), 2) AS min_price,
+       ROUND(CAST(MAX(l.l_extendedprice) AS DOUBLE), 2) AS max_price,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+"""
+
+
+@query(
+    "compass_minmax_multijoin",
+    MINMAX_ORACLE,
+    doc="MIN + MAX over the COMPASS-planned join via eager aggregation "
+    "(class-2, duplicate-insensitive): the measure table collapses to "
+    "per-key extremes, partner multiplicities are irrelevant, and "
+    "re-aggregations take the extreme over surviving key combinations — "
+    "the lazy half of Yan & Larson, exact at any scale",
+    tags=("compass", "join", "minmax"),
+)
+def compass_minmax_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    opt = CompassOptimizer(spark)
+    lo = opt.execute_count(
+        GROUPED_COUNT_SQL, sf_dir, measure=("l", "l_extendedprice"),
+        measure_op="min",
+    ).select(
+        F.round(F.col("agg_val").cast("double"), 2).alias("min_price"), "cnt"
+    )
+    hi = opt.execute_count(
+        GROUPED_COUNT_SQL, sf_dir, measure=("l", "l_extendedprice"),
+        measure_op="max",
+    ).select(F.round(F.col("agg_val").cast("double"), 2).alias("max_price"))
+    return lo.crossJoin(hi).select("min_price", "max_price", "cnt")

@@ -184,17 +184,17 @@ def test_eager_sum_matches_raw_join(spark):
         GROUPED_COUNT_SQL, sf, measure=measure, eager=False
     ).collect()[0]
     assert e["cnt"] == p["cnt"] > 0
-    assert abs(e["sum_val"] - p["sum_val"]) <= 1e-6 * abs(p["sum_val"])
+    assert abs(e["agg_val"] - p["agg_val"]) <= 1e-6 * abs(p["agg_val"])
 
     eg = {
-        r["n_name"]: (r["sum_val"], r["cnt"])
+        r["n_name"]: (r["agg_val"], r["cnt"])
         for r in opt.execute_count(
             GROUPED_COUNT_SQL, sf, group_by=[("n", "n_name")],
             measure=measure, eager=True,
         ).collect()
     }
     pg = {
-        r["n_name"]: (r["sum_val"], r["cnt"])
+        r["n_name"]: (r["agg_val"], r["cnt"])
         for r in opt.execute_count(
             GROUPED_COUNT_SQL, sf, group_by=[("n", "n_name")],
             measure=measure, eager=False,
@@ -207,7 +207,7 @@ def test_eager_sum_matches_raw_join(spark):
 
 
 def test_eager_sum_empty_join_is_null(spark):
-    """SQL SUM semantics over the empty join: sum_val NULL, cnt 0 —
+    """SQL SUM semantics over the empty join: agg_val NULL, cnt 0 —
     exactly what the plain plan and any SQL engine produce."""
     from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
 
@@ -220,4 +220,26 @@ def test_eager_sum_empty_join_is_null(spark):
         sql, "/root/testdata/sf0.001", measure=("l", "l_extendedprice"),
         eager=True,
     ).collect()[0]
-    assert row["cnt"] == 0 and row["sum_val"] is None
+    assert row["cnt"] == 0 and row["agg_val"] is None
+
+
+def test_eager_minmax_matches_raw_join(spark):
+    """Class-2 (duplicate-insensitive) measures: eager MIN/MAX must equal
+    the raw-join extremes exactly — multiplicities must NOT scale them,
+    including when the mid-chain re-aggregation fires."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+    from compass_query_optimizer_spark.plans.queries import GROUPED_COUNT_SQL
+
+    sf = "/root/testdata/sf0.001"
+    opt = CompassOptimizer(spark, config=PushdownConfig(eager_reagg_min_rows=0.0))
+    measure = ("l", "l_extendedprice")
+    for op in ("min", "max"):
+        e = opt.execute_count(
+            GROUPED_COUNT_SQL, sf, measure=measure, measure_op=op, eager=True
+        ).collect()[0]
+        p = opt.execute_count(
+            GROUPED_COUNT_SQL, sf, measure=measure, measure_op=op, eager=False
+        ).collect()[0]
+        # extremes pass through untouched — exact equality, no tolerance
+        assert e["agg_val"] == p["agg_val"] and e["cnt"] == p["cnt"] > 0, op
