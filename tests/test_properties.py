@@ -147,7 +147,9 @@ def join_case(draw):
 def test_eager_count_equals_raw_and_duckdb(spark, case):
     """The eager multiplicity-algebra count must equal the raw-join count
     and DuckDB on arbitrary join graphs — including empty joins, repeated
-    keys, self-referencing chains, filters, and non-equi residuals."""
+    keys, self-referencing chains, filters, and non-equi residuals; the
+    SUM/MIN/MAX measure generalization must agree with DuckDB on the
+    same graphs (exact integers, NULL on the empty join)."""
     import duckdb
     import pandas as pd
 
@@ -188,6 +190,22 @@ def test_eager_count_equals_raw_and_duckdb(spark, case):
         con.register(nm, pdf)
     want = con.execute(sql).fetchone()[0]
     assert eager == plain == want, (sql, eager, plain, want)
+
+    # the SUM/MIN/MAX measure algebra must agree on the same random graph
+    # (measure = last alias's k2 — integer-valued, so SUM is exact)
+    msql_tpl = "SELECT {agg}(a%d.k2) AS v FROM %s WHERE %s" % (
+        n - 1, froms, " AND ".join(conds)
+    )
+    for op, agg in (("sum", "SUM"), ("min", "MIN"), ("max", "MAX")):
+        e = opt.execute_count(
+            sql, tables=sdfs, counts=counts, eager=True,
+            measure=(f"a{n - 1}", "k2"), measure_op=op,
+        ).collect()[0]["agg_val"]
+        w = con.execute(msql_tpl.format(agg=agg)).fetchone()[0]
+        if w is None:
+            assert e is None, (op, e)
+        else:
+            assert e is not None and int(e) == int(w), (op, sql, e, w)
 
 
 def test_pca_power_tracks_numpy_iterate(spark):
