@@ -2,11 +2,13 @@
 
 Images/audio/video are carried as `binary` columns with a metadata struct.
 The Spark-side plumbing — schema, Arrow batch shape, `mapInPandas`
-signature, partitioning — is real and oracle-tested; the actual media
-decode is stubbed (no image/audio libraries in this container) behind
-``decode_payload`` which raises ``NotImplementedError`` for real media
-kinds and provides a deterministic fake for the "text/utf-8" kind used in
-tests and oracles.
+signature, partitioning — is real and oracle-tested. Media decode is REAL
+for uncompressed standard formats, implemented from the public specs with
+numpy alone: netpbm P6/P5 images (``image/ppm``/``image/pgm``) and
+RIFF/WAVE PCM16 audio (``audio/wav``), plus the deterministic
+"text/utf-8" kind. COMPRESSED formats (jpeg/png/mp3/h264) need external
+codecs absent from this container and stay behind an honest
+``NotImplementedError`` gate in ``decode_payload``.
 
 Scale design: mapInPandas streams Arrow batches (zero-copy into pandas),
 so per-batch Python overhead is amortized; payload bytes never shuffle —
@@ -50,16 +52,94 @@ FEATURE_SCHEMA = T.StructType(
 def decode_payload(kind: str, payload: bytes):
     """Decode an opaque media payload.
 
-    Real decoders (image resize, audio resample, video frame-sample) need
-    libs not present in this container — STUB: only the deterministic
-    "text/utf-8" kind is implemented; media kinds raise.
+    REAL decoders, no external libs (public format specs + numpy):
+
+    - ``text/utf-8``  → str
+    - ``image/ppm``   → uint8 ndarray (h, w, 3)  [netpbm P6, maxval 255]
+    - ``image/pgm``   → uint8 ndarray (h, w)     [netpbm P5, maxval 255]
+    - ``audio/wav``   → (sample_rate, int16 ndarray (n, channels)) [PCM16]
+
+    COMPRESSED formats (jpeg/png/mp3/h264 …) need external codecs absent
+    from this container and raise NotImplementedError — the honest gate.
     """
     if kind == "text/utf-8":
         return payload.decode("utf-8")
+    if kind in ("image/ppm", "image/pgm"):
+        return _decode_netpbm(payload)
+    if kind == "audio/wav":
+        return _decode_wav_pcm16(payload)
     raise NotImplementedError(
         f"media decode for kind={kind!r} requires external codecs; "
         "plug a decoder in here (the Spark plumbing around it is complete)"
     )
+
+
+def _decode_netpbm(payload: bytes):
+    """Binary netpbm parser (P6 = RGB, P5 = gray; maxval <= 255).
+
+    Header: magic, whitespace/comment-separated width height maxval, ONE
+    whitespace byte, then raw samples row-major."""
+    import numpy as np
+
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: {payload[:2]!r}")
+    rgb = payload[:2] == b"P6"
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm samples not supported")
+    n = w * h * (3 if rgb else 1)
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape((h, w, 3) if rgb else (h, w))
+
+
+def _decode_wav_pcm16(payload: bytes):
+    """RIFF/WAVE PCM16 parser: walks the chunk list (fmt must precede
+    data), returns (sample_rate, int16 array shaped (n_samples, channels)).
+    Non-PCM encodings (format tag != 1) raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if tag != 1:
+                raise NotImplementedError(
+                    f"WAV format tag {tag} needs an external codec (only "
+                    "PCM is decoded natively)"
+                )
+            if bits != 16:
+                raise NotImplementedError("only 16-bit PCM supported")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            samples = np.frombuffer(
+                body, dtype="<i2", count=(size // 2) // channels * channels
+            )
+            return rate, samples.reshape(-1, channels)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV payload has no data chunk")
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -134,14 +214,25 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def resize_image(kind: str, payload: bytes, w: int, h: int) -> bytes:
-    """Image resize stub. Real decoders (PIL/opencv) are absent in this
-    container — STUB: the deterministic "image/fake" kind treats the payload
-    as a row-major grayscale square and average-pools it to w×h; real image
-    kinds raise until a codec is plugged in."""
+    """Nearest-neighbor image resize.
+
+    REAL for uncompressed kinds: "image/ppm"/"image/pgm" decode via the
+    native netpbm parser, resample, and re-encode in the same format;
+    "image/fake" keeps the legacy raw-grayscale-square contract.
+    Compressed kinds (jpeg/png) raise until an external codec is plugged
+    in."""
     import math
 
     import numpy as np
 
+    if kind in ("image/ppm", "image/pgm"):
+        img = _decode_netpbm(payload)
+        sh, sw = img.shape[0], img.shape[1]
+        ys = (np.arange(h) * sh) // h
+        xs = (np.arange(w) * sw) // w
+        out = img[np.ix_(ys, xs)]
+        magic = b"P6" if img.ndim == 3 else b"P5"
+        return b"%s\n%d %d\n255\n" % (magic, w, h) + out.tobytes()
     if kind != "image/fake":
         raise NotImplementedError(
             f"image decode for kind={kind!r} requires external codecs"
@@ -233,3 +324,81 @@ def extract_features_arrow(batches):
 def featurize_arrow(payloads: DataFrame) -> DataFrame:
     """Arrow-native twin of :func:`featurize` via mapInArrow."""
     return payloads.mapInArrow(extract_features_arrow, schema=FEATURE_SCHEMA)
+
+
+# End-to-end proof the native image decoder runs inside the pipeline:
+# each doc becomes a REAL P6 (PPM) payload whose pixel bytes are
+# repeat(md5(text), 36) — 1,152 ASCII bytes, exactly 24x16 RGB — so the
+# DuckDB oracle can reconstruct the decoded array's bytes with pure string
+# functions while Spark actually parses the header and reshapes the
+# samples with the numpy netpbm decoder.
+IMG_W, IMG_H = 24, 16
+
+IMG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixel_md5", T.StringType()),
+    ]
+)
+
+
+def decode_image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: PPM payload → (dims, decoded-pixel md5) via the
+    REAL netpbm parser — a header-parse bug, stride slip, or channel
+    reorder changes pixel_md5 and fails the oracle."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "channels": [], "pixel_md5": []}
+        for doc_id, kind, payload in zip(pdf["doc_id"], pdf["kind"], pdf["payload"]):
+            img = decode_payload(kind, payload)
+            out["doc_id"].append(doc_id)
+            out["width"].append(img.shape[1])
+            out["height"].append(img.shape[0])
+            out["channels"].append(img.shape[2] if img.ndim == 3 else 1)
+            out["pixel_md5"].append(hashlib.md5(img.tobytes()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "width": pd.array(out["width"], dtype="int32"),
+                "height": pd.array(out["height"], dtype="int32"),
+                "channels": pd.array(out["channels"], dtype="int32"),
+                "pixel_md5": out["pixel_md5"],
+            }
+        )
+
+
+@query(
+    "mm_image_decode",
+    f"""
+    SELECT doc_id,
+           {IMG_W} AS width, {IMG_H} AS height, 3 AS channels,
+           md5(repeat(md5(text), 36)) AS pixel_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="REAL image decode in the pipeline: docs become binary P6/PPM "
+    "payloads (header + 24x16 RGB samples), mapInPandas runs the native "
+    "numpy netpbm parser, and the oracle reconstructs the decoded pixel "
+    "bytes string-side — md5 parity proves header parse, offset, and "
+    "reshape are exact. Compressed formats stay codec-gated; payload "
+    "bytes never shuffle",
+    tags=("multimodal", "pandas-udf", "image"),
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    header = f"P6\n{IMG_W} {IMG_H}\n255\n"
+    payloads = docs.select(
+        "doc_id",
+        F.lit("image/ppm").alias("kind"),
+        F.encode(
+            F.concat(F.lit(header), F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 36)),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return payloads.mapInPandas(
+        decode_image_features, schema=IMG_DECODE_SCHEMA
+    ).orderBy("doc_id")

@@ -45,3 +45,84 @@ def test_featurize_arrow_matches_pandas_path(spark):
     a = sorted(map(tuple, featurize_arrow(p).collect()))
     b = sorted(map(tuple, featurize(p).collect()))
     assert a == b and len(a) == docs.count()
+
+
+# ------------------------------------------ round-6: native format decoders
+def test_ppm_decode_with_comments():
+    """P6 parser: header comments, multi-whitespace, exact reshape."""
+    import numpy as np
+
+    from compass_query_optimizer_spark.operators.multimodal import decode_payload
+
+    pixels = bytes(range(2 * 3 * 3))  # 3x2 RGB, distinct byte per sample
+    payload = b"P6\n# a comment\n3 2\n# another\n255\n" + pixels
+    img = decode_payload("image/ppm", payload)
+    assert img.shape == (2, 3, 3) and img.dtype == np.uint8
+    assert img.tobytes() == pixels
+    assert tuple(img[1, 2]) == (15, 16, 17)  # row-major: last pixel
+
+
+def test_pgm_decode_grayscale():
+    from compass_query_optimizer_spark.operators.multimodal import decode_payload
+
+    payload = b"P5 4 2 255 " + bytes(range(8))
+    img = decode_payload("image/pgm", payload)
+    assert img.shape == (2, 4) and img[1, 3] == 7
+
+
+def test_wav_pcm16_roundtrip():
+    """RIFF walker: LIST chunk skipped, stereo int16 samples recovered."""
+    import struct
+
+    import numpy as np
+
+    from compass_query_optimizer_spark.operators.multimodal import decode_payload
+
+    samples = np.array([[0, 1], [-2, 3], [32767, -32768]], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"   # skipped chunk
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, got = decode_payload("audio/wav", payload)
+    assert rate == 8000
+    assert np.array_equal(got, samples)
+
+
+def test_media_gates_still_honest():
+    """Compressed formats and non-PCM audio must still raise — the decode
+    surface is real ONLY where the public spec needs no external codec."""
+    import struct
+
+    import pytest
+
+    from compass_query_optimizer_spark.operators.multimodal import decode_payload
+
+    with pytest.raises(NotImplementedError):
+        decode_payload("image/jpeg", b"\xff\xd8\xff")
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 1000, 1, 16)  # tag 85 = mp3
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    with pytest.raises(NotImplementedError):
+        decode_payload("audio/wav", b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_resize_real_ppm():
+    """Resize decodes the real PPM, nearest-neighbor samples, re-encodes:
+    output must itself decode to the expected dims and corner pixels."""
+    import numpy as np
+
+    from compass_query_optimizer_spark.operators.multimodal import (
+        decode_payload,
+        resize_image,
+    )
+
+    src = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    payload = b"P6\n4 4\n255\n" + src.tobytes()
+    out = decode_payload("image/ppm", resize_image("image/ppm", payload, 2, 2))
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out[0, 0], src[0, 0])
+    assert np.array_equal(out[1, 1], src[2, 2])
