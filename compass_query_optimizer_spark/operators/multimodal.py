@@ -402,3 +402,90 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         decode_image_features, schema=IMG_DECODE_SCHEMA
     ).orderBy("doc_id")
+
+
+# Audio twin of mm_image_decode: each doc becomes a REAL RIFF/WAVE PCM16
+# payload — constant fmt/data headers (mono, 8 kHz, 16-bit; sizes fixed)
+# + 1,152 sample bytes of repeat(md5(text), 36) — decoded by the native
+# chunk walker. The oracle rebuilds the sample bytes string-side.
+AUDIO_RATE = 8000
+AUDIO_DATA_BYTES = 1152  # 576 mono int16 samples
+
+AUDIO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_md5", T.StringType()),
+    ]
+)
+
+
+def _wav_header() -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, AUDIO_RATE, AUDIO_RATE * 2, 2, 16)
+    body_size = 4 + (8 + len(fmt)) + (8 + AUDIO_DATA_BYTES)
+    return (
+        b"RIFF" + struct.pack("<I", body_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", AUDIO_DATA_BYTES)
+    )
+
+
+def decode_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: WAV payload → (rate, dims, sample-bytes md5)
+    via the REAL RIFF walker."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "sample_rate": [], "n_samples": [], "channels": [], "sample_md5": []}
+        for doc_id, kind, payload in zip(pdf["doc_id"], pdf["kind"], pdf["payload"]):
+            rate, samples = decode_payload(kind, payload)
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(samples.shape[0])
+            out["channels"].append(samples.shape[1])
+            out["sample_md5"].append(hashlib.md5(samples.tobytes()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "sample_rate": pd.array(out["sample_rate"], dtype="int32"),
+                "n_samples": pd.array(out["n_samples"], dtype="int32"),
+                "channels": pd.array(out["channels"], dtype="int32"),
+                "sample_md5": out["sample_md5"],
+            }
+        )
+
+
+@query(
+    "mm_audio_decode",
+    f"""
+    SELECT doc_id,
+           {AUDIO_RATE} AS sample_rate,
+           {AUDIO_DATA_BYTES // 2} AS n_samples, 1 AS channels,
+           md5(repeat(md5(text), 36)) AS sample_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="REAL audio decode in the pipeline: docs become RIFF/WAVE PCM16 "
+    "payloads (true chunk headers + 576 mono samples), mapInPandas runs "
+    "the native chunk walker, and the oracle reconstructs the sample "
+    "bytes string-side — md5 parity proves chunk offsets and sample "
+    "framing are exact. Compressed audio stays codec-gated",
+    tags=("multimodal", "pandas-udf", "audio"),
+)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    payloads = docs.select(
+        "doc_id",
+        F.lit("audio/wav").alias("kind"),
+        F.concat(
+            F.lit(_wav_header()),
+            F.encode(F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 36), "UTF-8"),
+        ).alias("payload"),
+    )
+    return payloads.mapInPandas(
+        decode_audio_features, schema=AUDIO_DECODE_SCHEMA
+    ).orderBy("doc_id")
