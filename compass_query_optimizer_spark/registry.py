@@ -71,6 +71,7 @@ _SAMPLE_PRIORITY = [
     "compass_minmax_multijoin",  # eager MIN/MAX (class-2)
     "mm_image_decode",        # native netpbm decode through mapInPandas
     "mm_audio_decode",        # native WAV/PCM16 decode through mapInPandas
+    "mm_video_frames",        # native y4m frame sampling through mapInPandas
     # -- round-6 rotation: every round-5 prefix entry passed first
     # exposure, so the prefix swings back to the tail that has been
     # running on r3/r4 evidence (the TPC-H-ish workload + temporal/dedup
@@ -109,13 +110,13 @@ _SAMPLE_PRIORITY = [
     "q32_correlated_agg_subquery",
     "q33_lateral_topn",
     "temporal_asof_join",
-    "temporal_range_join",
     "dedup_minhash_lsh",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
     # -- next-round rotation candidates (past the prefix this round;
     # r3/r4 driver-green and covered by the local differential) --
+    "temporal_range_join",
     "events_funnel",
     "events_retention",
     "events_json_extract",

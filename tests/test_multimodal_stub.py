@@ -126,3 +126,27 @@ def test_resize_real_ppm():
     assert out.shape == (2, 2, 3)
     assert np.array_equal(out[0, 0], src[0, 0])
     assert np.array_equal(out[1, 1], src[2, 2])
+
+
+def test_y4m_decode_frames_and_gate():
+    """Y4M parser: header tokens in any order, FRAME params skipped to the
+    newline, planes reshaped (3, h, w); non-C444 colorspaces gate."""
+    import numpy as np
+    import pytest
+
+    from compass_query_optimizer_spark.operators.multimodal import decode_payload
+
+    f0 = bytes(range(2 * 1 * 3))  # 2x1 C444: 6 bytes per frame
+    f1 = bytes(range(100, 106))
+    payload = (
+        b"YUV4MPEG2 F25:1 W2 H1 C444\n"
+        + b"FRAME\n" + f0
+        + b"FRAME Xparam\n" + f1   # per-frame params must be skipped
+    )
+    w, h, frames = decode_payload("video/y4m", payload)
+    assert (w, h) == (2, 1) and frames.shape == (2, 3, 1, 2)
+    assert frames[0].tobytes() == f0 and frames[1].tobytes() == f1
+    assert frames.dtype == np.uint8
+
+    with pytest.raises(NotImplementedError, match="C420"):
+        decode_payload("video/y4m", b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + bytes(6))
