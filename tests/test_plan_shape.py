@@ -272,3 +272,17 @@ def test_bloom_filter_build_side_is_bounded(spark):
     assert "CartesianProduct" not in plan
     # the bitmap attach is a broadcast of a 1-row aggregate
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["mm_image_decode", "mm_audio_decode", "mm_video_frames"]
+)
+def test_mm_decode_payloads_stay_in_scan_stage(spark, name):
+    """Media payload bytes are built and consumed (mapInPandas decode) in
+    the scan stage; every exchange downstream carries only the small
+    feature rows — payload bytes must never shuffle."""
+    plan = formatted_plan(spark, name)
+    assert "MapInPandas" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "payload" in line:
+            raise AssertionError(f"payload bytes cross an exchange: {line}")
