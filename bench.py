@@ -82,6 +82,7 @@ HEADLINE = [
     "text_winnowing",             # SIGMOD'03 winnowing fingerprint pairs
     "dedup_bloom",                # Bloom-join dedup prefilter
     "emb_prefix_norm",            # Matryoshka truncation audit
+    "mm_image_decode",            # native netpbm decode via mapInPandas
 ]
 
 MAX_WORKERS = 6  # A/B worker threads; per_query walls are N-way-concurrent
