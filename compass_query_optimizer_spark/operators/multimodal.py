@@ -536,8 +536,6 @@ def _decode_y4m(payload: bytes):
             .reshape(3, h, w)
         )
         pos += frame_bytes
-    import numpy as np  # noqa: F811 — scoped above
-
     return w, h, np.stack(frames) if frames else np.empty((0, 3, h, w), np.uint8)
 
 

@@ -374,15 +374,22 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = batch.crossJoin(F.broadcast(bits)).select(
         "doc_id", "fp", hit.alias("bloom_hit")
     )
-    # exact verify ONLY for bloom hits: the miss rows skip the join
+    # exact verify ONLY for bloom hits: the miss rows skip the join. The
+    # verdict joins back on (doc_id, fp), NOT doc_id alone — the batch is
+    # a union of fresh docs and +500000-offset re-ingests, so once the
+    # corpus holds ids >= 500000 two batch rows can share a doc_id with
+    # different fingerprints, and a doc_id-only join would fan out and
+    # mispair verdicts (distinct() collapses byte-identical re-offers of
+    # the same doc so the join stays one verdict per probed row).
     dup = corpus.distinct().withColumn("__seen", F.lit(1))
     verified = (
         probed.filter(F.col("bloom_hit"))
         .join(dup, "fp", "left")
-        .select("doc_id", F.col("__seen").isNotNull().alias("is_dup"))
+        .select("doc_id", "fp", F.col("__seen").isNotNull().alias("is_dup"))
+        .distinct()
     )
     return (
-        probed.join(verified, "doc_id", "left")
+        probed.join(verified, ["doc_id", "fp"], "left")
         .select(
             "doc_id",
             "bloom_hit",

@@ -230,15 +230,17 @@ def compass_minmax_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
 
+    # plan ONCE (push-down counts + sketches + order search), then build
+    # both extreme chains from the shared plan — execute_count per op
+    # would repeat the whole planning pass
     opt = CompassOptimizer(spark)
-    lo = opt.execute_count(
-        GROUPED_COUNT_SQL, sf_dir, measure=("l", "l_extendedprice"),
-        measure_op="min",
+    plan = opt.plan(GROUPED_COUNT_SQL, sf_dir)
+    lo = opt.build_count_join(
+        plan, measure=("l", "l_extendedprice"), measure_op="min"
     ).select(
         F.round(F.col("agg_val").cast("double"), 2).alias("min_price"), "cnt"
     )
-    hi = opt.execute_count(
-        GROUPED_COUNT_SQL, sf_dir, measure=("l", "l_extendedprice"),
-        measure_op="max",
+    hi = opt.build_count_join(
+        plan, measure=("l", "l_extendedprice"), measure_op="max"
     ).select(F.round(F.col("agg_val").cast("double"), 2).alias("max_price"))
     return lo.crossJoin(hi).select("min_price", "max_price", "cnt")

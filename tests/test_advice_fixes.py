@@ -373,3 +373,43 @@ def test_bloom_has_no_false_negatives(spark):
     assert any(r.is_dup for r in rows), "fixture must exercise true dups"
     bad = [r.doc_id for r in rows if r.is_dup and not r.bloom_hit]
     assert not bad, f"bloom false negatives: {bad}"
+
+
+def test_bloom_verdicts_survive_doc_id_collision(spark, tmp_path):
+    """The arrival batch unions fresh docs with +500000-offset re-ingests,
+    so a corpus holding ids >= 500000 makes two batch rows share a doc_id
+    with DIFFERENT fingerprints. Verdicts must join back on (doc_id, fp):
+    a doc_id-only join fans out (4 rows where the oracle has 2) and
+    mispairs verdicts. Fixture: doc 7 re-ingests as 500007 while a real
+    doc 500007 also arrives in the fresh branch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from compass_query_optimizer_spark.operators.versioning import dedup_bloom
+
+    rows = [
+        (7, "alpha text for doc seven", "en", "web", 24),       # corpus + re-ingest
+        (8, "beta text for doc eight", "en", "web", 23),        # corpus only
+        (500007, "beta text for doc eight", "en", "web", 23),   # fresh dup of 8
+        (3, "gamma text never seen before", "en", "web", 27),   # fresh non-dup
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = dedup_bloom(spark, str(tmp_path)).collect()
+    # one output row per batch row: 3 and two distinct 500007 entries
+    assert len(out) == 3, [(r.doc_id, r.bloom_hit, r.is_dup) for r in out]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.bloom_hit, r.is_dup))
+    assert len(by_doc[500007]) == 2
+    # both 500007 arrivals are true dups (of docs 8 and 7 respectively)
+    assert all(h and d for h, d in by_doc[500007])
+    assert by_doc[3][0][1] is False  # the fresh doc is not a dup
