@@ -1564,6 +1564,31 @@ def winnow_pairs(docs: DataFrame) -> DataFrame:
     (doc_id, i, 48-bit hash) in the scan stage — gram text never
     crosses an exchange.
     """
+    # materialized once: three consumers (the df filter + both join sides)
+    # would otherwise each re-run the gram scan + window + distinct
+    fp = winnow_fingerprints(docs).localCheckpoint()
+    rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= WINNOW_MAX_DF
+    )
+    kept = fp.join(rare.select("fp"), "fp")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Distinct winnowing fingerprints per doc: (doc_id, fp).
+
+    The theorem surface (property-tested in tests/test_properties.py):
+    two docs sharing any run of >= WINNOW_K + WINNOW_W - 1 chars have
+    intersecting fingerprint sets."""
     from pyspark.sql.window import Window
 
     lowered = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
@@ -1586,9 +1611,7 @@ def winnow_pairs(docs: DataFrame) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
         Window.currentRow, WINNOW_W - 1
     )
-    # materialized once: three consumers (the df filter + both join sides)
-    # would otherwise each re-run the gram scan + window + distinct
-    fp = (
+    return (
         grams.select(
             "doc_id",
             F.min("h").over(w).alias("fp"),
@@ -1597,19 +1620,4 @@ def winnow_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.col("nf") == WINNOW_W)
         .select("doc_id", "fp")
         .distinct()
-        .localCheckpoint()
-    )
-    rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= WINNOW_MAX_DF
-    )
-    kept = fp.join(rare.select("fp"), "fp")
-    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
-    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
-        .orderBy("id_a", "id_b")
     )

@@ -40,6 +40,11 @@ from compass_query_optimizer_spark.plans.search import (
 )
 
 
+# measure_op -> aggregate fn for the eager measure algebra (sum = class-1
+# multiplicity-scaled; min/max = class-2 duplicate-insensitive)
+_MEASURE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def _rewrite_residual(residual: str, spec: JoinQuerySpec) -> str:
     """Rewrite ``alias.col`` → ``alias__col`` in a post-join residual.
 
@@ -372,7 +377,7 @@ class CompassOptimizer:
             ]
             aggs = [F.count(F.lit(1)).alias("__cnt_new")]
             if measure is not None and alias == measure[0]:
-                mfn = {"sum": F.sum, "min": F.min, "max": F.max}[measure_op]
+                mfn = _MEASURE_FNS[measure_op]
                 # the measure column is aggregated, never grouped — select
                 # it under a private name so it can coincide with a key
                 keys = keys + [F.col(measure[1]).alias("__mval")]
@@ -457,7 +462,7 @@ class CompassOptimizer:
                     keep.add(f"{al}__{col}")
             keep &= set(joined.columns)
             if set(joined.columns) - keep - {"__cnt", "__agg"}:
-                mfn = {"sum": F.sum, "min": F.min, "max": F.max}[measure_op]
+                mfn = _MEASURE_FNS[measure_op]
                 aggs = [F.sum("__cnt").alias("__cnt")]
                 if "__agg" in joined.columns:
                     aggs.append(mfn("__agg").alias("__agg"))
@@ -470,7 +475,7 @@ class CompassOptimizer:
             joined = joined.filter(_rewrite_residual(residual, spec))
         final_aggs = []
         if measure is not None:
-            mfn = {"sum": F.sum, "min": F.min, "max": F.max}[measure_op]
+            mfn = _MEASURE_FNS[measure_op]
             # SQL aggregate semantics: NULL over the empty join, like the
             # plain plan and the oracle — no coalesce
             final_aggs.append(mfn("__agg").alias("agg_val"))
@@ -533,7 +538,7 @@ class CompassOptimizer:
         joined = self.build_join(plan)
         aggs = []
         if measure is not None:
-            mfn = {"sum": F.sum, "min": F.min, "max": F.max}[measure_op]
+            mfn = _MEASURE_FNS[measure_op]
             aggs.append(
                 mfn(F.col(f"{measure[0]}__{measure[1]}")).alias("agg_val")
             )

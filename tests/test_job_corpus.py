@@ -243,3 +243,19 @@ def test_eager_minmax_matches_raw_join(spark):
         ).collect()[0]
         # extremes pass through untouched — exact equality, no tolerance
         assert e["agg_val"] == p["agg_val"] and e["cnt"] == p["cnt"] > 0, op
+        # grouped form: per-group extremes must also be exactly equal
+        eg = {
+            r["n_name"]: (r["agg_val"], r["cnt"])
+            for r in opt.execute_count(
+                GROUPED_COUNT_SQL, sf, group_by=[("n", "n_name")],
+                measure=measure, measure_op=op, eager=True,
+            ).collect()
+        }
+        pg = {
+            r["n_name"]: (r["agg_val"], r["cnt"])
+            for r in opt.execute_count(
+                GROUPED_COUNT_SQL, sf, group_by=[("n", "n_name")],
+                measure=measure, measure_op=op, eager=False,
+            ).collect()
+        }
+        assert eg == pg and eg, op

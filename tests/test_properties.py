@@ -249,3 +249,40 @@ def test_pca_power_tracks_numpy_iterate(spark):
     assert cos(v1, t1) > 0.9999, cos(v1, t1)
     assert cos(v2, t2) > 0.9999, cos(v2, t2)
     assert np.linalg.norm(v2) > 0  # fixed-shift zero-out regression
+
+
+@st.composite
+def winnow_case(draw):
+    """Two docs embedding a common run (>= K+W-1 chars) in random
+    surroundings, plus a doc from a disjoint alphabet."""
+    from compass_query_optimizer_spark.operators.text import WINNOW_K, WINNOW_W
+
+    letters = st.text(alphabet="abcdefgh ", min_size=0, max_size=40)
+    run_len = draw(st.integers(WINNOW_K + WINNOW_W - 1, 40))
+    shared = draw(st.text(alphabet="abcdefgh", min_size=run_len, max_size=run_len))
+    pre1, post1 = draw(letters), draw(letters)
+    pre2, post2 = draw(letters), draw(letters)
+    other = draw(st.text(alphabet="0123456789", min_size=0, max_size=60))
+    return pre1 + shared + post1, pre2 + shared + post2, other
+
+
+@given(winnow_case())
+@settings(max_examples=8, deadline=None)
+def test_winnowing_theorem_property(spark, case):
+    """Schleimer et al. SIGMOD'03 guarantee, on random documents: any
+    shared run of >= K+W-1 chars forces the two docs' fingerprint SETS to
+    intersect; a doc over a disjoint alphabet shares no gram, hence
+    (modulo an astronomically unlikely 48-bit hash collision) no print."""
+    from compass_query_optimizer_spark.operators.text import winnow_fingerprints
+
+    d1, d2, other = case
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, other)], "doc_id long, text string"
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps.get(1) and fps.get(2)
+    assert fps[1] & fps[2], (d1, d2)
+    if 3 in fps:
+        assert not (fps[3] & (fps[1] | fps[2]))
