@@ -259,3 +259,34 @@ def test_eager_minmax_matches_raw_join(spark):
             ).collect()
         }
         assert eg == pg and eg, op
+
+
+def test_eager_sum_on_job_query(spark):
+    """The measure algebra applies unchanged to the reference's own
+    workload shape: SUM(t.id) through JOB 17a's 7-way zipf-skewed join
+    must match DuckDB exactly (exact integers through the multiplicity
+    chain). At fixture scale 10 this query's join product is ~4e7 rows —
+    the regime where the raw plan was a DNF-class member — and the eager
+    sum still answers in seconds (SCALE.md records the measurement)."""
+    import duckdb
+
+    from compass_query_optimizer_spark.fixtures import (
+        FIXTURE_VERSION,
+        ensure_job_fixture,
+    )
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    sql = load_corpus()["17a"]
+    tables, counts = job_tables(spark, scale=1)
+    row = CompassOptimizer(spark).execute_count(
+        sql, tables=tables, counts=counts, measure=("t", "id"),
+        count_cache_tag=f"mini_imdb_v{FIXTURE_VERSION}_x1",
+    ).collect()[0]
+    con = duckdb.connect()
+    for n, p in ensure_job_fixture(scale=1).items():
+        con.execute(f"CREATE VIEW {n} AS SELECT * FROM '{p}'")
+    want_sum, want_cnt = con.execute(
+        sql.replace("COUNT(*)", "SUM(t.id), COUNT(*)", 1)
+    ).fetchone()
+    assert int(row["agg_val"]) == int(want_sum)
+    assert int(row["cnt"]) == int(want_cnt)
