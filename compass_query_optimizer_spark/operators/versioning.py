@@ -262,23 +262,63 @@ def docs_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bloom-filter dedup prefilter: BITS cells, BLOOM_K salted hash positions
-# per fingerprint. The filter is a <= BITS-element sorted position array —
-# KILOBYTES regardless of corpus size — so at 100 TB the standing corpus
-# reduces to one broadcastable bitmap and only bloom HITS (true dups +
-# ~(fill)^k false positives) ever reach the exact verify join; the misses,
-# the overwhelming majority of a fresh crawl, never shuffle at all. This is
-# the classic Bloom-join pattern (Bloom CACM'70; Mullin TSE'90).
-BLOOM_BITS = 4096
+# Bloom-filter dedup prefilter (the classic Bloom-join pattern: Bloom
+# CACM'70; Mullin TSE'90). The filter width is NOT fixed — the round-6
+# design's compile-time 4,096 cells were already ~91% full at sf0.1
+# (≈76% false-positive rate, voiding the prefilter) and saturate completely
+# on any real corpus. The width is now derived at plan time from the corpus
+# row count, m = next_pow2(n·k / ln 2) — the optimal-width rule that holds
+# fill ≈ 50% and false-positive rate ≈ 0.5^k ≈ 12.5% at ANY corpus size —
+# clamped to [2^12, 2^25] cells. The filter itself is a PACKED BITMAP built
+# by a distributed bit_or aggregate over (pos >> 6 → word, 1 << (pos & 63))
+# rows: at the 2^25-cell cap it is ≤ 512Ki sparse (word, bits) rows ≈ 4 MiB
+# dense, broadcastable regardless of corpus size. The cap holds ≈ 7.7M
+# fingerprints at 50% fill (n* = m·ln2/k); beyond that, fill — and with it
+# the false-positive rate — degrades gracefully toward forwarding
+# everything to the exact verify join (the honest saturation point,
+# documented in SCALE.md). The DuckDB oracle derives the IDENTICAL width
+# from COUNT(*) via exact integer arithmetic (1/ln2 ≈ 144270/10^5), the
+# sem_cell_bits/auto_bits discipline, so the gate reproduces the filter
+# bit-for-bit at every corpus size.
 BLOOM_K = 3
+BLOOM_MIN_CELL_BITS = 12  # 2^12 = the old fixed width, now the floor
+BLOOM_MAX_CELL_BITS = 25  # 2^25 cells ≈ 4 MiB packed — the broadcast cap
+_INV_LN2_NUM, _INV_LN2_DEN = 144270, 100000  # 1/ln2 to 5 digits, exact ints
 
 
-def _bloom_positions(fp_col, engine: str):
+def bloom_cell_bits(n_rows: int) -> int:
+    """log2(cells) for a corpus of ``n_rows`` fingerprint rows.
+
+    ``n_rows`` is the pre-distinct row count (an upper bound on distinct
+    fingerprints, so the width only ever over-sizes — and it is free: a
+    parquet metadata count, no distinct shuffle at plan time)."""
+    m_min = max(1, (n_rows * BLOOM_K * _INV_LN2_NUM) // _INV_LN2_DEN)
+    return min(
+        BLOOM_MAX_CELL_BITS,
+        max(BLOOM_MIN_CELL_BITS, max(m_min - 1, 1).bit_length()),
+    )
+
+
+def duck_bloom_cell_bits(count_sql: str) -> str:
+    """SQL twin of :func:`bloom_cell_bits`; ``count_sql`` is a COUNT(*)
+    scalar subquery. length(bin(x)) == bit_length(x) for x >= 1."""
+    m_min = (
+        f"GREATEST(1, (CAST(({count_sql}) AS BIGINT) * {BLOOM_K}"
+        f" * {_INV_LN2_NUM}) // {_INV_LN2_DEN})"
+    )
+    return (
+        f"LEAST({BLOOM_MAX_CELL_BITS}, GREATEST({BLOOM_MIN_CELL_BITS}, "
+        f"length(bin(GREATEST({m_min} - 1, 1)))))"
+    )
+
+
+def _bloom_positions(fp_col, engine: str, cells):
     """The BLOOM_K salted cell positions of a fingerprint, as expressions.
 
-    Spark form returns a list of Columns; DuckDB form a list of SQL
-    fragments — identical md5-derived arithmetic, so the driver oracle
-    reproduces the filter bit-for-bit."""
+    Spark form returns a list of Columns (``cells`` a plan-time int);
+    DuckDB form a list of SQL fragments (``cells`` the SQL text of the
+    cell count, e.g. a shifted scalar subquery) — identical md5-derived
+    arithmetic, so the driver oracle reproduces the filter bit-for-bit."""
     from compass_query_optimizer_spark.functions.hashing import (
         duck_portable_hash,
         spark_portable_hash,
@@ -287,26 +327,30 @@ def _bloom_positions(fp_col, engine: str):
     if engine == "spark":
         return [
             spark_portable_hash(F.concat(F.lit(f"bloom{j}-"), fp_col))
-            % BLOOM_BITS
+            % F.lit(int(cells))
             for j in range(BLOOM_K)
         ]
     out = []
     for j in range(BLOOM_K):
         salted = f"'bloom{j}-' || {fp_col}"
-        out.append(f"({duck_portable_hash(salted)} % {BLOOM_BITS})")
+        out.append(f"({duck_portable_hash(salted)} % {cells})")
     return out
 
 
 def _bloom_oracle() -> str:
-    pos_list = ", ".join(_bloom_positions("fp", "duck"))
+    bits = duck_bloom_cell_bits(
+        "SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0"
+    )
+    cells = f"(CAST(1 AS BIGINT) << ({bits}))"
+    pos_list = ", ".join(_bloom_positions("fp", "duck", cells))
     # per-position membership, ANDed — NOT "count of matching cells == K":
     # if two of a fingerprint's K salted positions collide, they occupy one
     # cell and a distinct-count formulation would report a false negative
     # for a true duplicate (and diverge from the Spark side's per-position
-    # array_contains conjunction)
+    # bitmap-test conjunction)
     hit = " AND ".join(
         f"({p} IN (SELECT pos FROM bits))"
-        for p in _bloom_positions("fp", "duck")
+        for p in _bloom_positions("fp", "duck", cells)
     )
     return f"""
     WITH corpus AS (
@@ -337,28 +381,41 @@ def _bloom_oracle() -> str:
     "dedup_bloom",
     _bloom_oracle,  # deferred (cheap, but keeps f-string noise out of import)
     doc="Bloom-join dedup prefilter: the standing corpus folds into a "
-    f"{BLOOM_BITS}-cell / {BLOOM_K}-hash Bloom filter (a sorted position "
-    "array, kilobytes at ANY corpus size) that is broadcast over the "
-    "arrival batch; only bloom hits reach the exact fingerprint "
-    "semi-join, so misses never shuffle. Reports per batch doc the bloom "
-    "verdict and the exact verdict — every true dup must be a bloom hit "
-    "(no false negatives), extra hits are the filter's bounded false-"
-    "positive rate",
+    f"{BLOOM_K}-hash Bloom filter whose width is AUTO-SIZED from the "
+    "plan-time corpus count (m = next_pow2(n·k/ln2), ~50% fill → ~12.5% "
+    f"false positives at any size, clamped to [2^{BLOOM_MIN_CELL_BITS}, "
+    f"2^{BLOOM_MAX_CELL_BITS}] cells) and stored as a packed 64-bit-word "
+    "bitmap (≤4 MiB at the cap) built by a distributed bit_or aggregate "
+    "and broadcast over the arrival batch; only bloom hits reach the "
+    "exact fingerprint semi-join, so misses never shuffle. Reports per "
+    "batch doc the bloom verdict and the exact verdict — every true dup "
+    "must be a bloom hit (no false negatives), extra hits are the "
+    "filter's bounded false-positive rate",
     tags=("dedup", "versioning", "bloom"),
 )
 def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    corpus = docs.filter(F.col("doc_id") % 3 != 0).select(
-        F.md5("text").alias("fp")
-    )
-    # the filter: distinct occupied cells, one sorted array row (<= BITS)
-    bits = (
+    corpus_rows = docs.filter(F.col("doc_id") % 3 != 0)
+    # plan-time width from the row count (metadata-cheap; upper-bounds the
+    # distinct-fp count so the filter only over-sizes) — the oracle derives
+    # the identical width from the same COUNT(*)
+    cells = 1 << bloom_cell_bits(corpus_rows.count())
+    corpus = corpus_rows.select(F.md5("text").alias("fp"))
+    # the filter: packed bitmap as sparse (word, bits) rows — pos >> 6
+    # selects the 64-bit word, bit_or folds each word's bits distributed
+    # (map-side partial agg); ≤ cells/64 rows ≈ 4 MiB at the cap
+    words = (
         corpus.select(
-            F.explode(F.array(*_bloom_positions(F.col("fp"), "spark"))).alias(
-                "pos"
-            )
+            F.explode(
+                F.array(*_bloom_positions(F.col("fp"), "spark", cells))
+            ).alias("pos")
         )
-        .agg(F.array_sort(F.collect_set("pos")).alias("bloom"))
+        .select(
+            F.shiftright("pos", 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
     )
     batch = docs.filter(F.col("doc_id") % 3 == 0).select(
         "doc_id", F.md5("text").alias("fp")
@@ -366,14 +423,35 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0))
         .select((F.col("doc_id") + 500000).alias("doc_id"), F.md5("text").alias("fp"))
     )
-    probe_pos = _bloom_positions(F.col("fp"), "spark")
-    hit = None
-    for p in probe_pos:
-        c = F.array_contains(F.col("bloom"), p)
-        hit = c if hit is None else (hit & c)
-    probed = batch.crossJoin(F.broadcast(bits)).select(
-        "doc_id", "fp", hit.alias("bloom_hit")
+    # probe per DISTINCT fingerprint (positions depend on fp alone): one
+    # (word, bit) row per hash, left-joined against the broadcast bitmap —
+    # a probe word absent from the sparse map is a clean miss — then AND
+    # the K per-position verdicts back into one bloom_hit per fp
+    probes = (
+        batch.select("fp")
+        .distinct()
+        .select(
+            "fp",
+            F.explode(
+                F.array(*_bloom_positions(F.col("fp"), "spark", cells))
+            ).alias("pos"),
+        )
+        .select(
+            "fp",
+            F.shiftright("pos", 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .join(F.broadcast(words), "w", "left")
+        .select(
+            "fp",
+            F.coalesce(
+                F.col("bits").bitwiseAND(F.col("b")) != 0, F.lit(False)
+            ).alias("hit"),
+        )
+        .groupBy("fp")
+        .agg(F.bool_and("hit").alias("bloom_hit"))
     )
+    probed = batch.join(probes, "fp").select("doc_id", "fp", "bloom_hit")
     # exact verify ONLY for bloom hits: the miss rows skip the join. The
     # verdict joins back on (doc_id, fp), NOT doc_id alone — the batch is
     # a union of fresh docs and +500000-offset re-ingests, so once the

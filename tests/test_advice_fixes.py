@@ -334,7 +334,9 @@ def test_bloom_oracle_survives_position_collision():
     K distinct cells; a 'count of matching cells == K' oracle would call a
     true duplicate a bloom MISS (false negative — the one error class a
     Bloom filter must never make) and diverge from Spark's per-position
-    conjunction. 'probe-496' md5-hashes to positions [2291, 2986, 2986]."""
+    conjunction. 'probe-496' md5-hashes to positions [2291, 2986, 2986]
+    at the 4,096-cell floor width (pinned here — the planted collision is
+    width-specific)."""
     import duckdb
 
     from compass_query_optimizer_spark.operators.versioning import (
@@ -344,9 +346,9 @@ def test_bloom_oracle_survives_position_collision():
 
     hit = " AND ".join(
         f"({p} IN (SELECT pos FROM bits))"
-        for p in _bloom_positions("fp", "duck")
+        for p in _bloom_positions("fp", "duck", 4096)
     )
-    pos_list = ", ".join(_bloom_positions("fp", "duck"))
+    pos_list = ", ".join(_bloom_positions("fp", "duck", 4096))
     con = duckdb.connect()
     got = con.execute(f"""
         WITH corpus AS (SELECT md5('probe-496') AS fp),

