@@ -41,8 +41,42 @@ from compass_query_optimizer_spark.plans.search import (
 
 
 # measure_op -> aggregate fn for the eager measure algebra (sum = class-1
-# multiplicity-scaled; min/max = class-2 duplicate-insensitive)
+# multiplicity-scaled; min/max = class-2 duplicate-insensitive;
+# count_distinct = class-3 set-valued, handled by the helpers below)
 _MEASURE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+_MEASURE_OPS = ("sum", "min", "max", "count_distinct")
+
+
+def _measure_seed(measure_op: str, col: str):
+    """Per-table collapse aggregate for the measure column.
+
+    count_distinct carries the SET of distinct values per key combination
+    (collect_set drops NULLs — exactly COUNT(DISTINCT)'s NULL rule); the
+    set is multiplicity-insensitive, so like min/max it rides joins
+    untouched. Exact under the assumption that per-key distinct
+    cardinality is bounded (group-scoped sets, not corpus-scoped); for
+    unbounded measures swap in an HLL sketch at the cost of exactness."""
+    if measure_op == "count_distinct":
+        return F.collect_set(col)
+    return _MEASURE_FNS[measure_op](col)
+
+
+def _measure_reagg(measure_op: str, col: str):
+    """Chain re-aggregation of the riding measure (the shrink step)."""
+    if measure_op == "count_distinct":
+        return F.array_distinct(F.flatten(F.collect_list(col)))
+    return _MEASURE_FNS[measure_op](col)
+
+
+def _measure_final(measure_op: str, col: str):
+    """Final aggregate -> ``agg_val``. count_distinct yields the size of
+    the union of surviving sets — 0 over the empty join (SQL's
+    COUNT(DISTINCT) semantics), where sum/min/max yield NULL."""
+    if measure_op == "count_distinct":
+        return F.size(
+            F.array_distinct(F.flatten(F.collect_list(col)))
+        ).cast("long")
+    return _MEASURE_FNS[measure_op](col)
 
 
 def _rewrite_residual(residual: str, spec: JoinQuerySpec) -> str:
@@ -234,7 +268,13 @@ class CompassOptimizer:
         return joined
 
     def explain(
-        self, plan: CompassPlan, physical: bool = False, count: bool = False
+        self,
+        plan: CompassPlan,
+        physical: bool = False,
+        count: bool = False,
+        group_by: list[tuple[str, str]] | None = None,
+        measure: tuple[str, str] | None = None,
+        measure_op: str = "sum",
     ) -> str:
         """Human-readable plan report — the engine's analog of the
         reference's EXPLAIN / EXPLAIN CALCITE surface (MapDHandler.cpp
@@ -247,7 +287,9 @@ class CompassOptimizer:
         built chain (the whole-stage-codegen / exchange view — the analog
         of the reference's IR dump); ``count=True`` dumps the
         eager-aggregation count plan (:meth:`build_count_join`) instead
-        of the row-producing join."""
+        of the row-producing join, with ``measure``/``measure_op``/
+        ``group_by`` selecting the measure-algebra variant so the eager
+        SUM/MIN/MAX/COUNT-DISTINCT/AVG plans are inspectable."""
         lines = [f"COMPASS plan: {' ⋈ '.join(plan.search.order)}"]
         mode = "fallback (size-descending)" if plan.search.fallback else "sketch search"
         lines.append(
@@ -282,8 +324,31 @@ class CompassOptimizer:
                 est = plan.search.prefix_estimates.get(frozenset(seen))
                 if est is not None:
                     lines.append(f"    {{{', '.join(seen)}}} ≈ {est:.1f}")
+        if count:
+            # the eager-algebra report line: which variant of the
+            # multiplicity chain the plan executes
+            desc = "count(*)"
+            if measure is not None:
+                desc = f"{measure_op}({measure[0]}.{measure[1]}) + count(*)"
+            if group_by:
+                desc += " group by " + ", ".join(
+                    f"{al}.{col}" for al, col in group_by
+                )
+            lines.append(
+                f"  eager aggregation: {desc} via multiplicity chain"
+                " (tables collapse to (keys → cnt"
+                + (", agg)" if measure is not None else ")")
+                + "; join rows never materialize)"
+            )
         if physical:
-            df = self.build_count_join(plan) if count else self.build_join(plan)
+            df = (
+                self.build_count_join(
+                    plan, group_by=group_by, measure=measure,
+                    measure_op=measure_op,
+                )
+                if count
+                else self.build_join(plan)
+            )
             lines.append("  spark physical plan:")
             lines.append(df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
@@ -336,9 +401,21 @@ class CompassOptimizer:
           irrelevant, so the chain carries ``__agg`` through joins
           untouched and re-aggregations take the extreme. MIN/MAX over
           the join == extreme over SURVIVING key combinations exactly.
+        - ``count_distinct`` (class-3 — multiplicity-insensitive like
+          min/max but SET-valued; the reference executes precise
+          count-distinct, QueryEngine/CountDistinct.h): the measure table
+          collapses to per-key DISTINCT-value sets (collect_set, which
+          drops NULLs — COUNT(DISTINCT)'s NULL rule), sets ride joins
+          untouched, re-aggregations union them (array_distinct∘flatten∘
+          collect_list), and the final aggregate counts the union.
+          COUNT(DISTINCT col) over the join exactly, at key cardinality.
+          Exact while per-key distinct cardinality is bounded (the sets
+          ride the chain as arrays); for unbounded measures substitute an
+          HLL sketch — approximate, constant-size.
 
-        All ops yield NULL over the empty join (SQL semantics), matching
-        the plain plan. Adds ``agg_val`` before ``cnt`` to the output.
+        sum/min/max yield NULL over the empty join, count_distinct yields
+        0 (SQL semantics), matching the plain plan. Adds ``agg_val``
+        before ``cnt`` to the output.
         """
         import re as _re
 
@@ -377,11 +454,10 @@ class CompassOptimizer:
             ]
             aggs = [F.count(F.lit(1)).alias("__cnt_new")]
             if measure is not None and alias == measure[0]:
-                mfn = _MEASURE_FNS[measure_op]
                 # the measure column is aggregated, never grouped — select
                 # it under a private name so it can coincide with a key
                 keys = keys + [F.col(measure[1]).alias("__mval")]
-                aggs.append(mfn("__mval").alias("__agg_new"))
+                aggs.append(_measure_seed(measure_op, "__mval").alias("__agg_new"))
                 g = f.select(*keys)
                 agg = g.groupBy(
                     *[c for c in g.columns if c != "__mval"]
@@ -462,10 +538,9 @@ class CompassOptimizer:
                     keep.add(f"{al}__{col}")
             keep &= set(joined.columns)
             if set(joined.columns) - keep - {"__cnt", "__agg"}:
-                mfn = _MEASURE_FNS[measure_op]
                 aggs = [F.sum("__cnt").alias("__cnt")]
                 if "__agg" in joined.columns:
-                    aggs.append(mfn("__agg").alias("__agg"))
+                    aggs.append(_measure_reagg(measure_op, "__agg").alias("__agg"))
                 if keep:
                     joined = joined.groupBy(*sorted(keep)).agg(*aggs)
                 elif remaining:
@@ -475,10 +550,10 @@ class CompassOptimizer:
             joined = joined.filter(_rewrite_residual(residual, spec))
         final_aggs = []
         if measure is not None:
-            mfn = _MEASURE_FNS[measure_op]
-            # SQL aggregate semantics: NULL over the empty join, like the
-            # plain plan and the oracle — no coalesce
-            final_aggs.append(mfn("__agg").alias("agg_val"))
+            # SQL aggregate semantics: NULL over the empty join for
+            # sum/min/max, 0 for count_distinct — like the plain plan and
+            # the oracle (no coalesce; _measure_final encodes the split)
+            final_aggs.append(_measure_final(measure_op, "__agg").alias("agg_val"))
         if group_by:
             return joined.groupBy(
                 *[F.col(f"{al}__{col}").alias(col) for al, col in group_by]
@@ -538,9 +613,11 @@ class CompassOptimizer:
         joined = self.build_join(plan)
         aggs = []
         if measure is not None:
-            mfn = _MEASURE_FNS[measure_op]
+            mcol = F.col(f"{measure[0]}__{measure[1]}")
             aggs.append(
-                mfn(F.col(f"{measure[0]}__{measure[1]}")).alias("agg_val")
+                F.count_distinct(mcol).cast("long").alias("agg_val")
+                if measure_op == "count_distinct"
+                else _MEASURE_FNS[measure_op](mcol).alias("agg_val")
             )
         if group_by:
             return joined.groupBy(

@@ -204,6 +204,116 @@ def compass_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_name")
 
 
+AVG_ORACLE = """
+SELECT ROUND(CAST(AVG(l.l_extendedprice) AS DOUBLE), 2) AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+"""
+
+
+@query(
+    "compass_avg_multijoin",
+    AVG_ORACLE,
+    doc="AVG over the COMPASS-planned join via eager aggregation: AVG is "
+    "not a new chain op — it is the class-1 SUM divided by the COUNT the "
+    "chain already carries (Yan & Larson VLDB'95 §4: AVG decomposes into "
+    "(SUM, COUNT) partials), so one multiplicity-chain pass yields both "
+    "and the division happens on the one-row result",
+    tags=("compass", "join", "avg"),
+)
+def compass_avg_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        GROUPED_COUNT_SQL, sf_dir, measure=("l", "l_extendedprice")
+    )
+    return df.select(
+        F.round(
+            (F.col("agg_val") / F.col("cnt")).cast("double"), 2
+        ).alias("avg_price"),
+        "cnt",
+    )
+
+
+COUNT_DISTINCT_ORACLE = """
+SELECT CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT) AS nd_nation,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+"""
+
+GROUPED_COUNT_DISTINCT_ORACLE = """
+SELECT n.n_name,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS nd_cust,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query(
+    "compass_count_distinct_multijoin",
+    COUNT_DISTINCT_ORACLE,
+    doc="precise COUNT(DISTINCT) over the COMPASS-planned join via eager "
+    "aggregation (class-3): the measure table collapses to per-key "
+    "distinct-value SETS which ride the multiplicity chain untouched "
+    "(multiplicity-insensitive, like min/max), re-aggregations union "
+    "them, and the final aggregate counts the union — exact, join rows "
+    "never materialize. The reference executes precise count-distinct "
+    "(QueryEngine/CountDistinct.h bitmap/set paths)",
+    tags=("compass", "join", "count_distinct"),
+)
+def compass_count_distinct_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        GROUPED_COUNT_SQL,
+        sf_dir,
+        measure=("c", "c_nationkey"),
+        measure_op="count_distinct",
+    )
+    return df.select(F.col("agg_val").alias("nd_nation"), "cnt")
+
+
+@query(
+    "compass_grouped_count_distinct",
+    GROUPED_COUNT_DISTINCT_ORACLE,
+    doc="grouped precise COUNT(DISTINCT) through the eager chain: group "
+    "columns ride as keys, per-key distinct sets union across "
+    "re-aggregations, final count per group — the set-valued analog of "
+    "compass_grouped_sum",
+    tags=("compass", "join", "count_distinct", "grouped"),
+)
+def compass_grouped_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        GROUPED_COUNT_SQL,
+        sf_dir,
+        group_by=[("n", "n_name")],
+        measure=("c", "c_custkey"),
+        measure_op="count_distinct",
+    )
+    return df.select(
+        "n_name", F.col("agg_val").alias("nd_cust"), "cnt"
+    ).orderBy("n_name")
+
+
 MINMAX_ORACLE = """
 SELECT ROUND(CAST(MIN(l.l_extendedprice) AS DOUBLE), 2) AS min_price,
        ROUND(CAST(MAX(l.l_extendedprice) AS DOUBLE), 2) AS max_price,

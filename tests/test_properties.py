@@ -191,17 +191,29 @@ def test_eager_count_equals_raw_and_duckdb(spark, case):
     want = con.execute(sql).fetchone()[0]
     assert eager == plain == want, (sql, eager, plain, want)
 
-    # the SUM/MIN/MAX measure algebra must agree on the same random graph
-    # (measure = last alias's k2 — integer-valued, so SUM is exact)
+    # the SUM/MIN/MAX/COUNT(DISTINCT) measure algebra must agree on the
+    # same random graph (measure = last alias's k2 — integer-valued, so
+    # SUM is exact; count_distinct yields 0, not NULL, on the empty join)
     msql_tpl = "SELECT {agg}(a%d.k2) AS v FROM %s WHERE %s" % (
         n - 1, froms, " AND ".join(conds)
     )
-    for op, agg in (("sum", "SUM"), ("min", "MIN"), ("max", "MAX")):
+    for op, agg in (
+        ("sum", "SUM"),
+        ("min", "MIN"),
+        ("max", "MAX"),
+        ("count_distinct", None),
+    ):
         e = opt.execute_count(
             sql, tables=sdfs, counts=counts, eager=True,
             measure=(f"a{n - 1}", "k2"), measure_op=op,
         ).collect()[0]["agg_val"]
-        w = con.execute(msql_tpl.format(agg=agg)).fetchone()[0]
+        q = (
+            "SELECT COUNT(DISTINCT a%d.k2) AS v FROM %s WHERE %s"
+            % (n - 1, froms, " AND ".join(conds))
+            if op == "count_distinct"
+            else msql_tpl.format(agg=agg)
+        )
+        w = con.execute(q).fetchone()[0]
         if w is None:
             assert e is None, (op, e)
         else:
