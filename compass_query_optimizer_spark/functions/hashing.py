@@ -105,6 +105,30 @@ def auto_bits(n_rows: int, target_bucket: int, lo: int, hi: int) -> int:
     return min(hi, max(lo, max(q - 1, 1).bit_length()))
 
 
+def spark_auto_bits_col(
+    n_col: Column, target_bucket: int, lo: int, hi: int
+) -> Column:
+    """Column form of :func:`auto_bits` — the same integer formula over a
+    per-row count column (used for per-cell sub-split widths, where the
+    width depends on each cell's population rather than one plan-time
+    corpus count). bin()/length() mirrors DuckDB's bin()/length()."""
+    q = F.greatest(
+        F.call_function(
+            "div",
+            (n_col + F.lit(target_bucket - 1)).cast("long"),
+            F.lit(target_bucket).cast("long"),
+        ),
+        F.lit(1).cast("long"),
+    )
+    return F.least(
+        F.lit(hi),
+        F.greatest(
+            F.lit(lo),
+            F.length(F.bin(F.greatest(q - F.lit(1), F.lit(1).cast("long")))),
+        ),
+    )
+
+
 def duck_auto_bits(count_sql: str, target_bucket: int, lo: int, hi: int) -> str:
     """SQL twin of :func:`auto_bits`; ``count_sql`` is a COUNT(*) scalar
     subquery. bit_length(x) for x >= 1 == length(bin(x)) in DuckDB."""

@@ -577,6 +577,24 @@ SEM_CELL_TARGET = 128  # expected vectors per cell the width aims for
 SEM_MIN_BITS = 2
 SEM_MAX_BITS = 24  # 2^24 cells serves ~2·10⁹ vectors at the 128/cell target
 SEM_PLANES = plane_signs(SEM_MAX_BITS, EMBED_DIM, salt="sem")
+# Hot-cell guard (round-7): REAL embedding corpora are clustered and
+# anisotropic, so some sign-code cells hold ≫ the N/2^bits expectation and
+# the in-cell pairwise verify spikes quadratically. Cells whose measured
+# population exceeds SEM_CELL_CAP are sub-split into 2^xbits SALTED
+# sub-cells, xbits = auto_bits(pop, SEM_CELL_TARGET, 1, SEM_SPLIT_MAX_BITS)
+# per cell, salt = portable_hash("semsplit-" || vec_id). A vec_id salt —
+# NOT more hyperplanes — because extra planes cannot split the worst case:
+# a tight cluster of genuine near-duplicates has near-identical sign codes
+# on ANY plane set, so plane-splitting leaves the hot cell whole exactly
+# when it hurts most. The salt bounds per-bucket work unconditionally
+# (≈pop/2^xbits regardless of geometry) at a bounded, documented cost:
+# duplicates split across sub-cells aren't compared, so a hot cell keeps
+# up to 2^xbits representatives instead of 1 (the same recall-for-cost
+# trade LSH makes per table). Deterministic md5 arithmetic → the DuckDB
+# oracle reproduces the split bit-for-bit; under the cap xbits = 0 and
+# behavior is identical to the unsplit design.
+SEM_CELL_CAP = 4 * SEM_CELL_TARGET  # population above which a cell splits
+SEM_SPLIT_MAX_BITS = 16  # ≤ 65,536 sub-cells per hot cell
 
 
 def sem_cell_bits(n_rows: int) -> int:
@@ -593,7 +611,11 @@ def sem_cell_bits(n_rows: int) -> int:
     "broadcast), then pairwise exact cosine ONLY inside each cell — a "
     f"vector is dropped iff a smaller-id cell-mate is >= "
     f"{COSINE_DUP_THRESHOLD} similar. Cells bound the quadratic term to "
-    "cell_size^2 per cell at any corpus size",
+    "cell_size^2 per cell, and cells whose MEASURED population exceeds "
+    f"{SEM_CELL_CAP} are salted-sub-split (hash(vec_id), per-cell width "
+    "from the population) so the verify stays bounded under real-world "
+    "clustered/anisotropic skew — at the documented cost of keeping up "
+    "to 2^xbits representatives per hot cell",
     tags=("dedup", "embedding", "semantic"),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,16 +632,49 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "vec_id",
     ).select("vec_id", "qv", "nrm2", "cid")
-    a = cells.select(
-        F.col("vec_id").alias("va"), F.col("qv").alias("qa"),
-        F.col("nrm2").alias("na"), "cid",
+    # hot-cell guard: measure each cell's population (one keyed agg over
+    # cell ids — linear), derive a per-cell salted sub-split width (0
+    # under the cap), and bucket vectors by hash(vec_id) inside hot cells
+    # so the pairwise verify is bounded by ~SEM_CELL_TARGET² per sub-cell
+    # at ANY population skew — see the SEM_CELL_CAP note above
+    from compass_query_optimizer_spark.functions.hashing import (
+        spark_auto_bits_col,
+        spark_portable_hash,
     )
-    b = cells.select(
+
+    pops = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("pop"))
+    xw = pops.select(
+        "cid",
+        F.when(
+            F.col("pop") > SEM_CELL_CAP,
+            spark_auto_bits_col(
+                F.col("pop"), SEM_CELL_TARGET, 1, SEM_SPLIT_MAX_BITS
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("xbits"),
+    )
+    sub_cells = (
+        cells.join(xw, "cid")
+        .withColumn(
+            "sub",
+            spark_portable_hash(
+                F.concat(F.lit("semsplit-"), F.col("vec_id").cast("string"))
+            )
+            % F.expr("shiftleft(CAST(1 AS BIGINT), CAST(xbits AS INT))"),
+        )
+        .select("vec_id", "qv", "nrm2", "cid", "sub")
+    )
+    a = sub_cells.select(
+        F.col("vec_id").alias("va"), F.col("qv").alias("qa"),
+        F.col("nrm2").alias("na"), "cid", "sub",
+    )
+    b = sub_cells.select(
         F.col("vec_id").alias("vb"), F.col("qv").alias("qb"),
-        F.col("nrm2").alias("nb"), "cid",
+        F.col("nrm2").alias("nb"), "cid", "sub",
     )
     dropped = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "sub"])
         .filter(F.col("vb") < F.col("va"))
         .withColumn(
             "cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
@@ -652,6 +707,16 @@ def _semantic_oracle() -> str:
         f"({_duck_lsh_code('qv', SEM_PLANES)} & "
         f"((CAST(1 AS BIGINT) << ({bits_expr})) - 1))"
     )
+    from compass_query_optimizer_spark.functions.hashing import (
+        duck_portable_hash,
+    )
+
+    xbits = (
+        f"CASE WHEN pop > {SEM_CELL_CAP} THEN "
+        f"{duck_auto_bits('pop', SEM_CELL_TARGET, 1, SEM_SPLIT_MAX_BITS)} "
+        f"ELSE 0 END"
+    )
+    salt = duck_portable_hash("'semsplit-' || CAST(c.vec_id AS VARCHAR)")
     return f"""
     WITH q AS (
       SELECT vec_id,
@@ -663,9 +728,20 @@ def _semantic_oracle() -> str:
              {cid} AS cid
       FROM q
     ),
+    xw AS (
+      SELECT cid, {xbits} AS xbits
+      FROM (SELECT cid, COUNT(*) AS pop FROM cells GROUP BY cid)
+    ),
+    sub_cells AS (
+      SELECT c.vec_id, c.qv, c.nrm2, c.cid,
+             ({salt} % (CAST(1 AS BIGINT) << x.xbits)) AS sub
+      FROM cells c JOIN xw x ON c.cid = x.cid
+    ),
     dropped AS (
       SELECT DISTINCT a.vec_id
-      FROM cells a JOIN cells b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      FROM sub_cells a
+      JOIN sub_cells b ON a.cid = b.cid AND a.sub = b.sub
+                      AND b.vec_id < a.vec_id
       WHERE list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
               / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE)))
             >= {COSINE_DUP_THRESHOLD}
