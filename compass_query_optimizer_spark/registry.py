@@ -56,85 +56,87 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # registration order — so adding a query without touching this list still
 # works, it just lands in the unsampled tail until promoted.
 _SAMPLE_PRIORITY = [
-    # -- changed in round 6: fresh driver evidence required --
-    "dedup_semantic",      # linear hyperplane-LSH cell assignment
-    "emb_pca_power",       # exact integer division (div operator)
-    "text_lm_perplexity",  # guarded char-position sequence
-    "text_dsir_weights",   # guarded bigram-position sequence
-    # -- new in round 6: first driver exposure --
-    "events_gap_fill",     # hourly grid + forward fill
-    "text_winnowing",      # SIGMOD'03 winnowing fingerprints
-    "emb_prefix_norm",     # Matryoshka truncation audit
-    "dedup_bloom",         # Bloom-join dedup prefilter
-    "compass_sum_multijoin",  # eager SUM through the multiplicity chain
-    "compass_grouped_sum",    # grouped eager SUM
-    "compass_minmax_multijoin",  # eager MIN/MAX (class-2)
-    "mm_image_decode",        # native netpbm decode through mapInPandas
-    "mm_audio_decode",        # native WAV/PCM16 decode through mapInPandas
-    "mm_video_frames",        # native y4m frame sampling through mapInPandas
-    # -- round-6 rotation: every round-5 prefix entry passed first
-    # exposure, so the prefix swings back to the tail that has been
-    # running on r3/r4 evidence (the TPC-H-ish workload + temporal/dedup
-    # families, unsampled in r5) --
-    "q01_pricing_summary",
-    "q02_topk_parts",
-    "q03_shipping_priority",
-    "q04_semi_join_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_count_star_multijoin",
-    "q08_group_having",
-    "q09_distinct",
-    "q10_agg_kinds",
-    "q11_approx_count_distinct",
-    "q12_case_cast_in",
-    "q13_date_functions",
-    "q14_string_functions",
-    "q15_left_outer_join",
-    "q16_scalar_subquery",
-    "q17_limit_offset",
-    "q18_array_ops",
-    "q19_in_integer_set",
-    "q20_null_semantics",
-    "q21_cross_join_small",
-    "q22_math_functions",
-    "q23_events_rollup",
-    "q24_sessionization",
-    "q25_window_functions",
-    "q26_set_operations",
-    "q27_grouping_rollup",
-    "q28_not_exists_anti_join",
-    "q29_full_outer_join",
-    "q30_pivot",
-    "q31_market_basket",
-    "q32_correlated_agg_subquery",
-    "q33_lateral_topn",
-    "temporal_asof_join",
-    "dedup_minhash_lsh",
+    # -- changed in round 7: fresh driver evidence required --
+    "dedup_bloom",         # width auto-sized from corpus count, packed bitmap
+    "dedup_semantic",      # hot-cell salted sub-splitting
+    # -- new in round 7: first driver exposure --
+    "compass_avg_multijoin",           # eager AVG = chain SUM / chain COUNT
+    "compass_count_distinct_multijoin",  # class-3 set-valued measure
+    "compass_grouped_count_distinct",    # grouped class-3
+    # -- round-7 rotation: the oldest driver evidence first. r3-green
+    # tail (unsampled since) --
+    "dialect_shim",
+    "geo_functions",
+    "mm_frame_sample",
+    "mm_payload_features",
+    "sim_ann_ivf",
+    "text_fingerprint",
+    "text_quality",
+    "text_tokens",
+    # -- r4-green tail --
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "docs_snapshot_diff",
+    "events_anomaly",
+    "events_funnel",
+    "events_json_extract",
+    "events_retention",
+    "events_windowed_topk",
+    "temporal_asof_forward",
+    "temporal_range_join",
+    # -- r5-green tail: the families the r6 verdict flagged as running on
+    # r5-only evidence (streaming, embeddings, events, text) --
+    "stream_dedup_events",
+    "stream_enrich_join",
+    "stream_session_window",
+    "stream_stateful_user_totals",
+    "stream_stream_join",
+    "stream_window_rollup",
+    "docs_scd2",
+    "emb_kmeans_iter",
+    "emb_quantize_int8",
+    "emb_standardize",
+    "events_cohort_matrix",
+    "events_ohlc",
+    "events_transitions",
+    "events_variant_extract",
+    "text_bpe_top_pairs",
+    "text_contamination",
+    "text_heavy_hitters_cms",
+    "text_langid",
+    "text_ngram_profile",
+    "text_pack_sequences",
+    "text_percentile_approx",
+    "text_repetition",
+    "dedup_exact",
+    "dedup_simhash",
+    "sim_ann_lsh",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
-    # -- next-round rotation candidates (past the prefix this round;
-    # r3/r4 driver-green and covered by the local differential) --
-    "temporal_range_join",
-    "events_funnel",
-    "events_retention",
-    "events_json_extract",
-    "dedup_incremental",
-    "docs_snapshot_diff",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "sim_ann_ivf",
-    "mm_frame_sample",
-    "temporal_asof_forward",
-    "events_anomaly",
-    "events_windowed_topk",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "mm_payload_features",
-    "geo_functions",
-    "dialect_shim",
+    # -- next-round rotation candidates (past the prefix this round; all
+    # r5/r6 driver-green and covered by the local differential) --
+    "compass_count_multijoin",
+    "compass_grouped_count",
+    "compass_residual_filter",
+    "compass_self_join",
+    "dedup_embedding_lsh",
+    "sim_topk_bruteforce",
+    "pipeline_curate",
+    "events_sessionize",
+    "text_chunk",
+    "text_langid_confusion",
+    "text_length_histogram",
+    "text_mixture_sample",
+    "text_pii_redact",
+    "text_quality_percentile",
+    "text_segment_dedup",
+    "text_source_cap",
+    "text_stratified_sample",
+    "text_train_split",
+    "text_vocabulary",
+    "text_zipf_coverage",
 ]
 
 

@@ -11,13 +11,11 @@ import os
 
 from compass_query_optimizer_spark.registry import _SAMPLE_PRIORITY, all_queries
 
-# entries whose implementation or oracle changed in round 6 — each needs a
+# entries whose implementation or oracle changed in round 7 — each needs a
 # fresh driver row this round, so they lead the prefix
 CHANGED_THIS_ROUND = {
-    "dedup_semantic",      # hyperplane-LSH cell assignment (was centroids)
-    "emb_pca_power",       # exact integer division via the div operator
-    "text_lm_perplexity",  # guarded char-position sequence
-    "text_dsir_weights",   # guarded bigram-position sequence
+    "dedup_bloom",      # auto-sized width + packed-bitmap filter
+    "dedup_semantic",   # hot-cell salted sub-splitting
 }
 
 
@@ -50,7 +48,7 @@ def test_prefix_serves_the_evidence_gap():
     # pinned to the round this rotation was designed against (re-pin when
     # re-rotating the priority list next round)
     root = os.path.join(os.path.dirname(__file__), "..")
-    latest = set(json.load(open(os.path.join(root, "CORRECTNESS_r05.json"))))
+    latest = set(json.load(open(os.path.join(root, "CORRECTNESS_r06.json"))))
     rotated = [
         n for n in prefix
         if n not in CHANGED_THIS_ROUND and n != "job_corpus"
