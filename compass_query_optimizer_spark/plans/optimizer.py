@@ -44,7 +44,7 @@ from compass_query_optimizer_spark.plans.search import (
 # multiplicity-scaled; min/max = class-2 duplicate-insensitive;
 # count_distinct = class-3 set-valued, handled by the helpers below)
 _MEASURE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
-_MEASURE_OPS = ("sum", "min", "max", "count_distinct")
+_MEASURE_OPS = ("sum", "min", "max", "count_distinct", "count_distinct_hll")
 
 
 def _measure_seed(measure_op: str, col: str):
@@ -54,10 +54,14 @@ def _measure_seed(measure_op: str, col: str):
     (collect_set drops NULLs — exactly COUNT(DISTINCT)'s NULL rule); the
     set is multiplicity-insensitive, so like min/max it rides joins
     untouched. Exact under the assumption that per-key distinct
-    cardinality is bounded (group-scoped sets, not corpus-scoped); for
-    unbounded measures swap in an HLL sketch at the cost of exactness."""
+    cardinality is bounded (group-scoped sets, not corpus-scoped).
+    count_distinct_hll carries a CONSTANT-SIZE Datasketches HLL sketch
+    instead (~KB per key at any cardinality) — the scale path for
+    unbounded measures, approximate within HLL's published rsd."""
     if measure_op == "count_distinct":
         return F.collect_set(col)
+    if measure_op == "count_distinct_hll":
+        return F.hll_sketch_agg(col)
     return _MEASURE_FNS[measure_op](col)
 
 
@@ -65,17 +69,22 @@ def _measure_reagg(measure_op: str, col: str):
     """Chain re-aggregation of the riding measure (the shrink step)."""
     if measure_op == "count_distinct":
         return F.array_distinct(F.flatten(F.collect_list(col)))
+    if measure_op == "count_distinct_hll":
+        return F.hll_union_agg(col)
     return _MEASURE_FNS[measure_op](col)
 
 
 def _measure_final(measure_op: str, col: str):
     """Final aggregate -> ``agg_val``. count_distinct yields the size of
     the union of surviving sets — 0 over the empty join (SQL's
-    COUNT(DISTINCT) semantics), where sum/min/max yield NULL."""
+    COUNT(DISTINCT) semantics), where sum/min/max yield NULL;
+    count_distinct_hll estimates the merged sketch."""
     if measure_op == "count_distinct":
         return F.size(
             F.array_distinct(F.flatten(F.collect_list(col)))
         ).cast("long")
+    if measure_op == "count_distinct_hll":
+        return F.hll_sketch_estimate(F.hll_union_agg(col)).cast("long")
     return _MEASURE_FNS[measure_op](col)
 
 
@@ -614,11 +623,16 @@ class CompassOptimizer:
         aggs = []
         if measure is not None:
             mcol = F.col(f"{measure[0]}__{measure[1]}")
-            aggs.append(
-                F.count_distinct(mcol).cast("long").alias("agg_val")
-                if measure_op == "count_distinct"
-                else _MEASURE_FNS[measure_op](mcol).alias("agg_val")
-            )
+            if measure_op == "count_distinct":
+                aggs.append(F.count_distinct(mcol).cast("long").alias("agg_val"))
+            elif measure_op == "count_distinct_hll":
+                aggs.append(
+                    F.hll_sketch_estimate(F.hll_sketch_agg(mcol))
+                    .cast("long")
+                    .alias("agg_val")
+                )
+            else:
+                aggs.append(_MEASURE_FNS[measure_op](mcol).alias("agg_val"))
         if group_by:
             return joined.groupBy(
                 *[F.col(f"{al}__{col}").alias(col) for al, col in group_by]

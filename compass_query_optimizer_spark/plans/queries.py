@@ -314,6 +314,56 @@ def compass_grouped_count_distinct(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("n_name")
 
 
+# HLL sketch registers are engine-specific, so (exactly like
+# q11_approx_count_distinct) the gate checks the EXACT count both engines
+# agree on plus the sketch estimate's published error bound holding.
+# Datasketches HLL at the default lgConfigK=12 has rsd ≈ 1.04/sqrt(2^12)
+# ≈ 1.63%; 3·rsd is the q11 acceptance band.
+HLL_ORACLE = """
+SELECT CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS exact_nd,
+       TRUE AS within_rsd
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+"""
+
+
+@query(
+    "compass_count_distinct_hll",
+    HLL_ORACLE,
+    doc="approx COUNT(DISTINCT) through the eager chain via Datasketches "
+    "HLL: the measure table collapses to a CONSTANT-SIZE sketch per key "
+    "(~KB at any cardinality — the scale path where the exact class-3 "
+    "set grows with distinct count), sketches union at re-aggregations, "
+    "the final estimate is rsd-bounded. Gate = exact count (both "
+    "engines agree) + |estimate − exact| ≤ 3·rsd·exact, the "
+    "q11_approx_count_distinct acceptance pattern",
+    tags=("compass", "join", "count_distinct", "approx", "sketch"),
+)
+def compass_count_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    rsd = 1.04 / (2**12) ** 0.5  # default lgConfigK=12
+    opt = CompassOptimizer(spark)
+    plan = opt.plan(GROUPED_COUNT_SQL, sf_dir)
+    approx = opt.build_count_join(
+        plan, measure=("c", "c_custkey"), measure_op="count_distinct_hll"
+    ).select(F.col("agg_val").alias("approx_nd"))
+    exact = opt.build_count_join(
+        plan, measure=("c", "c_custkey"), measure_op="count_distinct"
+    ).select(F.col("agg_val").alias("exact_nd"))
+    return exact.crossJoin(approx).select(
+        "exact_nd",
+        (
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            <= 3 * rsd * F.col("exact_nd")
+        ).alias("within_rsd"),
+    )
+
+
 MINMAX_ORACLE = """
 SELECT ROUND(CAST(MIN(l.l_extendedprice) AS DOUBLE), 2) AS min_price,
        ROUND(CAST(MAX(l.l_extendedprice) AS DOUBLE), 2) AS max_price,

@@ -63,6 +63,7 @@ _SAMPLE_PRIORITY = [
     "compass_avg_multijoin",           # eager AVG = chain SUM / chain COUNT
     "compass_count_distinct_multijoin",  # class-3 set-valued measure
     "compass_grouped_count_distinct",    # grouped class-3
+    "compass_count_distinct_hll",        # constant-size sketch scale path
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -111,10 +112,12 @@ _SAMPLE_PRIORITY = [
     "text_repetition",
     "dedup_exact",
     "dedup_simhash",
-    "sim_ann_lsh",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    # (sim_ann_lsh deferred to the r8 rotation to make room for the r7
+    # first-exposure entries; r5-green and locally differentialed)
+    "sim_ann_lsh",
     # -- next-round rotation candidates (past the prefix this round; all
     # r5/r6 driver-green and covered by the local differential) --
     "compass_count_multijoin",

@@ -1,0 +1,143 @@
+"""Measured scale sweep for the dedup/ANN operator family.
+
+Round-6 verdict #4: the auto-width claims (auto_bits, sem_cell_bits,
+simhash block bits, bloom_cell_bits) were argued and spot-measured; this
+harness measures them — the pipeline-operator analog of the JOB scale-20
+sweep that made the eager-count claim credible. It generates deterministic
+documents/embeddings fixtures at 5k / 50k / 250k rows (10× and 50× the
+sf0.1 bench corpus), runs each operator end-to-end (collect), and prints a
+markdown table for SCALE.md.
+
+The generator mirrors the driver testdata's shape (word-salad text over a
+small vocabulary, ~10% planted exact duplicates, unit-ish float32[64]
+embeddings) so bucket statistics behave like the bench fixtures. Numpy
+RandomState is seeded — identical fixtures every run.
+
+Usage:  python tools/scale_sweep.py [--sizes 5000,50000,250000] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash "
+    "slow group agg filter query big key window row table stream merge "
+    "data vector join shuffle broadcast skew salt bucket code plan cost"
+).split()
+LANGS = ["en", "de", "fr", "zh", "es"]
+
+SWEEP_OPS = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_bloom",
+    "dedup_semantic",
+    "dedup_embedding_lsh",
+    "sim_ann_lsh",
+    "text_winnowing",
+]
+
+
+def gen_fixture(out_dir: str, n_docs: int, n_vecs: int, dim: int = 64) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(42)
+    texts = []
+    for i in range(n_docs):
+        if i % 10 == 3 and i > 10:
+            texts.append(texts[i - 7])  # ~10% planted exact duplicates
+            continue
+        n_words = 10 + int(rng.randint(0, 50))
+        words = [VOCAB[int(w)] for w in rng.randint(0, len(VOCAB), n_words)]
+        texts.append(" ".join(words))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([LANGS[i % len(LANGS)] for i in range(n_docs)]),
+            "source": pa.array([f"src{i % 10}" for i in range(n_docs)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
+    vecs = rng.randn(n_vecs, dim).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                (np.arange(n_vecs) % 8).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+    pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="5000,50000,250000")
+    ap.add_argument("--out", default="/tmp/compass_scale_sweep")
+    ap.add_argument("--ops", default=",".join(SWEEP_OPS))
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+    ops = args.ops.split(",")
+
+    from compass_query_optimizer_spark.registry import all_queries
+    from compass_query_optimizer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-sweep", extra_conf={"spark.ui.enabled": "false"}
+    )
+    specs = all_queries()
+
+    dirs = {}
+    for n in sizes:
+        d = os.path.join(args.out, f"n{n}")
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            t0 = time.time()
+            gen_fixture(d, n_docs=n, n_vecs=n)
+            print(f"# generated {d} in {time.time() - t0:.1f}s")
+        dirs[n] = d
+
+    # one warmup query absorbs JVM/codegen cold start so the smallest
+    # size isn't misread as expensive
+    specs["dedup_exact"].build(spark, dirs[sizes[0]]).collect()
+
+    results: dict[str, dict[int, float]] = {}
+    rows_out: dict[str, dict[int, int]] = {}
+    for op in ops:
+        results[op] = {}
+        rows_out[op] = {}
+        for n in sizes:
+            t0 = time.time()
+            out = specs[op].build(spark, dirs[n]).collect()
+            results[op][n] = time.time() - t0
+            rows_out[op][n] = len(out)
+            print(
+                f"# {op} n={n}: {results[op][n]:.1f}s rows={len(out)}",
+                flush=True,
+            )
+
+    hdr = " | ".join(f"{n//1000}k" for n in sizes)
+    print(f"\n| operator | {hdr} | growth {sizes[0]//1000}k→{sizes[-1]//1000}k |")
+    print("|---|" + "---|" * (len(sizes) + 1))
+    for op in ops:
+        cells = " | ".join(f"{results[op][n]:.1f} s" for n in sizes)
+        g = results[op][sizes[-1]] / max(results[op][sizes[0]], 1e-9)
+        print(f"| `{op}` | {cells} | {g:.1f}× over {sizes[-1]//sizes[0]}× rows |")
+
+
+if __name__ == "__main__":
+    main()
