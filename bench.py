@@ -83,6 +83,7 @@ HEADLINE = [
     "dedup_bloom",                # Bloom-join dedup prefilter
     "emb_prefix_norm",            # Matryoshka truncation audit
     "mm_image_decode",            # native netpbm decode via mapInPandas
+    "compass_count_distinct_multijoin",  # class-3 eager COUNT(DISTINCT)
 ]
 
 MAX_WORKERS = 6  # A/B worker threads; per_query walls are N-way-concurrent

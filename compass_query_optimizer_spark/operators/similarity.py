@@ -454,15 +454,36 @@ def _lsh_oracle() -> str:
 # embedding near-dup via multi-table LSH candidates (the shipped dedup path)
 # ---------------------------------------------------------------------------
 DUP_TABLES = 4  # independent hash tables (bands)
-DUP_BITS = 8  # planes per table
+# Per-table code width is AUTO-SIZED from the corpus count (round-7: the
+# fixed 8-bit width put ~N/256 vectors in every bucket, so candidate pairs
+# grew QUADRATICALLY — the 250k-vector scale sweep spilled ~500M pairs to
+# disk and died; the sweep exists to catch exactly this). Width = smallest
+# b with expected bucket ≤ DUP_TARGET_BUCKET, clamped to [8, 24] — the
+# floor is the old fixed width, so behavior at fixture scales (≤2k
+# vectors) is bit-identical to the round-5/6 green evidence.
+#
 # Recall for a pair at cosine c: per-plane agreement p = 1 - acos(c)/π,
-# per-table collision p^BITS, overall 1-(1-p^BITS)^TABLES. With 4×8:
-#   c=0.99 → ~0.997,  c=0.95 → ~0.90,  c=0.90 → ~0.67.
-# More tables buy recall linearly in shuffle volume; more bits cut candidate
-# fan-out geometrically. Both are compile-time literals — retune per corpus.
+# per-table collision p^bits, overall 1-(1-p^bits)^TABLES. At 8 bits:
+#   c=0.99 → ~0.997,  c=0.95 → ~0.90,  c=0.90 → ~0.67;
+# at 13 bits (250k vectors): c=0.99 → ~0.97, c=0.95 → ~0.68. Wider codes
+# trade recall for the geometric candidate cut — the standard LSH trade
+# (more TABLES buy recall back linearly in shuffle; retune per corpus,
+# SPARK_GRAFT_DUP_LSH_BITS pins the width).
+DUP_MIN_BITS = 8
+DUP_MAX_BITS = 24
+DUP_TARGET_BUCKET = 32  # expected vectors per bucket the width aims for
+_ENV_DUP_BITS = os.environ.get("SPARK_GRAFT_DUP_LSH_BITS")
 _DUP_PLANES = [
-    plane_signs(DUP_BITS, EMBED_DIM, salt=f"dup-{l}") for l in range(DUP_TABLES)
+    plane_signs(DUP_MAX_BITS, EMBED_DIM, salt=f"dup-{l}")
+    for l in range(DUP_TABLES)
 ]
+
+
+def dup_lsh_bits(n_rows: int) -> int:
+    """Plan-time per-table code width for the near-dup LSH tables."""
+    if _ENV_DUP_BITS:
+        return int(_ENV_DUP_BITS)
+    return auto_bits(n_rows, DUP_TARGET_BUCKET, DUP_MIN_BITS, DUP_MAX_BITS)
 
 from compass_query_optimizer_spark.operators.dedup import (  # noqa: E402
     COSINE_DUP_THRESHOLD,
@@ -473,12 +494,13 @@ from compass_query_optimizer_spark.operators.dedup import (  # noqa: E402
     "dedup_embedding_lsh",
     None,  # generated below
     doc="embedding near-dup, scale path: candidates from "
-    f"{DUP_TABLES} independent {DUP_BITS}-bit hyperplane hash tables "
-    "(equi-join on (table, code) — shuffle is O(corpus·tables), never "
-    "quadratic), then exact quantized-cosine verification ≥ "
-    f"{COSINE_DUP_THRESHOLD}. The brute-force all-pairs variant "
-    "(operators/dedup.py dedup_embedding_cosine) is its test-only recall "
-    "baseline",
+    f"{DUP_TABLES} independent hyperplane hash tables whose per-table "
+    "code width is auto-sized from the plan-time corpus count (clamped "
+    f"[{DUP_MIN_BITS}, {DUP_MAX_BITS}] bits, ~{DUP_TARGET_BUCKET}/bucket "
+    "expected — candidate volume stays O(corpus·tables) at any N), then "
+    f"exact quantized-cosine verification ≥ {COSINE_DUP_THRESHOLD}. The "
+    "brute-force all-pairs variant (operators/dedup.py "
+    "dedup_embedding_cosine) is its test-only recall baseline",
     tags=("dedup", "embedding", "lsh"),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,9 +508,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once: three consumers (code table + both verify sides)
     # would otherwise each re-run quantization over the scan
     n = _quantized_with_norm(t["embeddings"]).localCheckpoint()
+    # plan-time width (first `bits` planes of each table == masking the
+    # full-width code to its low bits, which is what the oracle does)
+    bits = dup_lsh_bits(t["embeddings"].count())
     # one row per (vector, hash table): an equi-join key of (table, code);
     # materialized so both self-join sides reuse one code pass
-    codes = _plane_dot_codes(n, _DUP_PLANES).localCheckpoint()
+    codes = _plane_dot_codes(
+        n, [p[:bits] for p in _DUP_PLANES]
+    ).localCheckpoint()
     ca = codes.select(F.col("vec_id").alias("id_a"), "t", "c")
     cb = codes.select(F.col("vec_id").alias("id_b"), "t", "c")
     cands = (
@@ -518,8 +545,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_lsh_oracle() -> str:
+    # full-width per-table code masked to the auto width — "first bits
+    # planes", exactly the Spark side's p[:bits] (the _lsh_oracle trick)
+    bits_expr = duck_auto_bits(
+        "(SELECT COUNT(*) FROM embeddings)",
+        DUP_TARGET_BUCKET,
+        DUP_MIN_BITS,
+        DUP_MAX_BITS,
+    )
+    mask = f"((CAST(1 AS BIGINT) << ({bits_expr})) - 1)"
     code_selects = "\n      UNION ALL\n".join(
-        f"      SELECT vec_id, {l} AS t, {_duck_lsh_code('qv', _DUP_PLANES[l])} AS c FROM n"
+        f"      SELECT vec_id, {l} AS t, "
+        f"({_duck_lsh_code('qv', _DUP_PLANES[l])} & {mask}) AS c FROM n"
         for l in range(DUP_TABLES)
     )
     return f"""

@@ -82,6 +82,27 @@ def test_duck_width_twin_matches_python(n):
     assert got == want, (n, got, want)
 
 
+def test_dup_lsh_width_tracks_corpus():
+    """The round-7 sweep defect, pinned: dedup_embedding_lsh's per-table
+    width must grow with the corpus (fixed 8 bits put ~N/256 vectors per
+    bucket → quadratic candidates → disk-filling spill at 250k vectors),
+    with the old width as the floor so fixture-scale results are
+    bit-identical to prior green evidence."""
+    from compass_query_optimizer_spark.operators.similarity import (
+        DUP_MAX_BITS,
+        DUP_MIN_BITS,
+        dup_lsh_bits,
+    )
+
+    assert dup_lsh_bits(500) == DUP_MIN_BITS == 8  # sf0.01 fixture
+    assert dup_lsh_bits(2_000) == DUP_MIN_BITS  # sf0.1 bench corpus
+    assert dup_lsh_bits(250_000) == 13  # the sweep size that used to DNF
+    assert dup_lsh_bits(10**9) >= 20
+    assert dup_lsh_bits(10**12) == DUP_MAX_BITS
+    widths = [dup_lsh_bits(n) for n in range(1, 10**7, 333_333)]
+    assert widths == sorted(widths)
+
+
 def test_width_clamps_and_growth():
     # floor: tiny corpora stay at the old 4,096-cell width
     assert bloom_cell_bits(0) == BLOOM_MIN_CELL_BITS
