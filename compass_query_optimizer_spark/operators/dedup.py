@@ -127,10 +127,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) distinct candidate pairs (doc_a < doc_b), unordered —
-    the banded-LSH bucket self-join shared by dedup_minhash_lsh and the
-    connected-components clustering pass."""
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): banded LSH keys, one row per (doc, band).
+
+    The bucket table every MinHash consumer joins on — self-joined by
+    :func:`minhash_candidate_pairs`, probed against a standing corpus by
+    ``dedup_incremental_minhash`` (where the corpus side is the
+    precomputed, persistable index)."""
     sigs = minhash_signatures(docs)
     n_bands = MINHASH_K // MINHASH_R
     band_structs = F.array(
@@ -148,9 +151,20 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
             for band in range(n_bands)
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(band_structs).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) distinct candidate pairs (doc_a < doc_b), unordered —
+    the banded-LSH bucket self-join shared by dedup_minhash_lsh and the
+    connected-components clustering pass."""
+    bands = minhash_bands(docs)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_key"
     )
@@ -207,6 +221,119 @@ def _minhash_oracle() -> str:
     WHERE a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b
     """
+
+
+def _duck_minhash_bands(src: str, prefix: str) -> str:
+    """CTE chain computing (doc_id, band, band_key) for relation ``src``
+    (the SQL twin of :func:`minhash_bands`); CTE names are prefixed so the
+    corpus and batch sides coexist in one query. Requires a ``params``
+    CTE with the shared Carter–Wegman constants in scope."""
+    g = duck_portable_hash("shingle")
+    return f"""{prefix}toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok
+      FROM {src}
+    ),
+    {prefix}shingles AS (
+      SELECT DISTINCT doc_id,
+             tok[s.i] || ' ' || tok[s.i+1] || ' ' || tok[s.i+2] AS shingle
+      FROM {prefix}toks, UNNEST(range(1, greatest(len(tok) - {SHINGLE_W - 2}, 1))) AS s(i)
+    ),
+    {prefix}grams AS (SELECT doc_id, {g} AS g FROM {prefix}shingles),
+    {prefix}sigs AS (
+      SELECT doc_id, p.i, MIN((p.a * (g % {P31}) + p.b) % {P31}) AS minh
+      FROM {prefix}grams CROSS JOIN params p
+      GROUP BY doc_id, p.i
+    ),
+    {prefix}bands AS (
+      SELECT doc_id, CAST(i // {MINHASH_R} AS INTEGER) AS band,
+             string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS band_key
+      FROM {prefix}sigs GROUP BY 1, 2
+    )"""
+
+
+def _inc_minhash_oracle() -> str:
+    params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_PARAMS))
+    return f"""
+    WITH params(i, a, b) AS (VALUES {params}),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 700000 AS doc_id, text || ' appended probe token' AS text
+      FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+    ),
+    {_duck_minhash_bands('corpus', 'c_')},
+    {_duck_minhash_bands('batch', 'b_')},
+    hits AS (
+      SELECT b.doc_id, COUNT(DISTINCT c.doc_id) AS n_candidates
+      FROM b_bands b
+      JOIN c_bands c ON b.band = c.band AND b.band_key = c.band_key
+      GROUP BY b.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(h.n_candidates, 0) AS BIGINT) AS n_candidates,
+           (COALESCE(h.n_candidates, 0) > 0) AS is_near_dup
+    FROM batch b LEFT JOIN hits h ON b.doc_id = h.doc_id
+    ORDER BY b.doc_id
+    """
+
+
+@query(
+    "dedup_incremental_minhash",
+    _inc_minhash_oracle,  # deferred (inlines the hash constants)
+    doc="incremental NEAR-dup dedup against a standing corpus (the "
+    "continuous-crawl shape; the exact-hash twin is dedup_incremental): "
+    "the corpus folds once into its banded MinHash bucket table — the "
+    "persistable index, O(corpus·bands) rows — and each arrival batch "
+    "probes it with an equi-join on (band, band_key); per arrival doc "
+    "reports how many distinct corpus docs share a band and the "
+    "near-dup verdict. Shuffle is O(corpus + batch), never quadratic, "
+    "and at 100 TB the corpus side is precomputed/bucketed so only the "
+    "batch ever re-hashes. Fixture re-ingests every 5th corpus doc with "
+    "an appended token (high Jaccard, not byte-identical) so both "
+    "verdicts are exercised",
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 0)
+            ).select(
+                (F.col("doc_id") + 700000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" appended probe token")
+                ).alias("text"),
+            )
+        )
+    )
+    cb = minhash_bands(corpus).select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_key"
+    )
+    hits = (
+        minhash_bands(batch)
+        .join(cb, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("corpus_id").alias("n_candidates"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            (F.coalesce(F.col("n_candidates"), F.lit(0)) > 0).alias(
+                "is_near_dup"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,7 @@ _SAMPLE_PRIORITY = [
     "compass_count_distinct_multijoin",  # class-3 set-valued measure
     "compass_grouped_count_distinct",    # grouped class-3
     "compass_count_distinct_hll",        # constant-size sketch scale path
+    "dedup_incremental_minhash",         # near-dup probe of a standing corpus
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -111,13 +112,14 @@ _SAMPLE_PRIORITY = [
     "text_percentile_approx",
     "text_repetition",
     "dedup_exact",
-    "dedup_simhash",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
-    # (sim_ann_lsh deferred to the r8 rotation to make room for the r7
-    # first-exposure entries; r5-green and locally differentialed)
+    # (sim_ann_lsh / dedup_simhash deferred to the r8 rotation to make
+    # room for the r7 first-exposure entries; r5-green, locally
+    # differentialed, and dedup_simhash is benched every round)
     "sim_ann_lsh",
+    "dedup_simhash",
     # -- next-round rotation candidates (past the prefix this round; all
     # r5/r6 driver-green and covered by the local differential) --
     "compass_count_multijoin",
