@@ -789,9 +789,196 @@ def _semantic_oracle() -> str:
     """
 
 
+PQ_M = 8  # subspaces (codes per vector)
+PQ_SUBDIM = EMBED_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # sub-centroids per subspace (4-bit codes)
+
+
+@query(
+    "sim_ann_pq",
+    None,  # generated below
+    doc="product-quantization ANN with asymmetric distance (Jégou et al. "
+    f"TPAMI 2011): the vector splits into {PQ_M} subspaces of {PQ_SUBDIM} "
+    f"dims, each encoded as its nearest of {PQ_K} stride-sampled "
+    "sub-centroids — the corpus compresses to "
+    f"{PQ_M} small ints per vector (4 bits each), the memory trade that "
+    "makes billion-vector indexes fit. Scoring is ADC: the UNcompressed "
+    "query precomputes its dot with every (subspace, centroid) — "
+    f"{PQ_M}×{PQ_K} rows, broadcast — and a neighbor's approximate dot is "
+    "the sum of table lookups selected by its codes. Encode = one "
+    "broadcast centroid join + a combiner-friendly min(struct) argmin "
+    "(map-side partials shrink the shuffle to one row per (vector, "
+    "subspace)); scoring joins codes to the broadcast ADC table, never "
+    "vector-to-vector. All arithmetic exact int64 until the final cosine "
+    "division, so the DuckDB oracle reproduces ranks bit-for-bit",
+    tags=("similarity", "pq"),
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    t = load_tables(spark, sf_dir)
+    n = _quantized_with_norm(t["embeddings"])
+    cnt = t["embeddings"].count()
+    stride = max(1, math.ceil(cnt / PQ_K))
+    # (vec_id, nrm2, s, sv): one row per vector per subspace
+    subs = n.select(
+        "vec_id",
+        "nrm2",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("qv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("s", "sv"),
+    )
+    # deterministic "training": the same id-modulo stride sampling as
+    # sim_ann_ivf — k-means sub-codebooks would add recall but break
+    # cross-engine determinism. cn = ||centroid||² feeds the reconstructed
+    # neighbor norm in the cosine.
+    cents = subs.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"),
+        "s",
+        F.col("sv").alias("cv"),
+        F.aggregate(
+            F.col("sv"), F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("cn"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # encode: argmin centroid per (vector, subspace). min(struct(d2, cid))
+    # is the deterministic tie-break (smallest cid) AND keeps map-side
+    # partial aggregation — a row_number window here would sort instead.
+    codes = (
+        subs.join(F.broadcast(cents), "s")
+        .select("vec_id", "s", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("code"))
+    )
+    # ADC lookup table: query × every (subspace, centroid) partial dot
+    pdot = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, c: x * c),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    adc = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nrm2").alias("na"),
+            "s",
+            F.col("cid").alias("code"),
+            pdot.alias("pdot"),
+            "cn",
+        )
+    )
+    # approximate dot = Σ_s adc[s, code_s]; exactly PQ_M rows per
+    # (query, neighbor) group — the join is codes × a broadcast table,
+    # never vector × vector
+    scored = (
+        codes.join(F.broadcast(adc), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.first("na").alias("na"),
+            F.sum("pdot").alias("dot_hat"),
+            F.sum("cn").alias("n_hat"),
+        )
+        .withColumn(
+            "cos_raw",
+            F.col("dot_hat")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("n_hat").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cos"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
+    ),
+    subs AS (
+      SELECT vec_id, nrm2, s,
+             list_transform(range(1, {PQ_SUBDIM} + 1), i -> qv[s * {PQ_SUBDIM} + i]) AS sv
+      FROM n CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s)
+    ),
+    stride AS (
+      SELECT GREATEST(1, CAST(ceil(COUNT(*) / {PQ_K}.0) AS BIGINT)) AS st
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, s, sv AS cv,
+             list_sum(list_transform(sv, x -> x * x)) AS cn
+      FROM subs, stride WHERE vec_id % st = 0
+    ),
+    assigned AS (
+      SELECT v.vec_id, v.s, c.cid,
+             list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                                     i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS d2
+      FROM subs v JOIN cents c USING (s)
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+        FROM assigned
+      ) WHERE rk = 1
+    ),
+    adc AS (
+      SELECT v.vec_id AS query_id, v.nrm2 AS na, v.s, c.cid AS code,
+             list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                                     i -> v.sv[i] * c.cv[i])) AS pdot,
+             c.cn
+      FROM subs v JOIN cents c USING (s)
+      WHERE v.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT a.query_id, k.vec_id AS neighbor_id, ANY_VALUE(a.na) AS na,
+             SUM(a.pdot) AS dot_hat, SUM(a.cn) AS n_hat
+      FROM codes k JOIN adc a ON a.s = k.s AND a.code = k.code
+      WHERE k.vec_id <> a.query_id
+      GROUP BY a.query_id, k.vec_id
+    ),
+    rankd AS (
+      SELECT query_id, neighbor_id,
+             dot_hat / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(n_hat AS DOUBLE))) AS cos_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY dot_hat / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(n_hat AS DOUBLE))) DESC,
+                        neighbor_id
+             ) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos_raw, 6) AS cos
+    FROM rankd WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["sim_ann_lsh"].oracle = _lsh_oracle()
 _registry._REGISTRY["sim_ann_ivf"].oracle = _ivf_oracle()
+_registry._REGISTRY["sim_ann_pq"].oracle = _pq_oracle()
 _registry._REGISTRY["dedup_embedding_lsh"].oracle = _dup_lsh_oracle()
 _registry._REGISTRY["dedup_semantic"].oracle = _semantic_oracle()

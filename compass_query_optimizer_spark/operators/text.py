@@ -1621,3 +1621,231 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift (KL divergence) between corpus slices.
+#
+# The curation question "did this month's crawl shift vocabulary?" reduces to
+# D_KL(P_slice || P_corpus) over token distributions. The naive computation
+# needs every (slice, vocab-token) pair — a slice x vocabulary cross join.
+# This implementation only shuffles OBSERVED (slice, token) pairs and closes
+# the gap over unseen tokens with an exact algebraic correction:
+#
+#   with Laplace smoothing p_l(t) = (c_lt + 1) / (n_l + V) over the corpus
+#   vocabulary V, every token unseen in slice l contributes
+#   p0 * (ln p0 - ln P_c(t)) where p0 = 1/(n_l + V). Summed over the unseen
+#   set, sum(ln P_c(t)) = S_all - S_seen_l, where S_all = sum over the WHOLE
+#   vocabulary of ln P_c(t) is one corpus-wide scalar. So
+#
+#   KL_l = sum_seen[p_lt (ln p_lt - ln P_c)]                 (observed pairs)
+#        + p0 * (V - V_l) * ln p0 - p0 * (S_all - S_seen_l)  (closed form)
+#
+# Shuffle inventory at 100 TB: one explode -> (lang, token) combiner agg,
+# one (token) agg, one token-keyed join between them; the scalars
+# (n_total, V, S_all) broadcast. Nothing is slice x vocabulary.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_kl_drift",
+    rf"""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+      FROM documents
+    ),
+    ct AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_t FROM toks GROUP BY token),
+    tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS v,
+             SUM(LN(c_t)) - COUNT(*) * LN(CAST(SUM(c_t) AS DOUBLE)) AS s_all
+      FROM ct
+    ),
+    lt AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c_lt
+      FROM toks GROUP BY lang, token
+    ),
+    langtot AS (
+      SELECT lang, CAST(SUM(c_lt) AS BIGINT) AS n_l,
+             CAST(COUNT(*) AS BIGINT) AS v_l
+      FROM lt GROUP BY lang
+    ),
+    seen AS (
+      SELECT l.lang,
+             SUM(((l.c_lt + 1.0) / (g.n_l + t.v))
+                 * (LN((l.c_lt + 1.0) / (g.n_l + t.v))
+                    - LN(c.c_t * 1.0 / t.n_total))) AS kl_seen,
+             SUM(LN(c.c_t * 1.0 / t.n_total)) AS s_seen
+      FROM lt l JOIN ct c USING (token)
+      JOIN langtot g USING (lang) CROSS JOIN tot t
+      GROUP BY l.lang
+    )
+    SELECT g.lang, g.n_l AS n_tokens, g.v_l AS vocab_seen,
+           ROUND(s.kl_seen
+                 + (1.0 / (g.n_l + t.v)) * (t.v - g.v_l) * LN(1.0 / (g.n_l + t.v))
+                 - (1.0 / (g.n_l + t.v)) * (t.s_all - s.s_seen), 4) AS kl
+    FROM langtot g JOIN seen s USING (lang) CROSS JOIN tot t
+    ORDER BY g.lang
+    """,
+    doc="token-distribution drift: per-lang KL(P_lang || P_corpus) with "
+    "Laplace smoothing over the corpus vocabulary. Only OBSERVED (lang, "
+    "token) pairs shuffle; the unseen-token mass folds into a closed-form "
+    "correction via one corpus scalar S_all = sum ln P_c(t) — the "
+    "slice x vocabulary cross join the textbook formula implies never "
+    "materializes (the `text_contamination` broadcast-not-shuffle "
+    "discipline applied to divergence)",
+    tags=("text", "curation", "drift"),
+)
+def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    toks = docs.select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    ct = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    # one corpus scalar row: total mass, vocabulary size, S_all.
+    # ln P_c(t) = ln c_t - ln n_total, so S_all = sum(ln c_t) - V ln n_total
+    # — computable in the SAME aggregate that produces n_total
+    tot = ct.agg(
+        F.sum("c_t").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.log("c_t")).alias("sum_ln_ct"),
+    ).select(
+        "n_total",
+        "v",
+        (F.col("sum_ln_ct") - F.col("v") * F.log(F.col("n_total").cast("double"))).alias("s_all"),
+    )
+    lt = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c_lt"))
+    langtot = lt.groupBy("lang").agg(
+        F.sum("c_lt").cast("long").alias("n_l"),
+        F.count(F.lit(1)).cast("long").alias("v_l"),
+    )
+    p_lt = (F.col("c_lt") + 1.0) / (F.col("n_l") + F.col("v"))
+    ln_pc = F.log(F.col("c_t") * 1.0 / F.col("n_total"))
+    seen = (
+        lt.join(ct, "token")
+        .join(F.broadcast(langtot), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lang")
+        .agg(
+            F.sum(p_lt * (F.log(p_lt) - ln_pc)).alias("kl_seen"),
+            F.sum(ln_pc).alias("s_seen"),
+        )
+    )
+    p0 = 1.0 / (F.col("n_l") + F.col("v"))
+    return (
+        langtot.join(seen, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n_l").alias("n_tokens"),
+            F.col("v_l").alias("vocab_seen"),
+            F.round(
+                F.col("kl_seen")
+                + p0 * (F.col("v") - F.col("v_l")) * F.log(p0)
+                - p0 * (F.col("s_all") - F.col("s_seen")),
+                4,
+            ).alias("kl"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear classifier inference (the fastText-shaped quality
+# gate): tokens hash into CLF_BUCKETS feature buckets, each bucket carries a
+# deterministic weight, a document's score is the exact-int64 sum of its
+# token-bucket weights. Weights here are hash-derived stand-ins (the
+# container has no model artifacts); swapping in trained weights changes
+# only the 4096-row weight table, not the plan.
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 4096
+CLF_WEIGHT_SPAN = 2001  # weights in [-1000, 1000], fixed-point /1000
+
+
+@query(
+    "text_hash_classifier",
+    rf"""
+    WITH wt AS (
+      SELECT b, ({duck_portable_hash("'clf-w-' || CAST(b AS VARCHAR)")}
+                 % {CLF_WEIGHT_SPAN}) - 1000 AS w
+      FROM (SELECT unnest(range(0, {CLF_BUCKETS})) AS b)
+    ),
+    toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, lang,
+             {duck_portable_hash('token')} % {CLF_BUCKETS} AS b
+      FROM toks
+    ),
+    ds AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang,
+             CAST(SUM(w.w) AS BIGINT) AS score
+      FROM bt JOIN wt w USING (b) GROUP BY doc_id
+    )
+    SELECT lang,
+           CASE WHEN score >= 0 THEN 'pos' ELSE 'neg' END AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           ROUND(SUM(score) / (1000.0 * COUNT(*)), 4) AS avg_margin
+    FROM ds GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="hashing-trick linear classifier inference (fastText/Vowpal-Wabbit "
+    f"shape): tokens hash into {CLF_BUCKETS} buckets, the bucket->weight "
+    "table is built by expression over spark.range and BROADCAST (a real "
+    "model's weight vector ships the same way), per-doc score = exact "
+    "int64 sum of matched weights so the differential gate needs no float "
+    "tolerance. Plan: one md5/token scan, broadcast weight join, "
+    "combiner-friendly doc agg -> (lang, pred) rollup; the corpus never "
+    "shuffles token rows by weight",
+    tags=("text", "curation", "inference"),
+)
+def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    wt = spark.range(CLF_BUCKETS).select(
+        F.col("id").alias("b"),
+        (
+            spark_portable_hash(
+                F.concat(F.lit("clf-w-"), F.col("id").cast("string"))
+            )
+            % CLF_WEIGHT_SPAN
+            - 1000
+        ).alias("w"),
+    )
+    bt = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(_tokens(F.col("text"))).alias("token"),
+    ).select(
+        "doc_id", "lang", (spark_portable_hash(F.col("token")) % CLF_BUCKETS).alias("b")
+    )
+    ds = (
+        bt.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(F.first("lang").alias("lang"), F.sum("w").cast("long").alias("score"))
+    )
+    return (
+        ds.select(
+            "lang",
+            F.when(F.col("score") >= 0, F.lit("pos")).otherwise(F.lit("neg")).alias("pred"),
+            "score",
+        )
+        .groupBy("lang", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .select(
+            "lang",
+            "pred",
+            "n_docs",
+            "sum_score",
+            F.round(F.col("sum_score") / (1000.0 * F.col("n_docs")), 4).alias(
+                "avg_margin"
+            ),
+        )
+        .orderBy("lang", "pred")
+    )

@@ -65,6 +65,9 @@ _SAMPLE_PRIORITY = [
     "compass_grouped_count_distinct",    # grouped class-3
     "compass_count_distinct_hll",        # constant-size sketch scale path
     "dedup_incremental_minhash",         # near-dup probe of a standing corpus
+    "sim_ann_pq",                        # product-quantization ADC ANN
+    "text_kl_drift",                     # slice-vs-corpus KL divergence
+    "text_hash_classifier",              # hashed linear model inference
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -109,15 +112,16 @@ _SAMPLE_PRIORITY = [
     "text_langid",
     "text_ngram_profile",
     "text_pack_sequences",
-    "text_percentile_approx",
-    "text_repetition",
-    "dedup_exact",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
-    # (sim_ann_lsh / dedup_simhash deferred to the r8 rotation to make
-    # room for the r7 first-exposure entries; r5-green, locally
-    # differentialed, and dedup_simhash is benched every round)
+    "text_percentile_approx",
+    # (sim_ann_lsh / dedup_simhash / text_repetition / dedup_exact deferred
+    # to the r8 rotation to make room for the r7 first-exposure entries;
+    # r5-green, locally differentialed, and dedup_simhash + dedup_exact are
+    # benched every round)
+    "text_repetition",
+    "dedup_exact",
     "sim_ann_lsh",
     "dedup_simhash",
     # -- next-round rotation candidates (past the prefix this round; all
