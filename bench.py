@@ -84,6 +84,9 @@ HEADLINE = [
     "emb_prefix_norm",            # Matryoshka truncation audit
     "mm_image_decode",            # native netpbm decode via mapInPandas
     "compass_count_distinct_multijoin",  # class-3 eager COUNT(DISTINCT)
+    "sim_ann_pq",                 # product-quantization ADC ANN
+    "text_kl_drift",              # slice-vs-corpus KL divergence
+    "text_hash_classifier",       # hashed linear model inference
 ]
 
 MAX_WORKERS = 6  # A/B worker threads; per_query walls are N-way-concurrent

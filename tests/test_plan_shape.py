@@ -288,3 +288,38 @@ def test_mm_decode_payloads_stay_in_scan_stage(spark, name):
     for line in plan.splitlines():
         if "Exchange" in line and "payload" in line:
             raise AssertionError(f"payload bytes cross an exchange: {line}")
+
+
+def test_pq_scoring_joins_codes_to_broadcast_tables(spark):
+    """PQ-ADC's scale contract: sub-centroid and ADC tables BROADCAST
+    (M*K and queries*M*K rows), the corpus side never joins vector to
+    vector, and encode's argmin is an aggregate (map-side partials),
+    never a per-(vector, subspace) sort window."""
+    plan = formatted_plan(spark, "sim_ann_pq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # encode + ADC-build + score
+    assert "partial_min" in plan  # argmin encode combines map-side
+
+
+def test_kl_drift_joins_only_observed_pairs(spark):
+    """KL drift must never materialize the slice x vocabulary cross join:
+    the only nested-loop joins are broadcasts of the 1-row scalar
+    aggregate (n_total, V, S_all), and the (lang, token) aggregates
+    combine map-side."""
+    plan = formatted_plan(spark, "text_kl_drift")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # token aggs combine before the shuffle
+    # the lang-keyed join of observed pairs is a hash join, not a loop join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hash_classifier_weights_broadcast(spark):
+    """The bucket->weight table must broadcast (a trained model's weight
+    vector ships the same way); token rows never shuffle by weight, and
+    no Python stage appears — scoring is pure codegen."""
+    plan = formatted_plan(spark, "text_hash_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
