@@ -68,6 +68,8 @@ _SAMPLE_PRIORITY = [
     "sim_ann_pq",                        # product-quantization ADC ANN
     "text_kl_drift",                     # slice-vs-corpus KL divergence
     "text_hash_classifier",              # hashed linear model inference
+    "stream_approx_distinct",            # streaming HLL per-window distinct
+    "stream_sliding_count",              # sliding-window streaming rollup
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -110,11 +112,11 @@ _SAMPLE_PRIORITY = [
     "text_contamination",
     "text_heavy_hitters_cms",
     "text_langid",
-    "text_ngram_profile",
-    "text_pack_sequences",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "text_ngram_profile",
+    "text_pack_sequences",
     "text_percentile_approx",
     # (sim_ann_lsh / dedup_simhash / text_repetition / dedup_exact deferred
     # to the r8 rotation to make room for the r7 first-exposure entries;

@@ -393,3 +393,110 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_approx_distinct",
+    # HLL register layouts differ per engine (q11's rationale), and exact
+    # COUNT(DISTINCT) is unsupported inside a streaming aggregation — so
+    # the stream carries the HLL sketch and the gate checks the streamed
+    # approx against a BATCH exact count per window under the 3·rsd bound
+    """
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_rsd
+    FROM events GROUP BY 1 ORDER BY ws
+    """,
+    doc="streaming windowed APPROX_COUNT_DISTINCT: per-hour distinct users "
+    "via the HLL++ sketch (the ONLY distinct aggregate Structured "
+    "Streaming supports — exact distinct needs unbounded per-window "
+    "state, the sketch is constant-size and mergeable across triggers), "
+    "1h watermark, availableNow drain; acceptance = |approx − exact| ≤ "
+    "3·rsd·exact + 3 per window against the batch exact count (q11's "
+    "exact-plus-bound gate per-window; the +3 absolute slack covers HLL "
+    "register quantization at the ~10-user window cardinalities, where "
+    "the multiplicative bound alone is < 1)",
+    tags=("streaming", "approx"),
+)
+def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compass_query_optimizer_spark.catalog import load_tables
+
+    rsd = 0.02
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    src = _events_stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "approx_users")
+    )
+    sink = f"apxd_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    exact = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("ws")
+        )
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        spark.table(sink)
+        .join(exact, "ws")
+        .select(
+            "ws",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 3 * rsd * F.col("exact_users") + 3
+            ).alias("within_rsd"),
+        )
+        .orderBy("ws")
+    )
+
+
+@query(
+    "stream_sliding_count",
+    # each event falls into exactly TWO 2h-wide hourly-sliding windows:
+    # the one starting at its truncated hour and the one an hour earlier —
+    # the batch twin materializes both memberships with a UNION ALL
+    """
+    SELECT ws, COUNT(*) AS cnt FROM (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws FROM events
+      UNION ALL
+      SELECT CAST(DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP) FROM events
+    ) GROUP BY ws ORDER BY ws
+    """,
+    doc="streaming SLIDING-window rollup (2h width, 1h slide): overlapping "
+    "windows are the state shape tumbling rollups don't exercise — each "
+    "event updates two window states, the watermark still bounds total "
+    "state to width/slide live windows per key. Oracle is the batch "
+    "UNION-ALL expansion of the two memberships (stream/batch "
+    "consistency)",
+    tags=("streaming",),
+)
+def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    src = _events_stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "cnt")
+    )
+    sink = f"slide_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("ws")

@@ -44,6 +44,7 @@ SWEEP_OPS = [
     "dedup_semantic",
     "dedup_embedding_lsh",
     "sim_ann_lsh",
+    "sim_ann_pq",
     "text_winnowing",
 ]
 
