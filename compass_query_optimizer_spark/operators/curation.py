@@ -288,3 +288,191 @@ from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["text_repetition"].oracle = _repetition_oracle()
 _registry._REGISTRY["text_contamination"].oracle = _contamination_oracle()
+
+
+# ---------------------------------------------------------------------------
+# The full composed pretraining pipeline in ONE plan (RefinedWeb/FineWeb
+# shape): quality gate -> exact dedup keep-first -> eval decontamination ->
+# per-language attrition rollup. pipeline_curate proves a 3-stage
+# composition; this one adds dedup-vs-decontamination interplay and reports
+# WHERE documents die, mutually exclusively, which is the number a corpus
+# owner actually tracks.
+#
+# 100 TB shape: document bodies never cross an exchange. Scan 1 reduces
+# every doc to (doc_id, lang, n_tokens, uniq, fp=md5(tokens)) scan-side;
+# the dedup keep-set is an fp-keyed aggregate of IDs; scan 2 re-derives
+# shingles scan-side and probes the BROADCAST eval shingle set, reducing
+# map-side to one (doc_id, matched) row; the final joins are id-keyed.
+# Quality and contamination thresholds compare in integer arithmetic
+# (uniq*2 > n, 10*m >= 3*n_sh) so no float boundary can drift cross-engine.
+# ---------------------------------------------------------------------------
+
+QUAL_MIN_TOKENS = 20
+QUAL_MAX_TOKENS = 1000
+
+
+@query(
+    "pipeline_pretrain",
+    None,  # generated below
+    doc="composed pretraining-corpus pipeline in one plan: quality gate "
+    f"({QUAL_MIN_TOKENS}-{QUAL_MAX_TOKENS} tokens, uniq*2 > n dup bound) "
+    "-> exact dedup keep-first among quality survivors -> 2-gram shingle "
+    "decontamination vs the hash-held-out eval subset -> per-lang rollup "
+    "of mutually-exclusive attrition (fail_quality / dup_removed / "
+    "contaminated / kept + kept tokens). Bodies reduce scan-side to "
+    "md5 fingerprints and shingle hits; every exchange carries ids and "
+    "counters only (plan-test-locked)",
+    tags=("text", "curation", "pipeline"),
+)
+def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"])
+    is_eval = (F.col("doc_id") % EVAL_MOD) == 0
+    toks = _toks(F.col("text"))
+    # scan 1: every per-doc quality/dedup input, bodies dropped in-scan
+    flags = docs.filter(~is_eval).select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("uniq"),
+        F.md5(F.array_join(toks, " ")).alias("fp"),
+    )
+    quality_ok = (
+        F.col("n_tokens").between(QUAL_MIN_TOKENS, QUAL_MAX_TOKENS)
+        & (F.col("uniq") * 2 > F.col("n_tokens"))
+    )
+    flags = flags.withColumn("quality_ok", quality_ok)
+    # dedup keep-set: first (smallest doc_id) quality survivor per
+    # fingerprint — an fp-keyed aggregate of IDs, never of bodies
+    keep = (
+        flags.filter(F.col("quality_ok"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("is_first"))
+    )
+    # scan 2: contamination probe — shingles re-derived scan-side, eval
+    # set distinct-reduced and broadcast (text_contamination's shape)
+    shingled = docs.select(
+        "doc_id",
+        F.array_distinct(_grams(_toks(F.col("text")), SHINGLE_N)).alias("sh"),
+    )
+    eval_sh = (
+        shingled.filter(is_eval)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cont = (
+        shingled.filter(~is_eval)
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle"))
+        .join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_sh").alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("m"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("n_sh") > 0) & (F.col("m") * 10 >= F.col("n_sh") * 3)).alias(
+                "contaminated"
+            ),
+        )
+    )
+    per_doc = (
+        flags.join(keep, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "lang",
+            "n_tokens",
+            "quality_ok",
+            (F.col("is_first") == 1).alias("is_first"),
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )
+    is_first = F.coalesce(F.col("is_first"), F.lit(False))
+    kept = F.col("quality_ok") & is_first & ~F.col("contaminated")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(~F.col("quality_ok"), 1).otherwise(0)).alias("fail_quality"),
+            F.sum(F.when(F.col("quality_ok") & ~is_first, 1).otherwise(0)).alias(
+                "dup_removed"
+            ),
+            F.sum(
+                F.when(F.col("quality_ok") & is_first & F.col("contaminated"), 1).otherwise(0)
+            ).alias("contaminated"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _pretrain_oracle() -> str:
+    shingle = " || ' ' || ".join(f"toks[i+{j}]" for j in range(SHINGLE_N))
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '{_TOKEN_RE}') AS toks
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id, lang, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS uniq,
+             md5(array_to_string(toks, ' ')) AS fp,
+             (len(toks) BETWEEN {QUAL_MIN_TOKENS} AND {QUAL_MAX_TOKENS}
+              AND len(list_distinct(toks)) * 2 > len(toks)) AS quality_ok
+      FROM docs WHERE doc_id % {EVAL_MOD} <> 0
+    ),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id, 1 AS is_first
+      FROM flags WHERE quality_ok GROUP BY fp
+    ),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= {SHINGLE_N}
+               THEN list_transform(range(1, len(toks) - {SHINGLE_N - 2}),
+                                   i -> {shingle})
+               ELSE [] END) AS sh
+      FROM docs
+    ),
+    eval_sh AS (
+      SELECT DISTINCT unnest(sh) AS shingle
+      FROM shingled WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    cont AS (
+      SELECT c.doc_id,
+             (MIN(c.n_sh) > 0 AND
+              SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) * 10
+                >= MIN(c.n_sh) * 3) AS contaminated
+      FROM (SELECT doc_id, len(sh) AS n_sh,
+                   unnest(CASE WHEN len(sh) = 0 THEN [NULL] ELSE sh END)
+                       AS shingle
+            FROM shingled WHERE doc_id % {EVAL_MOD} <> 0) c
+      LEFT JOIN eval_sh e ON c.shingle = e.shingle
+      GROUP BY c.doc_id
+    ),
+    per_doc AS (
+      SELECT f.lang, f.n_tokens, f.quality_ok,
+             COALESCE(k.is_first = 1, FALSE) AS is_first,
+             COALESCE(c.contaminated, FALSE) AS contaminated
+      FROM flags f
+      LEFT JOIN keep k USING (doc_id)
+      LEFT JOIN cont c USING (doc_id)
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_quality,
+           CAST(SUM(CASE WHEN quality_ok AND NOT is_first THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_removed,
+           CAST(SUM(CASE WHEN quality_ok AND is_first AND contaminated
+                         THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+           CAST(SUM(CASE WHEN quality_ok AND is_first AND NOT contaminated
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(SUM(CASE WHEN quality_ok AND is_first AND NOT contaminated
+                         THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """
+
+
+_registry._REGISTRY["pipeline_pretrain"].oracle = _pretrain_oracle()

@@ -70,6 +70,7 @@ _SAMPLE_PRIORITY = [
     "text_hash_classifier",              # hashed linear model inference
     "stream_approx_distinct",            # streaming HLL per-window distinct
     "stream_sliding_count",              # sliding-window streaming rollup
+    "pipeline_pretrain",                 # composed quality→dedup→decontam
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -111,10 +112,10 @@ _SAMPLE_PRIORITY = [
     "text_bpe_top_pairs",
     "text_contamination",
     "text_heavy_hitters_cms",
-    "text_langid",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "text_langid",
     "text_ngram_profile",
     "text_pack_sequences",
     "text_percentile_approx",

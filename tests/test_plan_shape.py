@@ -323,3 +323,16 @@ def test_hash_classifier_weights_broadcast(spark):
     assert "SortMergeJoin" not in plan
     for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert node not in plan
+
+
+def test_pipeline_pretrain_exchanges_are_body_free(spark):
+    """The composed pretraining pipeline's scale contract: bodies reduce
+    scan-side (md5 fingerprint, shingle hits), every exchange carries ids
+    and counters; the eval shingle set broadcasts; no Python stage."""
+    plan = formatted_plan(spark, "pipeline_pretrain")
+    for line in plan.splitlines():
+        if "Exchange" in line and "text" in line:
+            raise AssertionError(f"document text crosses an exchange: {line}")
+    assert "BroadcastHashJoin" in plan  # eval shingle probe
+    for node in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert node not in plan
