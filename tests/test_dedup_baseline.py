@@ -159,3 +159,75 @@ def test_semantic_dedup_recall_on_planted_neardups(spark, tmp_path):
     assert len(dropped & {100 + i for i in range(20)}) >= 18
     # soundness: nothing outside the planted near-dup set is dropped
     assert dropped <= {100 + i for i in range(20)}
+
+
+def test_minhash_lsh_recall_matches_banding_theory(spark, tmp_path):
+    """MinHash-LSH recall is 'partial by design' — this measures it. Pairs
+    of documents are constructed at three similarity levels (shared token
+    prefix + per-pair fresh vocabulary, so pairs never collide with each
+    other), true 3-shingle Jaccard s is computed exactly in the test, and
+    the measured candidate rate per level is compared to the banding
+    S-curve P(candidate) = 1 - (1 - s^r)^b (r=3 rows, b=4 bands). The
+    fixture is deterministic, so the measured rates are stable — this is
+    calibration, not a flaky statistical bound."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from compass_query_optimizer_spark.operators.dedup import (
+        MINHASH_K,
+        MINHASH_R,
+        SHINGLE_W,
+        dedup_minhash_lsh,
+    )
+
+    n_bands = MINHASH_K // MINHASH_R
+    L = 60  # tokens per doc
+    PER_LEVEL = 60  # pairs per similarity level
+    levels = {"high": 55, "mid": 34, "low": 10}  # shared-prefix tokens
+
+    def shingle_set(tokens):
+        return {
+            " ".join(tokens[i : i + SHINGLE_W])
+            for i in range(len(tokens) - SHINGLE_W + 1)
+        }
+
+    texts, level_of_pair, theory = [], [], {}
+    pid = 0
+    for label, m in levels.items():
+        for _ in range(PER_LEVEL):
+            a = [f"p{pid}w{j}" for j in range(L)]
+            b = a[:m] + [f"p{pid}x{j}" for j in range(L - m)]
+            sa, sb = shingle_set(a), shingle_set(b)
+            s = len(sa & sb) / len(sa | sb)
+            theory.setdefault(label, []).append(1 - (1 - s**MINHASH_R) ** n_bands)
+            texts += [" ".join(a), " ".join(b)]
+            level_of_pair.append(label)
+            pid += 1
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    }
+    for label in levels:
+        hits = sum(
+            1
+            for i, lab in enumerate(level_of_pair)
+            if lab == label and (2 * i, 2 * i + 1) in got
+        )
+        rate = hits / PER_LEVEL
+        expect = sum(theory[label]) / PER_LEVEL
+        # 60 deterministic Bernoulli-ish draws: allow ~3 sigma of the
+        # binomial spread around the theoretical mean
+        slack = 3 * (expect * (1 - expect) / PER_LEVEL) ** 0.5 + 0.05
+        assert abs(rate - expect) <= slack, (
+            f"{label}: measured {rate:.3f} vs theory {expect:.3f} ± {slack:.3f}"
+        )
