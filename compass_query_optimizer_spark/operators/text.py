@@ -1849,3 +1849,128 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis & Spirakis, IPL 2006):
+# each doc draws a deterministic uniform u from its id hash and competes
+# with key = u^(1/w); the top-k keys are EXACTLY a weight-proportional
+# sample without replacement. Ranking by ln(u)/w is the same order with
+# one transcendental. One scan + one TakeOrdered — no shuffle of bodies,
+# no rejection loop, and the sample is reproducible under re-sharding
+# because the randomness is keyed to doc identity, not partition order.
+# ---------------------------------------------------------------------------
+
+WRS_K = 50  # sample size
+_WRS_U48 = float(1 << 48)
+
+
+@query(
+    "text_weighted_sample",
+    rf"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             LN(({duck_portable_hash("'wrs-' || CAST(doc_id AS VARCHAR)")} + 1.0)
+                / {_WRS_U48}) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, ROUND(k * 1000000, 2) AS key_e6
+    FROM keyed ORDER BY k DESC, doc_id LIMIT {WRS_K}
+    """,
+    doc="weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
+    "deterministic per-doc uniform from the id hash, key = ln(u)/weight "
+    f"(weight = n_chars, so longer docs are proportionally likelier), "
+    f"top-{WRS_K} keys win. One scan + TakeOrdered — the sample is "
+    "reproducible under corpus growth and re-sharding because randomness "
+    "keys on doc identity; the standard quality-weighted downsample for "
+    "training mixes",
+    tags=("text", "curation", "sampling"),
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir)["documents"]).filter(
+        F.col("n_chars") > 0
+    )
+    u = (
+        spark_portable_hash(
+            F.concat(F.lit("wrs-"), F.col("doc_id").cast("string"))
+        )
+        + 1.0
+    ) / _WRS_U48
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "lang", "n_chars", k.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(WRS_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.col("k") * 1e6, 2).alias("key_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty: what fraction of a doc's distinct word
+# 3-shingles appears in NO other document. Low novelty marks boilerplate
+# and template text that survives exact dedup; the inverse signal of
+# text_segment_dedup's duplicate fraction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_novelty",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             tok[s.i] || ' ' || tok[s.i+1] || ' ' || tok[s.i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(tok) - 1, 1))) AS s(i)
+    ),
+    df AS (
+      SELECT shingle, COUNT(*) AS n_docs FROM shingles GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           ROUND(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS novelty
+    FROM shingles s JOIN df d USING (shingle)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc="per-doc n-gram novelty: fraction of the doc's distinct word "
+    "3-shingles with corpus document-frequency 1 — the boilerplate/"
+    "template detector that catches what exact dedup can't (docs sharing "
+    "phrases, not bodies). Shingles reuse the MinHash shingle pass; two "
+    "keyed shuffles (shingle df, doc rollup), both combiner-friendly, "
+    "shingle strings hash-partition so no key is corpus-wide",
+    tags=("text", "curation", "dedup"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compass_query_optimizer_spark.operators.dedup import _spark_shingles
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = _spark_shingles(docs)  # (doc_id, shingle) distinct per doc
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(F.col("n_unique") * 1.0 / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -71,6 +71,8 @@ _SAMPLE_PRIORITY = [
     "stream_approx_distinct",            # streaming HLL per-window distinct
     "stream_sliding_count",              # sliding-window streaming rollup
     "pipeline_pretrain",                 # composed quality→dedup→decontam
+    "text_weighted_sample",              # A-ES weight-proportional sample
+    "text_ngram_novelty",                # boilerplate/template detector
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -110,11 +112,11 @@ _SAMPLE_PRIORITY = [
     "events_transitions",
     "events_variant_extract",
     "text_bpe_top_pairs",
-    "text_contamination",
-    "text_heavy_hitters_cms",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "text_contamination",
+    "text_heavy_hitters_cms",
     "text_langid",
     "text_ngram_profile",
     "text_pack_sequences",
