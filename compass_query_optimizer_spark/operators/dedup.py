@@ -886,9 +886,84 @@ def _clusters_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Edit-distance verification of LSH candidates: the third verify flavor
+# next to exact-gram-count (dedup_ngram_jaccard) and quantized cosine
+# (dedup_embedding_lsh). Levenshtein is order-sensitive where Jaccard is
+# bag-of-shingles — it distinguishes a shuffled-sentence near-dup from a
+# typo-level near-dup. Both engines implement the classic unit-cost
+# Levenshtein, so the verdict is an exact integer.
+# ---------------------------------------------------------------------------
+
+ED_PREFIX = 200  # chars compared; bounds the O(len²) DP and the shuffle
+ED_MAX_RATIO_PCT = 20  # dup iff edit distance ≤ 20% of the longer prefix
+
+
+@query(
+    "dedup_edit_distance",
+    None,  # generated below (inlines the minhash constants)
+    doc="edit-distance verification of MinHash-LSH candidates: banded "
+    f"candidates fetch only a {ED_PREFIX}-char prefix per side (projected "
+    "scan-side, so the pair join shuffles ≤200 B/doc, never full bodies), "
+    f"then unit-cost Levenshtein; dup iff distance ≤ {ED_MAX_RATIO_PCT}% "
+    "of the longer prefix (integer cross-multiplied — no float "
+    "threshold). The order-sensitive verify complements bag-of-shingles "
+    "Jaccard: a shuffled-sentence doc passes Jaccard but fails here",
+    tags=("dedup", "lsh", "verify"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_candidate_pairs(docs)
+    pre = spread(docs).select(
+        "doc_id", F.substring(F.col("text"), 1, ED_PREFIX).alias("p")
+    )
+    scored = (
+        pairs.join(pre.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa")), "doc_a")
+        .join(pre.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("pa"), F.col("pb")).alias("edit_dist"),
+            F.greatest(F.length("pa"), F.length("pb")).alias("max_len"),
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "edit_dist",
+        (F.col("edit_dist") * 100 <= F.col("max_len") * ED_MAX_RATIO_PCT).alias(
+            "is_dup"
+        ),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _edit_distance_oracle() -> str:
+    params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_PARAMS))
+    return f"""
+    WITH params(i, a, b) AS (VALUES {params}),
+    {_duck_minhash_bands('documents', '')},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    pre AS (SELECT doc_id, substr(text, 1, {ED_PREFIX}) AS p FROM documents)
+    SELECT p1.doc_a, p1.doc_b,
+           CAST(levenshtein(pa.p, pb.p) AS INTEGER) AS edit_dist,
+           levenshtein(pa.p, pb.p) * 100
+             <= GREATEST(length(pa.p), length(pb.p)) * {ED_MAX_RATIO_PCT}
+               AS is_dup
+    FROM pairs p1
+    JOIN pre pa ON pa.doc_id = p1.doc_a
+    JOIN pre pb ON pb.doc_id = p1.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
 # patch in the generated oracles
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
+_registry._REGISTRY["dedup_edit_distance"].oracle = _edit_distance_oracle()
 _registry._REGISTRY["dedup_minhash_lsh"].oracle = _minhash_oracle()
 _registry._REGISTRY["dedup_simhash"].oracle = _simhash_oracle()
 _registry._REGISTRY["dedup_ngram_jaccard"].oracle = _jaccard_oracle()

@@ -73,6 +73,7 @@ _SAMPLE_PRIORITY = [
     "pipeline_pretrain",                 # composed quality→dedup→decontam
     "text_weighted_sample",              # A-ES weight-proportional sample
     "text_ngram_novelty",                # boilerplate/template detector
+    "dedup_edit_distance",               # order-sensitive LSH verify
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -111,10 +112,10 @@ _SAMPLE_PRIORITY = [
     "events_ohlc",
     "events_transitions",
     "events_variant_extract",
-    "text_bpe_top_pairs",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "text_bpe_top_pairs",
     "text_contamination",
     "text_heavy_hitters_cms",
     "text_langid",
