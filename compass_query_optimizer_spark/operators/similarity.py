@@ -982,3 +982,323 @@ _registry._REGISTRY["sim_ann_ivf"].oracle = _ivf_oracle()
 _registry._REGISTRY["sim_ann_pq"].oracle = _pq_oracle()
 _registry._REGISTRY["dedup_embedding_lsh"].oracle = _dup_lsh_oracle()
 _registry._REGISTRY["dedup_semantic"].oracle = _semantic_oracle()
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — the full composition (Jégou, Douze & Schmid, TPAMI 2011 §IV):
+# an IVF coarse quantizer bounds WHICH vectors are scanned (nprobe cells),
+# and PQ codes over the RESIDUAL (x − coarse centroid) bound WHAT is
+# scanned (M small ints per vector). This is the actual billion-vector
+# index layout; sim_ann_ivf and sim_ann_pq each prove one half, this
+# entry proves the composition — including the residual algebra the halves
+# don't need: dot(q, x̂) = dot(q, c) + Σ_s dot(q_s, r̂_s) and
+# ‖x̂‖² = ‖c‖² + 2·Σ_s dot(c_s, r̂_s) + Σ_s ‖r̂_s‖², all exact int64.
+#
+# Residual sub-codebooks sample at stride offset 1 (vec_id % stride == 1):
+# offset 0 would sample the coarse centroids themselves, whose residuals
+# are identically zero — a degenerate all-zeros codebook.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_ann_ivfpq",
+    None,  # generated below
+    doc="IVFADC ANN (Jégou et al. TPAMI 2011): stride-sampled coarse "
+    f"quantizer ({IVF_K} cells, nprobe={IVF_NPROBE}) + product "
+    f"quantization of the residual x − c ({PQ_M}×{PQ_K} sub-codebooks "
+    "sampled at stride offset 1 — offset 0 would sample the centroids "
+    "themselves and collapse the codebook to zeros). Candidates are "
+    "bounded by the probed cells AND compressed to codes; scoring joins "
+    "corpus codes to a broadcast per-(query, cell) ADC table plus the "
+    "2048-row (cell, subspace, code) cross-term table the residual "
+    "algebra needs. Every aggregate is a combiner-friendly min(struct)/"
+    "sum; exact int64 until the final cosine division",
+    tags=("similarity", "ivf", "pq"),
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    t = load_tables(spark, sf_dir)
+    n = _quantized_with_norm(t["embeddings"])
+    cnt = t["embeddings"].count()
+    stride = max(1, math.ceil(cnt / IVF_K))
+    coarse = n.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("cv"),
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("cnorm"),
+    )
+    d2c = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # coarse assignment: combiner argmin (no per-vector sort window)
+    cells = (
+        n.join(F.broadcast(coarse), how="cross")
+        .select("vec_id", d2c.alias("d2"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    # residuals against the assigned centroid (16-row broadcast re-join)
+    resid = (
+        n.join(cells, "vec_id")
+        .join(F.broadcast(coarse.select("cid", "cv")), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: x - c).alias("rv"),
+        )
+    )
+    rsubs = resid.select(
+        "vec_id",
+        "cid",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("rv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("s", "sv"),
+    )
+    rcents = rsubs.filter(F.col("vec_id") % stride == 1).select(
+        F.col("vec_id").alias("rcid"),
+        "s",
+        F.col("sv").alias("rcv"),
+        F.aggregate(
+            F.col("sv"), F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("rn"),
+    )
+    d2r = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("rcv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    codes = (
+        rsubs.join(F.broadcast(rcents), "s")
+        .select("vec_id", "cid", "s", d2r.alias("d2"), "rcid")
+        .groupBy("vec_id", "cid", "s")
+        .agg(F.min(F.struct("d2", "rcid")).alias("m"))
+        .select("vec_id", "cid", "s", F.col("m.rcid").alias("code"))
+    )
+    # query probes: nprobe nearest coarse cells + dot(q, c) per probe
+    qcd = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: x * c),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    qd = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(coarse), how="cross")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nrm2").alias("na"),
+            "qv",
+            "cid",
+            "cnorm",
+            d2c.alias("d2"),
+            qcd.alias("qcdot"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probes = (
+        qd.withColumn("crk", F.row_number().over(wp))
+        .filter(F.col("crk") <= IVF_NPROBE)
+        .select("query_id", "na", "qv", "cid", "cnorm", "qcdot")
+    )
+    # per-(query, probed cell) ADC table: q_s · rcv  (tiny, broadcast)
+    pdot = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("rcv"), lambda x, c: x * c),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    qsubs = probes.select(
+        "query_id",
+        "na",
+        "cid",
+        "cnorm",
+        "qcdot",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("qv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("s", "sv"),
+    )
+    adc = qsubs.join(F.broadcast(rcents), "s").select(
+        "query_id", "na", "cid", "cnorm", "qcdot", "s",
+        F.col("rcid").alias("code"), pdot.alias("pdot"), "rn",
+    )
+    # (cell, subspace, code) cross terms c_s · rcv for the ‖x̂‖² algebra
+    csubs = coarse.select(
+        "cid",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("cv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("s", "sv"),
+    )
+    ccd = csubs.join(F.broadcast(rcents), "s").select(
+        "cid", "s", F.col("rcid").alias("code"), pdot.alias("ccdot")
+    )
+    lut = adc.join(ccd, ["cid", "s", "code"])
+    scored = (
+        codes.join(F.broadcast(lut), ["cid", "s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.first("na").alias("na"),
+            F.first("qcdot").alias("qcdot"),
+            F.first("cnorm").alias("cnorm"),
+            F.sum("pdot").alias("rdot"),
+            F.sum("rn").alias("rn"),
+            F.sum("ccdot").alias("crd"),
+        )
+        .withColumn(
+            "cos_raw",
+            (F.col("qcdot") + F.col("rdot"))
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(
+                    (F.col("cnorm") + 2 * F.col("crd") + F.col("rn")).cast("double")
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cos"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    sub = f"list_transform(range(1, {PQ_SUBDIM} + 1), i -> {{v}}[s * {PQ_SUBDIM} + i])"
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
+    ),
+    stride AS (
+      SELECT GREATEST(1, CAST(ceil(COUNT(*) / {IVF_K}.0) AS BIGINT)) AS st
+      FROM embeddings
+    ),
+    coarse AS (
+      SELECT vec_id AS cid, qv AS cv,
+             list_sum(list_transform(qv, x -> x * x)) AS cnorm
+      FROM n, stride WHERE vec_id % st = 0
+    ),
+    cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(v.qv) + 1),
+                   i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))), c.cid) AS rk
+        FROM n v CROSS JOIN coarse c
+      ) WHERE rk = 1
+    ),
+    resid AS (
+      SELECT v.vec_id, k.cid,
+             list_transform(range(1, len(v.qv) + 1), i -> v.qv[i] - c.cv[i]) AS rv
+      FROM n v JOIN cells k USING (vec_id) JOIN coarse c USING (cid)
+    ),
+    rsubs AS (
+      SELECT vec_id, cid, s, {sub.format(v='rv')} AS sv
+      FROM resid CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s)
+    ),
+    rcents AS (
+      SELECT vec_id AS rcid, s, sv AS rcv,
+             list_sum(list_transform(sv, x -> x * x)) AS rn
+      FROM rsubs, stride WHERE vec_id % st = 1
+    ),
+    codes AS (
+      SELECT vec_id, cid, s, rcid AS code FROM (
+        SELECT v.vec_id, v.cid, v.s, c.rcid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+                 list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                   i -> (v.sv[i] - c.rcv[i]) * (v.sv[i] - c.rcv[i]))), c.rcid) AS rk
+        FROM rsubs v JOIN rcents c USING (s)
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT query_id, na, qv, cid, cnorm, qcdot FROM (
+        SELECT v.vec_id AS query_id, v.nrm2 AS na, v.qv, c.cid, c.cnorm,
+               list_sum(list_transform(range(1, len(v.qv) + 1),
+                 i -> v.qv[i] * c.cv[i])) AS qcdot,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(v.qv) + 1),
+                   i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))), c.cid) AS crk
+        FROM n v CROSS JOIN coarse c
+        WHERE v.vec_id < {N_QUERIES}
+      ) WHERE crk <= {IVF_NPROBE}
+    ),
+    qsubs AS (
+      SELECT query_id, na, cid, cnorm, qcdot, s, {sub.format(v='qv')} AS sv
+      FROM probes CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s)
+    ),
+    adc AS (
+      SELECT v.query_id, v.na, v.cid, v.cnorm, v.qcdot, v.s,
+             c.rcid AS code,
+             list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+               i -> v.sv[i] * c.rcv[i])) AS pdot,
+             c.rn
+      FROM qsubs v JOIN rcents c USING (s)
+    ),
+    csubs AS (
+      SELECT cid, s, {sub.format(v='cv')} AS sv
+      FROM coarse CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s)
+    ),
+    ccd AS (
+      SELECT v.cid, v.s, c.rcid AS code,
+             list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+               i -> v.sv[i] * c.rcv[i])) AS ccdot
+      FROM csubs v JOIN rcents c USING (s)
+    ),
+    lut AS (
+      SELECT a.*, x.ccdot FROM adc a
+      JOIN ccd x ON x.cid = a.cid AND x.s = a.s AND x.code = a.code
+    ),
+    scored AS (
+      SELECT l.query_id, k.vec_id AS neighbor_id,
+             ANY_VALUE(l.na) AS na, ANY_VALUE(l.qcdot) AS qcdot,
+             ANY_VALUE(l.cnorm) AS cnorm,
+             SUM(l.pdot) AS rdot, SUM(l.rn) AS rn, SUM(l.ccdot) AS crd
+      FROM codes k
+      JOIN lut l ON l.cid = k.cid AND l.s = k.s AND l.code = k.code
+      WHERE k.vec_id <> l.query_id
+      GROUP BY l.query_id, k.vec_id
+    ),
+    rankd AS (
+      SELECT query_id, neighbor_id,
+             (qcdot + rdot) / (sqrt(CAST(na AS DOUBLE))
+               * sqrt(CAST(cnorm + 2 * crd + rn AS DOUBLE))) AS cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               (qcdot + rdot) / (sqrt(CAST(na AS DOUBLE))
+                 * sqrt(CAST(cnorm + 2 * crd + rn AS DOUBLE))) DESC,
+               neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos_raw, 6) AS cos
+    FROM rankd WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+_registry._REGISTRY["sim_ann_ivfpq"].oracle = _ivfpq_oracle()

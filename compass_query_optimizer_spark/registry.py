@@ -74,6 +74,7 @@ _SAMPLE_PRIORITY = [
     "text_weighted_sample",              # A-ES weight-proportional sample
     "text_ngram_novelty",                # boilerplate/template detector
     "dedup_edit_distance",               # order-sensitive LSH verify
+    "sim_ann_ivfpq",                     # full IVFADC composition
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -111,10 +112,10 @@ _SAMPLE_PRIORITY = [
     "events_cohort_matrix",
     "events_ohlc",
     "events_transitions",
-    "events_variant_extract",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "events_variant_extract",
     "text_bpe_top_pairs",
     "text_contamination",
     "text_heavy_hitters_cms",

@@ -336,3 +336,14 @@ def test_pipeline_pretrain_exchanges_are_body_free(spark):
     assert "BroadcastHashJoin" in plan  # eval shingle probe
     for node in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
         assert node not in plan
+
+
+def test_ivfpq_assign_and_encode_combine_map_side(spark):
+    """IVFADC's scale contract: coarse assignment and residual encode are
+    combiner argmin aggregates against broadcast centroid tables (never a
+    per-vector sort window over the N×K expansion), and scoring joins
+    codes to broadcast lookup tables — no vector-to-vector join."""
+    plan = formatted_plan(spark, "sim_ann_ivfpq")
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
