@@ -87,6 +87,8 @@ HEADLINE = [
     "sim_ann_pq",                 # product-quantization ADC ANN
     "text_kl_drift",              # slice-vs-corpus KL divergence
     "text_hash_classifier",       # hashed linear model inference
+    "sim_ann_ivfpq",              # full IVFADC composition
+    "pipeline_pretrain",          # composed quality→dedup→decontam plan
 ]
 
 MAX_WORKERS = 6  # A/B worker threads; per_query walls are N-way-concurrent

@@ -45,6 +45,7 @@ SWEEP_OPS = [
     "dedup_embedding_lsh",
     "sim_ann_lsh",
     "sim_ann_pq",
+    "sim_ann_ivfpq",
     "text_winnowing",
 ]
 
