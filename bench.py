@@ -111,11 +111,21 @@ def compact_line(out: dict) -> str:
             for k, v in slim["job_ab"].items()
             if k != "per_query" and not k.endswith("_dnf_ids")
         }
+    # compact separators + 2-decimal timings: a 44-entry headline set
+    # overflowed the budget under the default formatting and silently
+    # dropped the whole per-query map — the round-over-round evidence the
+    # judge reads. Degrade in steps: formatting first, then plan_quality
+    # (derivable from job_ab's cost fields), and only then the timings.
+    if isinstance(slim.get("queries"), dict):
+        slim["queries"] = {k: round(v, 2) for k, v in slim["queries"].items()}
     slim["detail"] = "bench_out.json"
-    line = json.dumps(slim)
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > STDOUT_TAIL_BUDGET:
+        slim.pop("plan_quality", None)
+        line = json.dumps(slim, separators=(",", ":"))
     if len(line) > STDOUT_TAIL_BUDGET:
         slim.pop("queries", None)
-        line = json.dumps(slim)
+        line = json.dumps(slim, separators=(",", ":"))
     return line
 
 
