@@ -449,3 +449,81 @@ def emb_prefix_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity matrix: cosine between per-label mean vectors —
+# the cluster-separability diagnostic run before trusting an embedding
+# space (a confusion matrix for the geometry). cos(mean_a, mean_b) equals
+# cos(sum_a, sum_b) because the 1/n factors cancel, so the whole matrix is
+# exact int64 arithmetic over SUM vectors: no mean is ever materialized,
+# no float accumulates, and the oracle reproduces it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_label_centroid_sim",
+    f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, j, SUM(qv[j]) AS s
+      FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS j)
+      GROUP BY label, j
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.s * b.s) AS dot,
+             SUM(a.s * a.s) AS na, SUM(b.s * b.s) AS nb
+      FROM dims a JOIN dims b USING (j)
+      WHERE a.label <= b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           ROUND(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+               AS cos
+    FROM pairs ORDER BY label_a, label_b
+    """,
+    doc="label-centroid cosine matrix (embedding-space separability "
+    "diagnostic): cos between per-label MEAN vectors computed as cos "
+    "between per-label SUM vectors (the 1/n factors cancel), so the "
+    "whole matrix is exact int64 — one (label, dim) combiner aggregate "
+    "(labels x 64 rows), a dim-keyed self-join over those cells, and a "
+    "labels² output. Vector rows shuffle once as (label, dim, partial "
+    "sum); at any corpus size the join input is label-count x 64 rows",
+    tags=("embeddings", "diagnostic"),
+)
+def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_tables(spark, sf_dir)["embeddings"])
+    dims = (
+        emb.select(
+            "label",
+            F.posexplode(quantized(F.col("embedding"))).alias("j0", "x"),
+        )
+        .groupBy("label", (F.col("j0") + 1).alias("j"))
+        .agg(F.sum("x").alias("s"))
+    )
+    a = dims.select(F.col("label").alias("label_a"), "j", F.col("s").alias("sa"))
+    b = dims.select(F.col("label").alias("label_b"), "j", F.col("s").alias("sb"))
+    pairs = (
+        a.join(b, "j")
+        .filter(F.col("label_a") <= F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+            6,
+        ).alias("cos"),
+    ).orderBy("label_a", "label_b")

@@ -75,6 +75,8 @@ _SAMPLE_PRIORITY = [
     "text_ngram_novelty",                # boilerplate/template detector
     "dedup_edit_distance",               # order-sensitive LSH verify
     "sim_ann_ivfpq",                     # full IVFADC composition
+    "q34_not_in_null_trap",              # NOT IN 3VL torture test
+    "emb_label_centroid_sim",            # embedding separability matrix
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -110,11 +112,11 @@ _SAMPLE_PRIORITY = [
     "emb_quantize_int8",
     "emb_standardize",
     "events_cohort_matrix",
-    "events_ohlc",
-    "events_transitions",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "events_ohlc",
+    "events_transitions",
     "events_variant_extract",
     "text_bpe_top_pairs",
     "text_contamination",

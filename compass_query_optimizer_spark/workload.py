@@ -1202,3 +1202,58 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation, acctbal DESC, t.c_name
         """
     )
+
+
+@query(
+    "q34_not_in_null_trap",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                 WHERE n_name = 'NO_SUCH_NATION'))
+          AS not_in_empty,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_nationkey NOT IN (SELECT CASE WHEN n_name = 'GERMANY'
+                                             THEN NULL
+                                             ELSE n_nationkey END
+                                 FROM nation))
+          AS not_in_with_null,
+      (SELECT COUNT(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM nation n
+                         WHERE (CASE WHEN n.n_name = 'GERMANY' THEN NULL
+                                     ELSE n.n_nationkey END) = c.c_nationkey
+                           AND n.n_name <> 'GERMANY'))
+          AS not_exists_with_null
+    """,
+    doc="the NOT IN null trap (3VL torture test): NOT IN over an empty "
+    "subquery keeps every row; NOT IN over a subquery containing one NULL "
+    "keeps NO rows (x <> NULL is UNKNOWN, so the conjunction can never be "
+    "TRUE); the NOT EXISTS rewrite of the same predicate is null-immune "
+    "and keeps the non-German-keyed rows. Engines that rewrite NOT IN to "
+    "anti join without the null guard get this wrong — both Spark (null-"
+    "aware anti join) and DuckDB handle it, and the counts must agree",
+    tags=("predicate", "3vl", "subquery"),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM customer
+           WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                     WHERE n_name = 'NO_SUCH_NATION'))
+              AS not_in_empty,
+          (SELECT COUNT(*) FROM customer
+           WHERE c_nationkey NOT IN (SELECT CASE WHEN n_name = 'GERMANY'
+                                                 THEN NULL
+                                                 ELSE n_nationkey END
+                                     FROM nation))
+              AS not_in_with_null,
+          (SELECT COUNT(*) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM nation n
+                             WHERE (CASE WHEN n.n_name = 'GERMANY' THEN NULL
+                                         ELSE n.n_nationkey END) = c.c_nationkey
+                               AND n.n_name <> 'GERMANY'))
+              AS not_exists_with_null
+        """
+    )
