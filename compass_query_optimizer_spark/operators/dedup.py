@@ -887,6 +887,110 @@ def _clusters_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Two-stage cluster resolution: exact-collapse BEFORE LSH. A crawl corpus
+# is full of byte-identical documents (mirrors, boilerplate pages); in the
+# one-stage path every copy lands in the same band buckets, so a clique of
+# k identical docs floods the bucket self-join with C(k,2) pairs — 2M docs
+# of one press release is a 2·10¹²-pair join. Identical docs carry ZERO
+# extra signal for near-dup detection: collapsing each fingerprint group
+# to its min-doc representative first makes the LSH join input the
+# DISTINCT-text count, and membership expands back linearly. Cluster ids
+# are unchanged (the overall min doc of a component is always its own
+# fingerprint group's min, hence a representative).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters_twostage",
+    None,  # generated below (recursive-CTE oracle)
+    doc="skew-hardened duplicate clustering: exact-collapse (md5 groupBy → "
+    "min-doc representative) BEFORE MinHash+LSH, so k byte-identical docs "
+    "contribute ONE row to the bucket self-join instead of C(k,2) pairs; "
+    "components run over representatives and membership expands back "
+    "through the fingerprint map (id-keyed joins, bodies never shuffle). "
+    "Unlike dedup_clusters this covers singletons too: every doc gets a "
+    "cluster row. Adversarial fixture in tests/test_dedup_baseline.py "
+    "measures the pair-count collapse",
+    tags=("dedup", "iterative", "skew"),
+)
+def dedup_clusters_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    members = spread(docs).select("doc_id", F.md5(F.col("text")).alias("fp"))
+    reps = members.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    # bands for every doc are cheap (hash rows only cross exchanges); the
+    # SKEW danger is the bucket self-join, so only representatives enter it
+    bands = minhash_bands(docs).join(
+        reps.select(F.col("rep").alias("doc_id")), "doc_id"
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    comp = connected_components(pairs).select(
+        F.col("id").alias("rep"), F.col("lbl").alias("lbl")
+    )
+    doc_lbl = (
+        members.join(reps, "fp")
+        .join(comp, "rep", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lbl"), F.col("rep")).alias("cluster_id"),
+        )
+    )
+    sizes = doc_lbl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        doc_lbl.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def _clusters_twostage_oracle() -> str:
+    params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_PARAMS))
+    return f"""
+    WITH RECURSIVE params(i, a, b) AS (VALUES {params}),
+    docs_fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    reps AS (SELECT fp, MIN(doc_id) AS rep FROM docs_fp GROUP BY fp),
+    {_duck_minhash_bands('documents', '')},
+    rbands AS (
+      SELECT b.* FROM bands b JOIN (SELECT DISTINCT rep FROM reps) r
+        ON b.doc_id = r.rep
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rbands a JOIN rbands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    doc_lbl AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, rr.rep) AS cluster_id
+      FROM docs_fp d
+      JOIN reps rr USING (fp)
+      LEFT JOIN comp c ON c.id = rr.rep
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM doc_lbl ORDER BY cluster_id, doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # Edit-distance verification of LSH candidates: the third verify flavor
 # next to exact-gram-count (dedup_ngram_jaccard) and quantized cosine
 # (dedup_embedding_lsh). Levenshtein is order-sensitive where Jaccard is
@@ -963,6 +1067,7 @@ def _edit_distance_oracle() -> str:
 # patch in the generated oracles
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
+_registry._REGISTRY["dedup_clusters_twostage"].oracle = _clusters_twostage_oracle()
 _registry._REGISTRY["dedup_edit_distance"].oracle = _edit_distance_oracle()
 _registry._REGISTRY["dedup_minhash_lsh"].oracle = _minhash_oracle()
 _registry._REGISTRY["dedup_simhash"].oracle = _simhash_oracle()

@@ -77,6 +77,7 @@ _SAMPLE_PRIORITY = [
     "sim_ann_ivfpq",                     # full IVFADC composition
     "q34_not_in_null_trap",              # NOT IN 3VL torture test
     "emb_label_centroid_sim",            # embedding separability matrix
+    "dedup_clusters_twostage",           # flood-proof cluster resolution
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -111,10 +112,10 @@ _SAMPLE_PRIORITY = [
     "emb_kmeans_iter",
     "emb_quantize_int8",
     "emb_standardize",
-    "events_cohort_matrix",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "events_cohort_matrix",
     "events_ohlc",
     "events_transitions",
     "events_variant_extract",

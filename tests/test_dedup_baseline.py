@@ -231,3 +231,75 @@ def test_minhash_lsh_recall_matches_banding_theory(spark, tmp_path):
         assert abs(rate - expect) <= slack, (
             f"{label}: measured {rate:.3f} vs theory {expect:.3f} ± {slack:.3f}"
         )
+
+
+def test_twostage_clusters_survive_identical_doc_flood(spark, tmp_path):
+    """The one-stage LSH pair join goes quadratic when a corpus floods
+    with byte-identical documents (k copies -> C(k,2) pairs through one
+    bucket). The two-stage path collapses exact duplicates first, so the
+    flood contributes ONE representative row. This plants a 400-copy
+    flood in a 500-doc corpus and asserts (a) the measured pair-count
+    collapse and (b) the flood lands in one cluster of exactly 400+dups,
+    with every doc assigned."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from compass_query_optimizer_spark.operators.dedup import (
+        dedup_clusters_twostage,
+        minhash_candidate_pairs,
+    )
+    from compass_query_optimizer_spark.catalog import load_tables
+
+    flood = "the same press release mirrored across hosts " * 4
+    texts = [flood] * 400 + [
+        f"unique document u{i} " + " ".join(f"tok{i}w{j}" for j in range(30))
+        for i in range(100)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    # one-stage: the flood clique alone is C(400,2) = 79,800 pairs
+    plain_pairs = minhash_candidate_pairs(
+        load_tables(spark, str(tmp_path))["documents"]
+    ).count()
+    assert plain_pairs >= 79_800
+
+    out = dedup_clusters_twostage(spark, str(tmp_path)).collect()
+    assert len(out) == 500  # every doc assigned, singletons included
+    flood_rows = [r for r in out if r.doc_id < 400]
+    assert {r.cluster_id for r in flood_rows} == {0}
+    assert all(r.cluster_size >= 400 for r in flood_rows)
+    # the two-stage join input is distinct texts: the flood is ONE rep,
+    # so its quadratic blowup is structurally impossible — representative
+    # pairs are bounded by distinct-text bucket collisions only
+    from compass_query_optimizer_spark.operators.dedup import minhash_bands
+    from pyspark.sql import functions as F
+
+    members = load_tables(spark, str(tmp_path))["documents"].select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    reps = members.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    rep_pairs = (
+        minhash_bands(load_tables(spark, str(tmp_path))["documents"])
+        .join(reps, "doc_id")
+        .alias("a")
+        .join(
+            minhash_bands(load_tables(spark, str(tmp_path))["documents"])
+            .join(reps, "doc_id")
+            .alias("b"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert rep_pairs < plain_pairs / 100
