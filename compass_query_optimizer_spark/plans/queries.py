@@ -404,3 +404,57 @@ def compass_minmax_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan, measure=("l", "l_extendedprice"), measure_op="max"
     ).select(F.round(F.col("agg_val").cast("double"), 2).alias("max_price"))
     return lo.crossJoin(hi).select("min_price", "max_price", "cnt")
+
+
+GROUPED_MINMAX_ORACLE = """
+SELECT n.n_name,
+       ROUND(CAST(MIN(l.l_extendedprice) AS DOUBLE), 2) AS min_price,
+       ROUND(CAST(MAX(l.l_extendedprice) AS DOUBLE), 2) AS max_price,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query(
+    "compass_grouped_minmax",
+    GROUPED_MINMAX_ORACLE,
+    doc="grouped MIN + MAX through the eager chain: group columns ride as "
+    "keys, per-key extremes stay multiplicity-free across re-aggregations "
+    "— completes the grouped-measure symmetry (grouped COUNT / SUM / "
+    "COUNT-DISTINCT / MIN-MAX all execute through the same planned chain). "
+    "One planning pass feeds both extreme chains, joined on the group key",
+    tags=("compass", "join", "minmax", "grouped"),
+)
+def compass_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    opt = CompassOptimizer(spark)
+    plan = opt.plan(GROUPED_COUNT_SQL, sf_dir)
+    lo = opt.build_count_join(
+        plan,
+        group_by=[("n", "n_name")],
+        measure=("l", "l_extendedprice"),
+        measure_op="min",
+    ).select(
+        "n_name",
+        F.round(F.col("agg_val").cast("double"), 2).alias("min_price"),
+        "cnt",
+    )
+    hi = opt.build_count_join(
+        plan,
+        group_by=[("n", "n_name")],
+        measure=("l", "l_extendedprice"),
+        measure_op="max",
+    ).select(
+        "n_name", F.round(F.col("agg_val").cast("double"), 2).alias("max_price")
+    )
+    return lo.join(hi, "n_name").select(
+        "n_name", "min_price", "max_price", "cnt"
+    ).orderBy("n_name")
