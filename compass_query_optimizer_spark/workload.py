@@ -1257,3 +1257,46 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
               AS not_exists_with_null
         """
     )
+
+
+@query(
+    "q35_grouping_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER)  AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER)  AS g_status,
+           SUM(l_quantity)                          AS sum_qty,
+           COUNT(*)                                 AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="CUBE (beyond parity, completing the grouping-sets family next to "
+    "q27's ROLLUP): all four grouping combinations — (flag, status), "
+    "per-flag, per-status, grand total — in ONE Expand+hash-agg pass; the "
+    "per-status subtotal is the lattice cell ROLLUP can't produce. "
+    "GROUPING() markers disambiguate expansion NULLs from data NULLs",
+    tags=("agg", "beyond-parity"),
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status",
+            "sum_qty", "n_rows",
+        )
+    )
