@@ -298,3 +298,96 @@ def test_winnowing_theorem_property(spark, case):
     assert fps[1] & fps[2], (d1, d2)
     if 3 in fps:
         assert not (fps[3] & (fps[1] | fps[2]))
+
+
+def test_ivfpq_matches_numpy_reference(spark):
+    """Independent model check for the IVFADC residual algebra: the DuckDB
+    oracle mirrors the Spark construction, so a shared misunderstanding of
+    the math would pass the differential gate. This re-derives the whole
+    pipeline — coarse assign, residual PQ encode, probe, ADC scoring with
+    the cross-term norm — in plain numpy from the paper's equations and
+    demands identical (query, neighbor, rank, cos) rows."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from compass_query_optimizer_spark.operators.dedup import QUANT
+    from compass_query_optimizer_spark.operators.similarity import (
+        IVF_K,
+        IVF_NPROBE,
+        N_QUERIES,
+        PQ_M,
+        PQ_SUBDIM,
+        TOP_K,
+        sim_ann_ivfpq,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    qv = np.round(
+        np.array(t["embedding"], dtype=np.float64)[order] * QUANT
+    ).astype(np.int64)
+    n = len(ids)
+    nrm2 = (qv * qv).sum(axis=1)
+    stride = max(1, math.ceil(n / IVF_K))
+
+    c_mask = ids % stride == 0
+    cids, cv = ids[c_mask], qv[c_mask]
+    cnorm = (cv * cv).sum(axis=1)
+    # coarse assign: min (d2, cid)
+    d2c = ((qv[:, None, :] - cv[None, :, :]) ** 2).sum(axis=2)
+    assign = np.argmin(d2c, axis=1)  # ties: first index = smallest cid
+    resid = qv - cv[assign]
+
+    r_mask = ids % stride == 1
+    rsub = resid.reshape(n, PQ_M, PQ_SUBDIM)
+    rcids = ids[r_mask]
+    rcv = rsub[r_mask]  # (R, M, SUBDIM): sub-codebook per subspace
+    rn = (rcv * rcv).sum(axis=2)  # (R, M)
+    # encode: per (vec, s) argmin over rcids of residual-subvector L2
+    d2r = ((rsub[:, None, :, :] - rcv[None, :, :, :]) ** 2).sum(axis=3)
+    codes = np.argmin(d2r, axis=1)  # (n, M) indices into rcids
+
+    qsub = qv.reshape(n, PQ_M, PQ_SUBDIM)
+    csub = cv.reshape(len(cids), PQ_M, PQ_SUBDIM)
+    rows = []
+    for q in range(n):
+        if ids[q] >= N_QUERIES:
+            continue
+        probe_order = sorted(range(len(cids)), key=lambda c: (d2c[q, c], cids[c]))
+        probed = set(probe_order[:IVF_NPROBE])
+        scored = []
+        for x in range(n):
+            if x == q or assign[x] not in probed:
+                continue
+            cell = assign[x]
+            qcdot = int((qv[q] * cv[cell]).sum())
+            rdot = sum(
+                int((qsub[q, s] * rcv[codes[x, s], s]).sum()) for s in range(PQ_M)
+            )
+            crd = sum(
+                int((csub[cell, s] * rcv[codes[x, s], s]).sum())
+                for s in range(PQ_M)
+            )
+            rnx = sum(int(rn[codes[x, s], s]) for s in range(PQ_M))
+            n_hat = int(cnorm[cell]) + 2 * crd + rnx
+            cos = (qcdot + rdot) / (
+                math.sqrt(float(nrm2[q])) * math.sqrt(float(n_hat))
+            )
+            scored.append((-cos, int(ids[x]), cos))
+        scored.sort()
+        for rank, (_, nid, cos) in enumerate(scored[:TOP_K], start=1):
+            rows.append((int(ids[q]), nid, rank, round(cos, 6)))
+
+    got = [
+        (r.query_id, r.neighbor_id, r.rank, r.cos)
+        for r in sim_ann_ivfpq(spark, sf).collect()
+    ]
+    assert sorted(got) == sorted(rows), (
+        f"numpy reference disagrees: first spark={sorted(got)[:3]} "
+        f"ref={sorted(rows)[:3]}"
+    )
