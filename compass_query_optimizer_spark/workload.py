@@ -1300,3 +1300,37 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty", "n_rows",
         )
     )
+
+
+@query(
+    "q36_multiset_ops",
+    """
+    SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'except_all', COUNT(*) FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+    ORDER BY op
+    """,
+    doc="multiset set operations (beyond parity, completing q26's family): "
+    "INTERSECT ALL keeps min(count_left, count_right) copies of each "
+    "value and EXCEPT ALL keeps max(0, left − right) — bag semantics the "
+    "DISTINCT variants erase; both engines implement them natively and "
+    "the cardinalities must agree exactly",
+    tags=("setop", "beyond-parity"),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    ia = f.intersectAll(o).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    ea = f.exceptAll(o).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return ia.unionByName(ea).orderBy("op")
