@@ -1974,3 +1974,69 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum staging: assign each doc a training stage by quality quartile
+# within its language (curriculum learning orders data easy→hard; the
+# batch-side operation is exactly a keyed NTILE). The score here is
+# integer lexical diversity (uniq_tokens·1000 / n_tokens) so the ordering
+# is engine-exact; a real pipeline swaps in any scalar quality column and
+# the plan is unchanged.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_curriculum_stages",
+    rf"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_distinct(regexp_extract_all(lower(text), '{_TOKEN_RE}')))
+                  * 1000 // GREATEST(len(regexp_extract_all(lower(text), '{_TOKEN_RE}')), 1)
+                  AS BIGINT) AS score
+      FROM documents
+    ),
+    staged AS (
+      SELECT lang, score,
+             NTILE(4) OVER (PARTITION BY lang ORDER BY score, doc_id) AS stage
+      FROM scored
+    )
+    SELECT lang, CAST(stage AS INTEGER) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM staged GROUP BY lang, stage ORDER BY lang, stage
+    """,
+    doc="curriculum staging: quality-quartile assignment per language via "
+    "a lang-keyed NTILE(4) over an integer lexical-diversity score "
+    "(uniq·1000/n, exact integer division, doc_id tie-break — identical "
+    "bucket boundaries in both engines). The window partitions by lang, "
+    "so at 100 TB work spreads across languages with no global sort; "
+    "swapping in a model-based quality column leaves the plan unchanged",
+    tags=("text", "curation", "curriculum"),
+)
+def text_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    toks = _tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.call_function(
+            "div",
+            (F.size(F.array_distinct(toks)) * 1000).cast("long"),
+            F.greatest(F.size(toks), F.lit(1)).cast("long"),
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return (
+        scored.withColumn("stage", F.ntile(4).over(w))
+        .groupBy("lang", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("lang", "stage")
+    )

@@ -81,6 +81,7 @@ _SAMPLE_PRIORITY = [
     "compass_grouped_minmax",            # grouped class-2 measure symmetry
     "q35_grouping_cube",                 # CUBE lattice (beyond parity)
     "q36_multiset_ops",                  # INTERSECT ALL / EXCEPT ALL
+    "text_curriculum_stages",            # quality-quartile curriculum
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -111,10 +112,10 @@ _SAMPLE_PRIORITY = [
     "stream_stateful_user_totals",
     "stream_stream_join",
     "stream_window_rollup",
-    "docs_scd2",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "docs_scd2",
     "emb_kmeans_iter",
     "emb_quantize_int8",
     "emb_standardize",
