@@ -2040,3 +2040,94 @@ def text_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch budgeting for data-constrained training (Muennighoff et al.,
+# NeurIPS 2023, "Scaling Data-Constrained Language Models" — public):
+# when the token budget exceeds the corpus, sources repeat — but value
+# decays past ~4 epochs, so the planner caps repetition and reports the
+# shortfall. All arithmetic is exact integer (ceil-division), so the
+# allocation is engine- and partitioning-independent.
+# ---------------------------------------------------------------------------
+
+EPOCH_BUDGET_MULT = 2  # token budget = 2x the corpus
+EPOCH_CAP = 4  # max useful epochs per source
+
+
+@query(
+    "text_epoch_budget",
+    rf"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))) AS BIGINT)
+                 AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(avail_tokens) * {EPOCH_BUDGET_MULT} AS BIGINT) AS budget,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM avail
+    ),
+    alloc AS (
+      SELECT a.source, a.avail_tokens,
+             t.budget // t.n_sources AS share,
+             LEAST({EPOCH_CAP},
+                   CAST((t.budget // t.n_sources + a.avail_tokens - 1)
+                        // a.avail_tokens AS BIGINT)) AS epochs
+      FROM avail a CROSS JOIN tot t
+    )
+    SELECT source, avail_tokens, CAST(epochs AS INTEGER) AS epochs,
+           LEAST(share, avail_tokens * epochs) AS allocated_tokens,
+           GREATEST(share - avail_tokens * {EPOCH_CAP}, 0) AS shortfall_tokens
+    FROM alloc ORDER BY source
+    """,
+    doc="epoch budgeting for data-constrained training (Muennighoff et al. "
+    f"NeurIPS'23): a {EPOCH_BUDGET_MULT}x-corpus token budget splits "
+    "evenly across sources; each source repeats up to ceil(share/avail) "
+    f"epochs capped at {EPOCH_CAP} (value decays past ~4 epochs), and the "
+    "unfillable remainder reports as shortfall — the number that tells a "
+    "corpus owner WHERE to collect more data. One token-count aggregate "
+    "per source + a broadcast scalar; exact integer ceil-division "
+    "throughout",
+    tags=("text", "curation", "planning"),
+)
+def text_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("avail_tokens")
+    )
+    tot = avail.agg(
+        (F.sum("avail_tokens") * EPOCH_BUDGET_MULT).cast("long").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    share = F.call_function("div", F.col("budget"), F.col("n_sources"))
+    epochs = F.least(
+        F.lit(EPOCH_CAP).cast("long"),
+        F.call_function(
+            "div",
+            share + F.col("avail_tokens") - 1,
+            F.col("avail_tokens"),
+        ),
+    )
+    return (
+        avail.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail_tokens",
+            share.alias("share"),
+            epochs.alias("epochs_l"),
+        )
+        .select(
+            "source",
+            "avail_tokens",
+            F.col("epochs_l").cast("int").alias("epochs"),
+            F.least(
+                F.col("share"), F.col("avail_tokens") * F.col("epochs_l")
+            ).alias("allocated_tokens"),
+            F.greatest(
+                F.col("share") - F.col("avail_tokens") * EPOCH_CAP, F.lit(0).cast("long")
+            ).alias("shortfall_tokens"),
+        )
+        .orderBy("source")
+    )

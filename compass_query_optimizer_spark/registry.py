@@ -82,6 +82,7 @@ _SAMPLE_PRIORITY = [
     "q35_grouping_cube",                 # CUBE lattice (beyond parity)
     "q36_multiset_ops",                  # INTERSECT ALL / EXCEPT ALL
     "text_curriculum_stages",            # quality-quartile curriculum
+    "text_epoch_budget",                 # data-constrained epoch planner
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -111,10 +112,10 @@ _SAMPLE_PRIORITY = [
     "stream_session_window",
     "stream_stateful_user_totals",
     "stream_stream_join",
-    "stream_window_rollup",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "stream_window_rollup",
     "docs_scd2",
     "emb_kmeans_iter",
     "emb_quantize_int8",
