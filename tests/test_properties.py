@@ -391,3 +391,38 @@ def test_ivfpq_matches_numpy_reference(spark):
         f"numpy reference disagrees: first spark={sorted(got)[:3]} "
         f"ref={sorted(rows)[:3]}"
     )
+
+
+@given(st.lists(edge, min_size=1, max_size=25))
+@settings(max_examples=12, deadline=None)
+def test_star_components_match_union_find(spark, edges):
+    from compass_query_optimizer_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(norm, "doc_a long, doc_b long")
+    got = {r.id: r.lbl for r in connected_components_star(df).collect()}
+    assert got == _union_find_components(norm)
+
+
+def test_star_components_survive_long_chains(spark):
+    """The failure mode the star variant exists for: a chain graph's
+    diameter equals its length, so min-label propagation needs one round
+    per hop (here: RuntimeError at a 5-round budget), while the
+    alternating star algorithm halves tree heights every round and
+    converges in O(log n) rounds regardless of diameter."""
+    import pytest as _pytest
+
+    from compass_query_optimizer_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 64
+    chain = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iters=5)
+    got = {r.id: r.lbl for r in connected_components_star(df).collect()}
+    assert got == {i: 0 for i in range(n)}
