@@ -959,6 +959,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters_star",
+    None,  # generated below — same recursive-CTE oracle as dedup_clusters:
+    # the two algorithms MUST produce identical clusters
+    doc="duplicate clustering via the alternating star algorithm (Kiveris "
+    "et al. SoCC 2014) over the same MinHash+LSH pairs as dedup_clusters: "
+    "large-star/small-star rewiring halves tree heights every round, so "
+    "convergence is O(log²n) rounds regardless of component DIAMETER — "
+    "the chain-graph case (A~B~C~…, each crawl snapshot a near-dup of "
+    "the next) where min-label propagation needs one round per hop. Same "
+    "shuffle primitives per round (one groupBy + one keyed join), same "
+    "answer, provably fewer rounds on deep components",
+    tags=("dedup", "iterative", "star"),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    labels = connected_components_star(minhash_candidate_pairs(t["documents"]))
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 def _clusters_oracle() -> str:
     pairs_sql = _minhash_oracle().replace("ORDER BY doc_a, doc_b", "")
     return f"""
@@ -1159,6 +1188,7 @@ def _edit_distance_oracle() -> str:
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["dedup_clusters_twostage"].oracle = _clusters_twostage_oracle()
+_registry._REGISTRY["dedup_clusters_star"].oracle = _clusters_oracle()
 _registry._REGISTRY["dedup_edit_distance"].oracle = _edit_distance_oracle()
 _registry._REGISTRY["dedup_minhash_lsh"].oracle = _minhash_oracle()
 _registry._REGISTRY["dedup_simhash"].oracle = _simhash_oracle()

@@ -83,6 +83,7 @@ _SAMPLE_PRIORITY = [
     "q36_multiset_ops",                  # INTERSECT ALL / EXCEPT ALL
     "text_curriculum_stages",            # quality-quartile curriculum
     "text_epoch_budget",                 # data-constrained epoch planner
+    "dedup_clusters_star",               # diameter-independent components
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -111,10 +112,10 @@ _SAMPLE_PRIORITY = [
     "stream_enrich_join",
     "stream_session_window",
     "stream_stateful_user_totals",
-    "stream_stream_join",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "stream_stream_join",
     "stream_window_rollup",
     "docs_scd2",
     "emb_kmeans_iter",
