@@ -527,3 +527,63 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos"),
     ).orderBy("label_a", "label_b")
+
+
+@query(
+    "emb_norm_outliers",
+    f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)),
+               x -> x * x)) AS nrm2
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT AVG(CAST(nrm2 AS DOUBLE)) AS mu, STDDEV_SAMP(CAST(nrm2 AS DOUBLE)) AS sd
+      FROM q
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN ABS(CAST(nrm2 AS DOUBLE) - s.mu) > 2.5 * s.sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM q CROSS JOIN stats s
+    GROUP BY label ORDER BY label
+    """,
+    doc="embedding-norm outlier QC (the events_anomaly pattern applied to "
+    "vectors): squared norms are exact int64 scan-side, the corpus "
+    "mean/stddev is ONE scalar aggregate broadcast back, and vectors "
+    "beyond 2.5σ count per label — degenerate embeddings (zeroed, "
+    "exploded, unnormalized batches) show up as per-label outlier spikes "
+    "before they poison an ANN index. Two scans, one scalar broadcast, "
+    "labels-sized output",
+    tags=("embeddings", "quality"),
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_tables(spark, sf_dir)["embeddings"])
+    q = emb.select(
+        "label",
+        F.aggregate(
+            quantized(F.col("embedding")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x * x,
+        ).alias("nrm2"),
+    )
+    stats = q.agg(
+        F.avg(F.col("nrm2").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("nrm2").cast("double")).alias("sd"),
+    )
+    return (
+        q.crossJoin(F.broadcast(stats))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("nrm2").cast("double") - F.col("mu"))
+                    > 2.5 * F.col("sd"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )

@@ -2131,3 +2131,41 @@ def text_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_source_lang_entropy",
+    """
+    WITH cnt AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY source)
+    SELECT c.source, ANY_VALUE(t.t) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(-SUM((c.n * 1.0 / t.t) * LN(c.n * 1.0 / t.t)), 4) AS lang_entropy
+    FROM cnt c JOIN tot t USING (source)
+    GROUP BY c.source ORDER BY c.source
+    """,
+    doc="per-source language-mix entropy: a crawl source whose language "
+    "distribution suddenly widens (entropy up) or collapses (entropy "
+    "down) changed its nature — the drift tripwire run per ingest batch. "
+    "Two combiner aggregates over (source, lang) cells; output bounded "
+    "by sources × languages, never corpus-sized",
+    tags=("text", "curation", "drift"),
+)
+def text_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").cast("long").alias("t"))
+    p = F.col("n") * 1.0 / F.col("t")
+    return (
+        cnt.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.first("t").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -84,6 +84,8 @@ _SAMPLE_PRIORITY = [
     "text_curriculum_stages",            # quality-quartile curriculum
     "text_epoch_budget",                 # data-constrained epoch planner
     "dedup_clusters_star",               # diameter-independent components
+    "text_source_lang_entropy",          # source drift tripwire
+    "emb_norm_outliers",                 # embedding-norm QC
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -110,11 +112,11 @@ _SAMPLE_PRIORITY = [
     # r5-only evidence (streaming, embeddings, events, text) --
     "stream_dedup_events",
     "stream_enrich_join",
-    "stream_session_window",
-    "stream_stateful_user_totals",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "stream_session_window",
+    "stream_stateful_user_totals",
     "stream_stream_join",
     "stream_window_rollup",
     "docs_scd2",
