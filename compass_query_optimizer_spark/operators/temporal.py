@@ -883,3 +883,122 @@ def gap_fill(
         ).alias("avg_value"),
         F.col(value_col).isNull().alias("filled"),
     ).orderBy(series_col, ts_col)
+
+
+@query(
+    "events_burst_detection",
+    """
+    WITH hourly AS (
+      SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, AVG(CAST(n AS DOUBLE)) AS mu,
+             STDDEV_SAMP(CAST(n AS DOUBLE)) AS sd
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN CAST(h.n AS DOUBLE) > s.mu + 2.5 * s.sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS burst_hours,
+           CAST(MAX(h.n) AS BIGINT) AS peak
+    FROM hourly h JOIN stats s USING (event_type)
+    GROUP BY h.event_type ORDER BY h.event_type
+    """,
+    doc="per-type burst detection over the time axis (events_anomaly's "
+    "sigma test turned sideways): hourly counts per event type, each "
+    "type's own mean/stddev broadcast back, hours above 2.5σ flagged — "
+    "the traffic-spike tripwire. Events reduce to (type, hour) cells "
+    "before any stat; output bounded by event-type count",
+    tags=("events", "anomaly"),
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg(F.col("n").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).alias("sd"),
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(
+                F.when(
+                    F.col("n").cast("double") > F.col("mu") + 2.5 * F.col("sd"), 1
+                ).otherwise(0)
+            ).alias("burst_hours"),
+            F.max("n").alias("peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PARETO_KS = (10, 100, 1000)
+
+
+@query(
+    "events_pareto_concentration",
+    f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, COUNT(*) AS n_users FROM per_user),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk
+      FROM per_user
+    )
+    SELECT k.k AS top_k,
+           CAST(SUM(CASE WHEN r.rk <= k.k THEN r.n ELSE 0 END) AS BIGINT)
+               AS top_events,
+           ROUND(SUM(CASE WHEN r.rk <= k.k THEN r.n ELSE 0 END) * 1.0
+                 / ANY_VALUE(t.t), 4) AS share
+    FROM ranked r CROSS JOIN (SELECT unnest([{', '.join(map(str, PARETO_KS))}]) AS k) k
+    CROSS JOIN tot t
+    GROUP BY k.k ORDER BY k.k
+    """,
+    doc="Pareto concentration of activity: share of all events produced by "
+    f"the top-{{{', '.join(map(str, PARETO_KS))}}} most active users — the "
+    "number that decides whether a user-keyed shuffle needs salting (a "
+    "top-10 share near 1.0 means hot keys). One user-keyed combiner "
+    "aggregate, then TakeOrdered(max k) — no global rank window, so user "
+    "cardinality never funnels through one task (the oracle's ROW_NUMBER "
+    "is equivalent because ranks beyond max(k) contribute zero)",
+    tags=("events", "skew"),
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_user.agg(F.sum("n").cast("long").alias("t"))
+    # the global rank window runs over the TakeOrdered-bounded top-max(k)
+    # rows only (≤1000), never over user cardinality
+    top = (
+        per_user.orderBy(F.col("n").desc(), "user_id")
+        .limit(max(PARETO_KS))
+        .select(
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "user_id"))
+            .alias("rk"),
+        )
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in PARETO_KS])).alias("top_k")
+    return (
+        top.select(ks, "n", "rk")
+        .filter(F.col("rk") <= F.col("top_k"))
+        .groupBy("top_k")
+        .agg(F.sum("n").cast("long").alias("top_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "top_k",
+            "top_events",
+            F.round(F.col("top_events") * 1.0 / F.col("t"), 4).alias("share"),
+        )
+        .orderBy("top_k")
+    )

@@ -86,6 +86,8 @@ _SAMPLE_PRIORITY = [
     "dedup_clusters_star",               # diameter-independent components
     "text_source_lang_entropy",          # source drift tripwire
     "emb_norm_outliers",                 # embedding-norm QC
+    "events_burst_detection",            # traffic-spike tripwire
+    "events_pareto_concentration",       # hot-key salting signal
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -110,11 +112,11 @@ _SAMPLE_PRIORITY = [
     "temporal_range_join",
     # -- r5-green tail: the families the r6 verdict flagged as running on
     # r5-only evidence (streaming, embeddings, events, text) --
-    "stream_dedup_events",
-    "stream_enrich_join",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "stream_dedup_events",
+    "stream_enrich_join",
     "stream_session_window",
     "stream_stateful_user_totals",
     "stream_stream_join",
