@@ -475,3 +475,104 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "docs_version_churn",
+    """
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    v3 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 83 = 0 THEN text || ' [rev3]' ELSE text END
+               AS text
+      FROM v2 WHERE doc_id % 101 <> 0
+    ),
+    snaps AS (
+      SELECT doc_id, 1 AS version, md5(text) AS fp FROM documents
+      UNION ALL SELECT doc_id, 2, md5(text) FROM v2
+      UNION ALL SELECT doc_id, 3, md5(text) FROM v3
+    ),
+    hist AS (
+      SELECT doc_id, fp,
+             lag(fp) OVER (PARTITION BY doc_id ORDER BY version) AS prev_fp,
+             MAX(version) OVER (PARTITION BY doc_id) AS last_v
+      FROM snaps
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             (MIN(last_v) < 3) AS deleted
+      FROM hist GROUP BY doc_id
+    )
+    SELECT n_changes, deleted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM per_doc GROUP BY n_changes, deleted
+    ORDER BY n_changes, deleted
+    """,
+    doc="version-churn histogram over the docs_scd2 snapshot chain: per-doc "
+    "count of fingerprint changes and deletion flag, rolled up to (churn, "
+    "deleted) buckets — the corpus-stability report a versioned-ingest "
+    "owner reads before choosing re-crawl cadence. Same body-free "
+    "(doc_id, version, md5) shuffle as SCD2; every window is doc-keyed "
+    "over ≤3 rows",
+    tags=("versioning",),
+)
+def docs_version_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    v2 = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    v3 = v2.filter(F.col("doc_id") % 101 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 83 == 0, F.concat(F.col("text"), F.lit(" [rev3]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    snaps = (
+        docs.select("doc_id", F.lit(1).alias("version"), F.md5("text").alias("fp"))
+        .unionByName(
+            v2.select("doc_id", F.lit(2).alias("version"), F.md5("text").alias("fp"))
+        )
+        .unionByName(
+            v3.select("doc_id", F.lit(3).alias("version"), F.md5("text").alias("fp"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("version")
+    whole = Window.partitionBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hist = snaps.select(
+        "doc_id",
+        "fp",
+        F.lag("fp").over(w).alias("prev_fp"),
+        F.max("version").over(whole).alias("last_v"),
+    )
+    per_doc = hist.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("prev_fp").isNotNull() & (F.col("fp") != F.col("prev_fp")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_changes"),
+        (F.min("last_v") < 3).alias("deleted"),
+    )
+    return (
+        per_doc.groupBy("n_changes", "deleted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("n_changes", "deleted")
+    )

@@ -88,6 +88,7 @@ _SAMPLE_PRIORITY = [
     "emb_norm_outliers",                 # embedding-norm QC
     "events_burst_detection",            # traffic-spike tripwire
     "events_pareto_concentration",       # hot-key salting signal
+    "docs_version_churn",                # corpus-stability histogram
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -109,12 +110,12 @@ _SAMPLE_PRIORITY = [
     "events_retention",
     "events_windowed_topk",
     "temporal_asof_forward",
-    "temporal_range_join",
-    # -- r5-green tail: the families the r6 verdict flagged as running on
-    # r5-only evidence (streaming, embeddings, events, text) --
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    # -- r5-green tail: displaced to the r8 rotation by this round's
+    # first-exposure entries (all locally differentialed this round) --
+    "temporal_range_join",
     "stream_dedup_events",
     "stream_enrich_join",
     "stream_session_window",
