@@ -587,3 +587,65 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "emb_dim_variance",
+    f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT j, CAST(SUM(qv[j]) AS BIGINT) AS s,
+             CAST(SUM(qv[j] * qv[j]) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS j)
+      GROUP BY j
+    ),
+    v AS (
+      SELECT j, (s2 - s * s * 1.0 / n) / (n - 1) AS var
+      FROM dims
+    ),
+    mv AS (SELECT AVG(var) AS mean_var FROM v)
+    SELECT CAST(v.j AS INTEGER) AS dim, ROUND(v.var, 4) AS variance,
+           (v.var < 0.01 * mv.mean_var) AS dead
+    FROM v CROSS JOIN mv
+    ORDER BY dim
+    """,
+    doc="per-dimension variance profile (dead-dimension detector): a "
+    "dimension whose variance collapses relative to the mean carries no "
+    "signal — the symptom of truncated checkpoints or collapsed training. "
+    "Sums and squared sums are exact int64 per dimension (one combiner "
+    "aggregate over (dim) cells, 64-row output); variance derives from the "
+    "exact moments so both engines compute the identical double",
+    tags=("embeddings", "quality"),
+)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_tables(spark, sf_dir)["embeddings"])
+    dims = (
+        emb.select(F.posexplode(quantized(F.col("embedding"))).alias("j0", "x"))
+        .groupBy((F.col("j0") + 1).alias("j"))
+        .agg(
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    var = dims.select(
+        "j",
+        (
+            (F.col("s2") - F.col("s") * F.col("s") * 1.0 / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    mv = var.agg(F.avg("var").alias("mean_var"))
+    return (
+        var.crossJoin(F.broadcast(mv))
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            F.round("var", 4).alias("variance"),
+            (F.col("var") < 0.01 * F.col("mean_var")).alias("dead"),
+        )
+        .orderBy("dim")
+    )

@@ -1002,3 +1002,63 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("top_k")
     )
+
+
+@query(
+    "events_active_users",
+    """
+    WITH dau AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    wau AS (
+      SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS w,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM events GROUP BY 1
+    ),
+    mau AS (
+      SELECT CAST(DATE_TRUNC('month', ts) AS DATE) AS m,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT 'dau' AS grain, CAST(COUNT(*) AS BIGINT) AS n_periods,
+           CAST(MIN(dau) AS BIGINT) AS min_active,
+           CAST(MAX(dau) AS BIGINT) AS max_active,
+           CAST(SUM(dau) AS BIGINT) AS sum_active
+    FROM dau
+    UNION ALL
+    SELECT 'mau', COUNT(*), MIN(mau), MAX(mau), SUM(mau) FROM mau
+    UNION ALL
+    SELECT 'wau', COUNT(*), MIN(wau), MAX(wau), SUM(wau) FROM wau
+    ORDER BY grain
+    """,
+    doc="DAU/WAU/MAU active-user rollups (the product-analytics staple; "
+    "sum_active/n_periods is the average, and avg-DAU over avg-MAU is the "
+    "stickiness ratio): events DISTINCT-reduce to (period, user) before "
+    "any count, so each grain's shuffle carries user-period cardinality, "
+    "never event cardinality — the events_retention discipline across "
+    "three calendar grains in one pass",
+    tags=("events", "analytics"),
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def grain(unit: str, name: str) -> DataFrame:
+        per = ev.groupBy(
+            F.date_trunc(unit, F.col("ts")).cast("date").alias("p")
+        ).agg(F.count_distinct("user_id").alias("active"))
+        return per.agg(
+            F.lit(name).alias("grain"),
+            F.count(F.lit(1)).alias("n_periods"),
+            F.min("active").alias("min_active"),
+            F.max("active").alias("max_active"),
+            F.sum("active").cast("long").alias("sum_active"),
+        )
+
+    return (
+        grain("day", "dau")
+        .unionByName(grain("week", "wau"))
+        .unionByName(grain("month", "mau"))
+        .orderBy("grain")
+    )

@@ -89,6 +89,8 @@ _SAMPLE_PRIORITY = [
     "events_burst_detection",            # traffic-spike tripwire
     "events_pareto_concentration",       # hot-key salting signal
     "docs_version_churn",                # corpus-stability histogram
+    "events_active_users",               # DAU/WAU/MAU stickiness rollup
+    "emb_dim_variance",                  # dead-dimension detector
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -108,11 +110,11 @@ _SAMPLE_PRIORITY = [
     "events_funnel",
     "events_json_extract",
     "events_retention",
-    "events_windowed_topk",
-    "temporal_asof_forward",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "events_windowed_topk",
+    "temporal_asof_forward",
     # -- r5-green tail: displaced to the r8 rotation by this round's
     # first-exposure entries (all locally differentialed this round) --
     "temporal_range_join",
