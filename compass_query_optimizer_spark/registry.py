@@ -91,6 +91,7 @@ _SAMPLE_PRIORITY = [
     "docs_version_churn",                # corpus-stability histogram
     "events_active_users",               # DAU/WAU/MAU stickiness rollup
     "emb_dim_variance",                  # dead-dimension detector
+    "q37_listagg",                       # ordered string aggregation
     # -- round-7 rotation: the oldest driver evidence first. r3-green
     # tail (unsampled since) --
     "dialect_shim",
@@ -109,10 +110,10 @@ _SAMPLE_PRIORITY = [
     "events_anomaly",
     "events_funnel",
     "events_json_extract",
-    "events_retention",
     # -- the most expensive entry (113-query differential) closes the
     # 50-entry prefix --
     "job_corpus",
+    "events_retention",
     "events_windowed_topk",
     "temporal_asof_forward",
     # -- r5-green tail: displaced to the r8 rotation by this round's

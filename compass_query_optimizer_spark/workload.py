@@ -1334,3 +1334,40 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except_all").alias("op"), "n"
     )
     return ia.unionByName(ea).orderBy("op")
+
+
+@query(
+    "q37_listagg",
+    """
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="ordered string aggregation (LISTAGG ... WITHIN GROUP, new in "
+    "Spark 4; DuckDB's string_agg ORDER BY is the oracle twin): "
+    "the aggregate that turns a group into a stable composite key or a "
+    "human-readable rollup (distinct order priorities per status). The "
+    "WITHIN GROUP ordering makes the result "
+    "partitioning-independent, which unordered collect_list/array_join "
+    "is not",
+    tags=("agg", "beyond-parity"),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register=True)
+    # DISTINCT inside listagg trips a Spark 4.1 ClassCastException when the
+    # optimizer rewires the aggregate's children (ListAgg.
+    # withNewChildrenInternal casts the delimiter child to SortOrder), so
+    # the distinct happens in a subquery and listagg stays plain
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               CAST(COUNT(*) AS BIGINT) AS n_priorities
+        FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
