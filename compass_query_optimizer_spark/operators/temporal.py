@@ -1028,9 +1028,11 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(dau) AS BIGINT) AS sum_active
     FROM dau
     UNION ALL
-    SELECT 'mau', COUNT(*), MIN(mau), MAX(mau), SUM(mau) FROM mau
+    SELECT 'mau', CAST(COUNT(*) AS BIGINT), CAST(MIN(mau) AS BIGINT),
+           CAST(MAX(mau) AS BIGINT), CAST(SUM(mau) AS BIGINT) FROM mau
     UNION ALL
-    SELECT 'wau', COUNT(*), MIN(wau), MAX(wau), SUM(wau) FROM wau
+    SELECT 'wau', CAST(COUNT(*) AS BIGINT), CAST(MIN(wau) AS BIGINT),
+           CAST(MAX(wau) AS BIGINT), CAST(SUM(wau) AS BIGINT) FROM wau
     ORDER BY grain
     """,
     doc="DAU/WAU/MAU active-user rollups (the product-analytics staple; "
