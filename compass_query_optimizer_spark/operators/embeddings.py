@@ -456,8 +456,9 @@ def emb_prefix_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the cluster-separability diagnostic run before trusting an embedding
 # space (a confusion matrix for the geometry). cos(mean_a, mean_b) equals
 # cos(sum_a, sum_b) because the 1/n factors cancel, so the whole matrix is
-# exact int64 arithmetic over SUM vectors: no mean is ever materialized,
-# no float accumulates, and the oracle reproduces it bit-for-bit.
+# exact integer arithmetic over SUM vectors (int64 sums, decimal(38,0)
+# products): no mean is ever materialized, no float accumulates, and the
+# oracle reproduces it bit-for-bit.
 # ---------------------------------------------------------------------------
 
 
@@ -490,7 +491,9 @@ def emb_prefix_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="label-centroid cosine matrix (embedding-space separability "
     "diagnostic): cos between per-label MEAN vectors computed as cos "
     "between per-label SUM vectors (the 1/n factors cancel), so the "
-    "whole matrix is exact int64 — one (label, dim) combiner aggregate "
+    "whole matrix is exact integer arithmetic: int64 per-dim sums widened "
+    "to decimal(38,0) before the products (int64 alone overflows near "
+    "~38k same-sign vectors per label) — one (label, dim) combiner agg "
     "(labels x 64 rows), a dim-keyed self-join over those cells, and a "
     "labels² output. Vector rows shuffle once as (label, dim, partial "
     "sum); at any corpus size the join input is label-count x 64 rows",
@@ -506,8 +509,21 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("j0") + 1).alias("j"))
         .agg(F.sum("x").alias("s"))
     )
-    a = dims.select(F.col("label").alias("label_a"), "j", F.col("s").alias("sa"))
-    b = dims.select(F.col("label").alias("label_b"), "j", F.col("s").alias("sb"))
+    # decimal(38,0) before the products: per-dim sums are O(n*QUANT), so
+    # int64 products overflow around ~38k same-sign vectors per label
+    # (the star-CC checksum uses the same widening for the same reason);
+    # DuckDB's SUM(BIGINT) is already HUGEINT, so this keeps the two
+    # engines exact at ANY per-label cardinality, not just fixture scale
+    a = dims.select(
+        F.col("label").alias("label_a"),
+        "j",
+        F.col("s").cast("decimal(38,0)").alias("sa"),
+    )
+    b = dims.select(
+        F.col("label").alias("label_b"),
+        "j",
+        F.col("s").cast("decimal(38,0)").alias("sb"),
+    )
     pairs = (
         a.join(b, "j")
         .filter(F.col("label_a") <= F.col("label_b"))

@@ -1021,6 +1021,17 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     n = _quantized_with_norm(t["embeddings"])
     cnt = t["embeddings"].count()
+    if cnt <= IVF_K:
+        # stride would be 1 and the offset-1 residual-codebook sample
+        # (vec_id % stride == 1) matches nothing: an empty sub-codebook,
+        # empty codes, and a silently-empty result that the oracle would
+        # mirror vacuously. Fail loudly instead — a corpus this small
+        # has no business behind an IVF index (use sim_topk_bruteforce).
+        raise ValueError(
+            f"sim_ann_ivfpq requires more than IVF_K={IVF_K} vectors "
+            f"(got {cnt}): stride-1 sampling degenerates to an empty "
+            "residual codebook"
+        )
     stride = max(1, math.ceil(cnt / IVF_K))
     coarse = n.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"),

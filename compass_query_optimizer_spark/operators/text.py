@@ -42,6 +42,15 @@ def _tokens(col):
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
+def _re_tokens(col):
+    """Regex tokenizer — the Spark twin of the oracles' DuckDB
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')``. Operators whose
+    oracle tokenizes by regex MUST use this helper (not the
+    whitespace-split ``_tokens``) so both engines see identical tokens on
+    punctuated text, not just on single-space word salad."""
+    return F.regexp_extract_all(F.lower(col), F.lit(_TOKEN_RE), 0)
+
+
 def char_positions(col, last_offset: int = 0):
     """1..length(col)+last_offset as an explode-safe int array.
 
@@ -1699,7 +1708,7 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir)["documents"])
     toks = docs.select(
-        "lang", F.explode(_tokens(F.col("text"))).alias("token")
+        "lang", F.explode(_re_tokens(F.col("text"))).alias("token")
     )
     ct = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
     # one corpus scalar row: total mass, vocabulary size, S_all.
@@ -1818,7 +1827,7 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bt = docs.select(
         "doc_id",
         "lang",
-        F.explode(_tokens(F.col("text"))).alias("token"),
+        F.explode(_re_tokens(F.col("text"))).alias("token"),
     ).select(
         "doc_id", "lang", (spark_portable_hash(F.col("token")) % CLF_BUCKETS).alias("b")
     )
@@ -2019,7 +2028,7 @@ def text_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = spread(load_tables(spark, sf_dir)["documents"])
-    toks = _tokens(F.col("text"))
+    toks = _re_tokens(F.col("text"))
     scored = docs.select(
         "doc_id",
         "lang",
@@ -2095,7 +2104,7 @@ EPOCH_CAP = 4  # max useful epochs per source
 def text_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir)["documents"])
     avail = docs.groupBy("source").agg(
-        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("avail_tokens")
+        F.sum(F.size(_re_tokens(F.col("text")))).cast("long").alias("avail_tokens")
     )
     tot = avail.agg(
         (F.sum("avail_tokens") * EPOCH_BUDGET_MULT).cast("long").alias("budget"),

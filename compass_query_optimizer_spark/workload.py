@@ -1228,8 +1228,9 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="the NOT IN null trap (3VL torture test): NOT IN over an empty "
     "subquery keeps every row; NOT IN over a subquery containing one NULL "
     "keeps NO rows (x <> NULL is UNKNOWN, so the conjunction can never be "
-    "TRUE); the NOT EXISTS rewrite of the same predicate is null-immune "
-    "and keeps the non-German-keyed rows. Engines that rewrite NOT IN to "
+    "TRUE); the NOT EXISTS rewrite of the same predicate is null-immune: "
+    "it keeps exactly the rows whose key matches NO non-German nation — "
+    "i.e. only the German-keyed customers. Engines that rewrite NOT IN to "
     "anti join without the null guard get this wrong — both Spark (null-"
     "aware anti join) and DuckDB handle it, and the counts must agree",
     tags=("predicate", "3vl", "subquery"),
