@@ -44,7 +44,15 @@ from compass_query_optimizer_spark.plans.search import (
 # multiplicity-scaled; min/max = class-2 duplicate-insensitive;
 # count_distinct = class-3 set-valued, handled by the helpers below)
 _MEASURE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
-_MEASURE_OPS = ("sum", "min", "max", "count_distinct", "count_distinct_hll")
+_MEASURE_OPS = (
+    "sum",
+    "min",
+    "max",
+    "count_distinct",
+    "count_distinct_hll",
+    "count_distinct_bitmap",
+    "count_distinct_auto",
+)
 
 
 def _measure_seed(measure_op: str, col: str):
@@ -71,6 +79,8 @@ def _measure_reagg(measure_op: str, col: str):
         return F.array_distinct(F.flatten(F.collect_list(col)))
     if measure_op == "count_distinct_hll":
         return F.hll_union_agg(col)
+    if measure_op == "count_distinct_bitmap":
+        return F.bit_or(col)
     return _MEASURE_FNS[measure_op](col)
 
 
@@ -86,6 +96,37 @@ def _measure_final(measure_op: str, col: str):
     if measure_op == "count_distinct_hll":
         return F.hll_sketch_estimate(F.hll_union_agg(col)).cast("long")
     return _MEASURE_FNS[measure_op](col)
+
+
+def _bitmap_seed_aggs(vmin: int, n_words: int) -> list:
+    """Per-table collapse for the bitmap count-distinct route (the
+    reference's ``CountDistinctImplType::Bitmap``): each group's distinct
+    values pack into ``n_words`` 64-bit words as set bits of the offset
+    ``value - vmin``. Natively combiner-aggregated by ``bit_or`` — no
+    array, no Python, fixed 8·n_words bytes per key at ANY row count.
+    NULL measures contribute no bits (COUNT(DISTINCT)'s NULL rule)."""
+    aggs = []
+    for w in range(n_words):
+        off = f"(CAST(__mval AS BIGINT) - ({vmin}))"
+        contrib = F.expr(
+            f"CASE WHEN __mval IS NOT NULL AND {off} >= {64 * w}"
+            f" AND {off} < {64 * (w + 1)}"
+            f" THEN shiftleft(CAST(1 AS BIGINT), CAST({off} - {64 * w} AS INT))"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+        aggs.append(F.bit_or(contrib).alias(f"__agg{w}_new"))
+    return aggs
+
+
+def _bitmap_final(agg_names: list[str]):
+    """Final aggregate for the bitmap route: OR-merge each word across
+    surviving key combinations, popcount, sum — exact COUNT(DISTINCT),
+    0 over the empty join."""
+    total = None
+    for nm in agg_names:
+        t = F.bit_count(F.bit_or(nm)).cast("long")
+        total = t if total is None else total + t
+    return F.coalesce(total, F.lit(0).cast("long"))
 
 
 def _rewrite_residual(residual: str, spec: JoinQuerySpec) -> str:
@@ -123,6 +164,14 @@ _COUNT_CACHE: dict[tuple[str, str], int] = {}
 
 def clear_count_cache() -> None:
     _COUNT_CACHE.clear()
+    _NDV_CACHE.clear()
+
+
+# (dataset_tag, table, filter_sql, col) -> (ndv_estimate, lo, hi). The
+# plan-time measure-column stats job behind count_distinct_auto — one
+# narrow-column combiner aggregate, same order of cost as the push-down
+# sketch pass, cached across plans per catalog like _COUNT_CACHE.
+_NDV_CACHE: dict[tuple, tuple[int, object, object]] = {}
 
 
 class CompassOptimizer:
@@ -217,6 +266,7 @@ class CompassOptimizer:
                 order_cost(graph, pd.stats, fb) if not search.fallback else None
             )
         plan = CompassPlan(spec, graph, pd, search, fallback_cost=fb_cost)
+        plan.extras["dataset_tag"] = tag
         if self.template_path is not None:
             self._maybe_save_templates()
         return plan
@@ -349,6 +399,20 @@ class CompassOptimizer:
                 + (", agg)" if measure is not None else ")")
                 + "; join rows never materialize)"
             )
+            if measure is not None and measure_op in (
+                "count_distinct_auto",
+                "count_distinct_bitmap",
+            ):
+                route, _ = self._resolve_distinct_route(plan, measure, measure_op)
+                info = plan.extras["distinct_route"]
+                lines.append(
+                    f"  count-distinct route: {route}"
+                    f" (ndv≈{info['ndv_estimate']},"
+                    f" range=[{info['lo']}, {info['hi']}];"
+                    f" bitmap ≤{self.config.distinct_bitmap_max_range} bits,"
+                    f" exact ≤{self.config.distinct_exact_max_ndv} ndv,"
+                    " else hll)"
+                )
         if physical:
             df = (
                 self.build_count_join(
@@ -363,6 +427,74 @@ class CompassOptimizer:
                 df._jdf.queryExecution(), "formatted"
             ))
         return "\n".join(lines)
+
+    def _resolve_distinct_route(
+        self, plan: CompassPlan, measure: tuple[str, str], requested: str
+    ) -> tuple[str, dict]:
+        """Plan-time COUNT(DISTINCT) routing — the Spark twin of the
+        reference's approx↔precise switch (RelAlgExecutor.cpp:1350-1418)
+        and its CountDistinctDescriptor bitmap-vs-set choice.
+
+        One narrow-column stats job over the push-down frame (NDV estimate
+        + min/max, cached per catalog like the base counts) decides the
+        carrier:
+
+        - integral measure whose value range fits
+          ``distinct_bitmap_max_range`` bits → exact packed bitmap
+          (``CountDistinctImplType::Bitmap``): fixed 8·⌈range/64⌉ bytes
+          per key, native ``bit_or`` all the way;
+        - NDV estimate ≤ ``distinct_exact_max_ndv`` → exact collect_set
+          (the final union row stays bounded);
+        - otherwise → constant-size HLL sketch (approximate within the
+          published rsd) — an unbounded measure column through the exact
+          path would flatten the full distinct set into ONE aggregation
+          row and OOM an executor at 100 TB.
+
+        The decision is recorded in ``plan.extras['distinct_route']`` so
+        EXPLAIN and the plan tests can inspect it. ``requested`` may also
+        be ``count_distinct_bitmap`` directly, which fails loudly when the
+        measure's range cannot fit a bitmap."""
+        from pyspark.sql import types as T
+
+        alias, col = measure
+        f = plan.pushdown.frames[alias]
+        tag = plan.extras.get("dataset_tag")
+        key = (tag, plan.spec.tables[alias], plan.spec.filters.get(alias), col)
+        if tag is not None and key in _NDV_CACHE:
+            ndv, lo, hi = _NDV_CACHE[key]
+        else:
+            row = f.agg(
+                F.approx_count_distinct(col).alias("ndv"),
+                F.min(col).alias("lo"),
+                F.max(col).alias("hi"),
+            ).collect()[0]
+            ndv, lo, hi = int(row["ndv"]), row["lo"], row["hi"]
+            if tag is not None:
+                _NDV_CACHE[key] = (ndv, lo, hi)
+        integral = isinstance(f.schema[col].dataType, T.IntegralType)
+        rng = int(hi) - int(lo) + 1 if (integral and lo is not None) else None
+        if rng is not None and rng <= self.config.distinct_bitmap_max_range:
+            route = "count_distinct_bitmap"
+            params = {"vmin": int(lo), "n_words": (rng + 63) // 64}
+        elif requested == "count_distinct_bitmap":
+            raise ValueError(
+                f"count_distinct_bitmap requires an integral measure with "
+                f"range ≤ {self.config.distinct_bitmap_max_range} bits; "
+                f"{alias}.{col} has range {rng} (type "
+                f"{f.schema[col].dataType.simpleString()})"
+            )
+        elif ndv <= self.config.distinct_exact_max_ndv:
+            route, params = "count_distinct", {}
+        else:
+            route, params = "count_distinct_hll", {}
+        plan.extras["distinct_route"] = {
+            "route": route,
+            "ndv_estimate": ndv,
+            "lo": lo,
+            "hi": hi,
+            **params,
+        }
+        return route, params
 
     def build_count_join(
         self,
@@ -421,6 +553,18 @@ class CompassOptimizer:
           Exact while per-key distinct cardinality is bounded (the sets
           ride the chain as arrays); for unbounded measures substitute an
           HLL sketch — approximate, constant-size.
+        - ``count_distinct_bitmap`` (the reference's
+          ``CountDistinctImplType::Bitmap``): integral measures with a
+          plan-time value range ≤ ``config.distinct_bitmap_max_range``
+          carry a packed bitmap of ⌈range/64⌉ longs per key — exact like
+          collect_set but FIXED-size regardless of row count, native
+          ``bit_or`` end to end.
+        - ``count_distinct_auto``: resolves to bitmap / exact set / HLL
+          from a plan-time stats job (:meth:`_resolve_distinct_route`) —
+          the reference's RelAlgExecutor.cpp:1350-1418 decision. Use this
+          unless the measure's cardinality is known: it is what keeps an
+          unbounded measure from flattening the full distinct set into
+          one executor at scale.
 
         sum/min/max yield NULL over the empty join, count_distinct yields
         0 (SQL semantics), matching the plain plan. Adds ``agg_val``
@@ -430,6 +574,24 @@ class CompassOptimizer:
 
         spec = plan.spec
         order = plan.search.order
+
+        # count_distinct_auto / count_distinct_bitmap resolve to a concrete
+        # carrier from plan-time measure stats (the reference's switch)
+        bitmap: dict = {}
+        if measure is not None and measure_op in (
+            "count_distinct_auto",
+            "count_distinct_bitmap",
+        ):
+            measure_op, bitmap = self._resolve_distinct_route(
+                plan, measure, measure_op
+            )
+        # the riding measure may span several physical columns (one per
+        # bitmap word); every chain step below treats them uniformly
+        agg_names = (
+            [f"__agg{w}" for w in range(bitmap["n_words"])]
+            if measure_op == "count_distinct_bitmap"
+            else ["__agg"]
+        )
 
         # columns each alias must expose: join-pred endpoints + residuals
         needed: dict[str, set[str]] = {a: set() for a in spec.tables}
@@ -466,7 +628,14 @@ class CompassOptimizer:
                 # the measure column is aggregated, never grouped — select
                 # it under a private name so it can coincide with a key
                 keys = keys + [F.col(measure[1]).alias("__mval")]
-                aggs.append(_measure_seed(measure_op, "__mval").alias("__agg_new"))
+                if measure_op == "count_distinct_bitmap":
+                    aggs.extend(
+                        _bitmap_seed_aggs(bitmap["vmin"], bitmap["n_words"])
+                    )
+                else:
+                    aggs.append(
+                        _measure_seed(measure_op, "__mval").alias("__agg_new")
+                    )
                 g = f.select(*keys)
                 agg = g.groupBy(
                     *[c for c in g.columns if c != "__mval"]
@@ -486,8 +655,9 @@ class CompassOptimizer:
             frames[alias] = agg
 
         joined = frames[order[0]].withColumnRenamed("__cnt_new", "__cnt")
-        if "__agg_new" in joined.columns:
-            joined = joined.withColumnRenamed("__agg_new", "__agg")
+        for nm in agg_names:
+            if f"{nm}_new" in joined.columns:
+                joined = joined.withColumnRenamed(f"{nm}_new", nm)
         in_chain = {order[0]}
         remaining = set(order[1:])
         for alias in order[1:]:
@@ -509,12 +679,13 @@ class CompassOptimizer:
                 # row's count multiplies the per-key sum (Σ x over the
                 # matching measure rows); min/max are duplicate-
                 # insensitive — the prefix count is irrelevant
-                joined = joined.withColumn(
-                    "__agg",
-                    F.col("__cnt") * F.col("__agg_new")
-                    if measure_op == "sum"
-                    else F.col("__agg_new"),
-                ).drop("__agg_new")
+                for nm in agg_names:
+                    joined = joined.withColumn(
+                        nm,
+                        F.col("__cnt") * F.col(f"{nm}_new")
+                        if measure_op == "sum"
+                        else F.col(f"{nm}_new"),
+                    ).drop(f"{nm}_new")
             elif "__agg" in joined.columns and measure_op == "sum":
                 # measure already in the prefix: the partner's multiplicity
                 # scales the running sum exactly as it scales the count
@@ -546,10 +717,11 @@ class CompassOptimizer:
                 if al in in_chain:
                     keep.add(f"{al}__{col}")
             keep &= set(joined.columns)
-            if set(joined.columns) - keep - {"__cnt", "__agg"}:
+            if set(joined.columns) - keep - {"__cnt"} - set(agg_names):
                 aggs = [F.sum("__cnt").alias("__cnt")]
-                if "__agg" in joined.columns:
-                    aggs.append(_measure_reagg(measure_op, "__agg").alias("__agg"))
+                for nm in agg_names:
+                    if nm in joined.columns:
+                        aggs.append(_measure_reagg(measure_op, nm).alias(nm))
                 if keep:
                     joined = joined.groupBy(*sorted(keep)).agg(*aggs)
                 elif remaining:
@@ -562,7 +734,12 @@ class CompassOptimizer:
             # SQL aggregate semantics: NULL over the empty join for
             # sum/min/max, 0 for count_distinct — like the plain plan and
             # the oracle (no coalesce; _measure_final encodes the split)
-            final_aggs.append(_measure_final(measure_op, "__agg").alias("agg_val"))
+            if measure_op == "count_distinct_bitmap":
+                final_aggs.append(_bitmap_final(agg_names).alias("agg_val"))
+            else:
+                final_aggs.append(
+                    _measure_final(measure_op, "__agg").alias("agg_val")
+                )
         if group_by:
             return joined.groupBy(
                 *[F.col(f"{al}__{col}").alias(col) for al, col in group_by]
@@ -623,7 +800,13 @@ class CompassOptimizer:
         aggs = []
         if measure is not None:
             mcol = F.col(f"{measure[0]}__{measure[1]}")
-            if measure_op == "count_distinct":
+            if measure_op in (
+                "count_distinct",
+                "count_distinct_bitmap",
+                "count_distinct_auto",
+            ):
+                # the raw join computes exact COUNT(DISTINCT) directly —
+                # carrier routing only exists inside the eager chain
                 aggs.append(F.count_distinct(mcol).cast("long").alias("agg_val"))
             elif measure_op == "count_distinct_hll":
                 aggs.append(

@@ -51,6 +51,17 @@ class PushdownConfig:
     # win back the exchange. (Per-table pre-aggregation always happens;
     # it is the main lever and rides the join shuffle it replaces.)
     eager_reagg_min_rows: float = 100_000.0
+    # count_distinct_auto routing — the Spark twin of the reference's
+    # plan-time approx↔precise switch (RelAlgExecutor.cpp:1350-1418) and
+    # its CountDistinctDescriptor bitmap-vs-set choice. Integral measures
+    # whose plan-time value range fits distinct_bitmap_max_range bits take
+    # the exact packed-bitmap route (fixed 8·range/64 bytes per key);
+    # otherwise NDV estimates up to distinct_exact_max_ndv take the exact
+    # collect_set route (the final union row stays bounded); anything
+    # bigger carries a constant-size HLL sketch instead — approximate,
+    # but immune to the one-row set flatten that OOMs at 100 TB.
+    distinct_bitmap_max_range: int = 4_096  # bits (64 words max per key)
+    distinct_exact_max_ndv: int = 4_096  # plan-time NDV estimate cap
 
 
 @dataclass

@@ -364,6 +364,97 @@ def compass_count_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# count_distinct_auto acceptance: the route is plan-time data-dependent
+# (exact at small scale, HLL once the NDV estimate crosses the cap), so the
+# gate uses the q11/HLL pattern — the exact count both engines agree on,
+# plus the engine's answer landing inside HLL's 3·rsd band (which the
+# exact routes satisfy with error 0).
+AUTO_DISTINCT_ORACLE = """
+SELECT CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS exact_nd,
+       TRUE AS within_band
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+"""
+
+
+@query(
+    "compass_count_distinct_auto",
+    AUTO_DISTINCT_ORACLE,
+    doc="COUNT(DISTINCT o_orderkey) — a HIGH-cardinality measure — through "
+    "the eager chain with plan-time carrier routing (the reference's "
+    "approx↔precise switch, RelAlgExecutor.cpp:1350-1418 + "
+    "CountDistinctDescriptor): one stats job (NDV estimate + min/max) on "
+    "the push-down frame picks packed-bitmap (dense ints), exact "
+    "collect_set (bounded NDV), or constant-size HLL (everything else). "
+    "o_orderkey's range exceeds the bitmap cap and its NDV crosses the "
+    "exact cap at sf≥0.01, so this entry exercises the HLL route at gate "
+    "scale — the path that keeps an unbounded measure from flattening "
+    "the full distinct set into one executor at 100 TB. Gate = exact "
+    "count + 3·rsd acceptance band (the q11 pattern)",
+    tags=("compass", "join", "count_distinct", "auto"),
+)
+def compass_count_distinct_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    rsd = 1.04 / (2**12) ** 0.5  # Datasketches HLL default lgConfigK=12
+    opt = CompassOptimizer(spark)
+    plan = opt.plan(GROUPED_COUNT_SQL, sf_dir)
+    routed = opt.build_count_join(
+        plan, measure=("o", "o_orderkey"), measure_op="count_distinct_auto"
+    ).select(F.col("agg_val").alias("routed_nd"))
+    exact = opt.build_count_join(
+        plan, measure=("o", "o_orderkey"), measure_op="count_distinct"
+    ).select(F.col("agg_val").alias("exact_nd"))
+    return exact.crossJoin(routed).select(
+        "exact_nd",
+        (
+            F.abs(F.col("routed_nd") - F.col("exact_nd"))
+            <= 3 * rsd * F.col("exact_nd")
+        ).alias("within_band"),
+    )
+
+
+BITMAP_DISTINCT_ORACLE = """
+SELECT CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT) AS nd_nation,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+"""
+
+
+@query(
+    "compass_count_distinct_bitmap",
+    BITMAP_DISTINCT_ORACLE,
+    doc="exact COUNT(DISTINCT) through the eager chain on the packed-"
+    "bitmap carrier (the reference's CountDistinctImplType::Bitmap, "
+    "QueryEngine/CountDistinct.h): c_nationkey's plan-time range (25 "
+    "values) fits one 64-bit word, so every key combination carries a "
+    "FIXED 8-byte bitmap instead of a value set — native bit_or at the "
+    "seed, through every re-aggregation, and at the final popcount. "
+    "Exact at ANY row count with constant per-key state; auto-routing "
+    "picks this carrier whenever the measure is integral and dense",
+    tags=("compass", "join", "count_distinct", "bitmap"),
+)
+def compass_count_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        GROUPED_COUNT_SQL,
+        sf_dir,
+        measure=("c", "c_nationkey"),
+        measure_op="count_distinct_bitmap",
+    )
+    return df.select(F.col("agg_val").alias("nd_nation"), "cnt")
+
+
 MINMAX_ORACLE = """
 SELECT ROUND(CAST(MIN(l.l_extendedprice) AS DOUBLE), 2) AS min_price,
        ROUND(CAST(MAX(l.l_extendedprice) AS DOUBLE), 2) AS max_price,

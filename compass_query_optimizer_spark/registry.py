@@ -56,69 +56,23 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # registration order — so adding a query without touching this list still
 # works, it just lands in the unsampled tail until promoted.
 _SAMPLE_PRIORITY = [
-    # -- changed in round 7: fresh driver evidence required --
-    "dedup_bloom",         # width auto-sized from corpus count, packed bitmap
-    "dedup_semantic",      # hot-cell salted sub-splitting
-    # -- new in round 7: first driver exposure --
-    "compass_avg_multijoin",           # eager AVG = chain SUM / chain COUNT
-    "compass_count_distinct_multijoin",  # class-3 set-valued measure
-    "compass_grouped_count_distinct",    # grouped class-3
-    "compass_count_distinct_hll",        # constant-size sketch scale path
-    "dedup_incremental_minhash",         # near-dup probe of a standing corpus
-    "sim_ann_pq",                        # product-quantization ADC ANN
-    "text_kl_drift",                     # slice-vs-corpus KL divergence
-    "text_hash_classifier",              # hashed linear model inference
-    "stream_approx_distinct",            # streaming HLL per-window distinct
-    "stream_sliding_count",              # sliding-window streaming rollup
-    "pipeline_pretrain",                 # composed quality→dedup→decontam
-    "text_weighted_sample",              # A-ES weight-proportional sample
-    "text_ngram_novelty",                # boilerplate/template detector
-    "dedup_edit_distance",               # order-sensitive LSH verify
-    "sim_ann_ivfpq",                     # full IVFADC composition
-    "q34_not_in_null_trap",              # NOT IN 3VL torture test
-    "emb_label_centroid_sim",            # embedding separability matrix
-    "dedup_clusters_twostage",           # flood-proof cluster resolution
-    "compass_grouped_minmax",            # grouped class-2 measure symmetry
-    "q35_grouping_cube",                 # CUBE lattice (beyond parity)
-    "q36_multiset_ops",                  # INTERSECT ALL / EXCEPT ALL
-    "text_curriculum_stages",            # quality-quartile curriculum
-    "text_epoch_budget",                 # data-constrained epoch planner
-    "dedup_clusters_star",               # diameter-independent components
-    "text_source_lang_entropy",          # source drift tripwire
-    "emb_norm_outliers",                 # embedding-norm QC
-    "events_burst_detection",            # traffic-spike tripwire
-    "events_pareto_concentration",       # hot-key salting signal
-    "docs_version_churn",                # corpus-stability histogram
-    "events_active_users",               # DAU/WAU/MAU stickiness rollup
-    "emb_dim_variance",                  # dead-dimension detector
-    "q37_listagg",                       # ordered string aggregation
-    # -- round-7 rotation: the oldest driver evidence first. r3-green
-    # tail (unsampled since) --
-    "dialect_shim",
-    "geo_functions",
-    "mm_frame_sample",
-    "mm_payload_features",
-    "sim_ann_ivf",
-    "text_fingerprint",
-    "text_quality",
-    "text_tokens",
-    # -- r4-green tail --
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "docs_snapshot_diff",
-    "events_anomaly",
-    "events_funnel",
-    "events_json_extract",
-    # -- the most expensive entry (113-query differential) closes the
-    # 50-entry prefix --
-    "job_corpus",
+    # -- new in round 8: first driver exposure --
+    "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
+    "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
+    # -- changed in round 8 (tokenizer/overflow fixes): fresh evidence --
+    "text_kl_drift",
+    "text_hash_classifier",
+    "text_curriculum_stages",
+    "text_epoch_budget",
+    "emb_label_centroid_sim",
+    "sim_ann_ivfpq",
+    # -- round-8 rotation: retire the r4 evidence tail --
     "events_retention",
     "events_windowed_topk",
     "temporal_asof_forward",
-    # -- r5-green tail: displaced to the r8 rotation by this round's
-    # first-exposure entries (all locally differentialed this round) --
     "temporal_range_join",
+    # -- then the r5-green tail (unsampled since round 5): streaming
+    # family, temporal tail, embeddings tail, text tail --
     "stream_dedup_events",
     "stream_enrich_join",
     "stream_session_window",
@@ -140,16 +94,10 @@ _SAMPLE_PRIORITY = [
     "text_ngram_profile",
     "text_pack_sequences",
     "text_percentile_approx",
-    # (sim_ann_lsh / dedup_simhash / text_repetition / dedup_exact deferred
-    # to the r8 rotation to make room for the r7 first-exposure entries;
-    # r5-green, locally differentialed, and dedup_simhash + dedup_exact are
-    # benched every round)
     "text_repetition",
     "dedup_exact",
     "sim_ann_lsh",
     "dedup_simhash",
-    # -- next-round rotation candidates (past the prefix this round; all
-    # r5/r6 driver-green and covered by the local differential) --
     "compass_count_multijoin",
     "compass_grouped_count",
     "compass_residual_filter",
@@ -162,6 +110,8 @@ _SAMPLE_PRIORITY = [
     "text_langid_confusion",
     "text_length_histogram",
     "text_mixture_sample",
+    # ---- the 50-entry driver prefix ends around here; the remaining
+    # r5/r6 tail rotates forward next round ----
     "text_pii_redact",
     "text_quality_percentile",
     "text_segment_dedup",
@@ -170,6 +120,52 @@ _SAMPLE_PRIORITY = [
     "text_train_split",
     "text_vocabulary",
     "text_zipf_coverage",
+    # -- r6/r7-green block (fresh evidence last round; covered by the
+    # local differential suite this round) --
+    "dedup_bloom",
+    "dedup_semantic",
+    "compass_avg_multijoin",
+    "compass_count_distinct_multijoin",
+    "compass_grouped_count_distinct",
+    "compass_count_distinct_hll",
+    "dedup_incremental_minhash",
+    "sim_ann_pq",
+    "stream_approx_distinct",
+    "stream_sliding_count",
+    "pipeline_pretrain",
+    "text_weighted_sample",
+    "text_ngram_novelty",
+    "dedup_edit_distance",
+    "q34_not_in_null_trap",
+    "dedup_clusters_twostage",
+    "compass_grouped_minmax",
+    "q35_grouping_cube",
+    "q36_multiset_ops",
+    "dedup_clusters_star",
+    "text_source_lang_entropy",
+    "emb_norm_outliers",
+    "events_burst_detection",
+    "events_pareto_concentration",
+    "docs_version_churn",
+    "events_active_users",
+    "emb_dim_variance",
+    "q37_listagg",
+    "dialect_shim",
+    "geo_functions",
+    "mm_frame_sample",
+    "mm_payload_features",
+    "sim_ann_ivf",
+    "text_fingerprint",
+    "text_quality",
+    "text_tokens",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "docs_snapshot_diff",
+    "events_anomaly",
+    "events_funnel",
+    "events_json_extract",
+    "job_corpus",
 ]
 
 

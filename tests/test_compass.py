@@ -251,3 +251,98 @@ def test_explain_report(spark):
     # the set-valued chain really is in the physical plan (collect_set
     # partials on the measure table)
     assert "collect_set" in mcd
+
+
+def test_distinct_auto_route_flips_at_thresholds(spark):
+    """count_distinct_auto resolves per the reference's plan-time switch
+    (RelAlgExecutor.cpp:1350-1418 / CountDistinctDescriptor): dense ints
+    within the bitmap cap -> bitmap; NDV within the exact cap -> set;
+    else HLL. The SAME measure column flips route as the caps move."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+    from compass_query_optimizer_spark.plans.queries import GROUPED_COUNT_SQL
+
+    def route(cfg, measure):
+        opt = CompassOptimizer(spark, config=cfg)
+        plan = opt.plan(GROUPED_COUNT_SQL, SF)
+        op, _ = opt._resolve_distinct_route(plan, measure, "count_distinct_auto")
+        assert plan.extras["distinct_route"]["route"] == op
+        return op
+
+    m = ("c", "c_custkey")  # integral, range ~1.5k, NDV ~1.5k at sf0.001
+    # wide bitmap cap: dense int fits -> bitmap
+    assert route(PushdownConfig(distinct_bitmap_max_range=1 << 20), m) == (
+        "count_distinct_bitmap"
+    )
+    # bitmap ruled out, exact cap generous -> exact collect_set
+    assert route(
+        PushdownConfig(distinct_bitmap_max_range=8, distinct_exact_max_ndv=10**9), m
+    ) == "count_distinct"
+    # both caps tiny -> the constant-size sketch carrier
+    assert route(
+        PushdownConfig(distinct_bitmap_max_range=8, distinct_exact_max_ndv=8), m
+    ) == "count_distinct_hll"
+    # a string measure can never take the bitmap route, no matter how
+    # wide the cap — auto falls through to the NDV decision (the o frame
+    # is filtered to o_orderstatus='F', NDV 1, so cap 0 forces HLL)
+    s = ("o", "o_orderstatus")
+    assert route(
+        PushdownConfig(distinct_bitmap_max_range=1 << 20, distinct_exact_max_ndv=0), s
+    ) == "count_distinct_hll"
+
+
+def test_distinct_routes_agree_on_the_answer(spark):
+    """All three carriers answer the same COUNT(DISTINCT) on a bounded
+    measure — bitmap and set exactly, HLL within its 3-rsd band — and the
+    explicit bitmap request on a non-bitmappable measure fails loudly."""
+    import pytest
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import GROUPED_COUNT_SQL
+
+    opt = CompassOptimizer(spark)
+    plan = opt.plan(GROUPED_COUNT_SQL, SF)
+    m = ("c", "c_nationkey")
+    vals = {}
+    for op in ("count_distinct", "count_distinct_bitmap", "count_distinct_hll"):
+        vals[op] = opt.build_count_join(plan, measure=m, measure_op=op).collect()[
+            0
+        ]["agg_val"]
+    assert vals["count_distinct_bitmap"] == vals["count_distinct"]
+    rsd = 1.04 / (2**12) ** 0.5
+    assert abs(vals["count_distinct_hll"] - vals["count_distinct"]) <= (
+        3 * rsd * vals["count_distinct"]
+    )
+    # grouped bitmap: per-nation distinct nationkey is exactly 1
+    grouped = opt.build_count_join(
+        plan, group_by=[("n", "n_name")], measure=m,
+        measure_op="count_distinct_bitmap",
+    ).collect()
+    assert len(grouped) == 25 and all(r["agg_val"] == 1 for r in grouped)
+    with pytest.raises(ValueError, match="bitmap"):
+        opt.build_count_join(
+            plan, measure=("o", "o_orderstatus"),
+            measure_op="count_distinct_bitmap",
+        )
+
+
+def test_distinct_route_explain_surface(spark):
+    """The routing decision is EXPLAIN-visible (the round-6/7 rule: every
+    algebra claim must be inspectable)."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import GROUPED_COUNT_SQL
+
+    opt = CompassOptimizer(spark)
+    plan = opt.plan(GROUPED_COUNT_SQL, SF)
+    txt = opt.explain(
+        plan, count=True, measure=("c", "c_nationkey"),
+        measure_op="count_distinct_auto",
+    )
+    assert "count-distinct route: count_distinct_bitmap" in txt
+    assert "ndv≈" in txt and "range=[0, 24]" in txt
+    # and the bitmap chain is real in the physical plan: bit_or partials
+    phys = opt.explain(
+        plan, physical=True, count=True, measure=("c", "c_nationkey"),
+        measure_op="count_distinct_bitmap",
+    )
+    assert "bit_or" in phys and "collect_set" not in phys

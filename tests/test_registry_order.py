@@ -11,11 +11,17 @@ import os
 
 from compass_query_optimizer_spark.registry import _SAMPLE_PRIORITY, all_queries
 
-# entries whose implementation or oracle changed in round 7 — each needs a
-# fresh driver row this round, so they lead the prefix
+# entries new or changed in round 8 — each needs a fresh driver row this
+# round, so they lead the prefix
 CHANGED_THIS_ROUND = {
-    "dedup_bloom",      # auto-sized width + packed-bitmap filter
-    "dedup_semantic",   # hot-cell salted sub-splitting
+    "compass_count_distinct_auto",    # new: plan-time carrier routing
+    "compass_count_distinct_bitmap",  # new: packed-bitmap carrier
+    "text_kl_drift",                  # regex-tokenizer parity fix
+    "text_hash_classifier",           # regex-tokenizer parity fix
+    "text_curriculum_stages",         # regex-tokenizer parity fix
+    "text_epoch_budget",              # regex-tokenizer parity fix
+    "emb_label_centroid_sim",         # decimal(38,0) product widening
+    "sim_ann_ivfpq",                  # tiny-corpus loud guard
 }
 
 
@@ -43,12 +49,12 @@ def test_prefix_serves_the_evidence_gap():
     the latest recorded round."""
     prefix = list(all_queries())[:50]
     missing = CHANGED_THIS_ROUND - set(prefix)
-    assert not missing, f"round-6-changed entries outside the prefix: {missing}"
+    assert not missing, f"round-8-changed entries outside the prefix: {missing}"
 
     # pinned to the round this rotation was designed against (re-pin when
     # re-rotating the priority list next round)
     root = os.path.join(os.path.dirname(__file__), "..")
-    latest = set(json.load(open(os.path.join(root, "CORRECTNESS_r06.json"))))
+    latest = set(json.load(open(os.path.join(root, "CORRECTNESS_r07.json"))))
     rotated = [
         n for n in prefix
         if n not in CHANGED_THIS_ROUND and n != "job_corpus"
