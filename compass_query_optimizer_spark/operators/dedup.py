@@ -941,7 +941,10 @@ def connected_components_star(edges: DataFrame, max_iters: int = 40) -> DataFram
     doc="duplicate-cluster resolution: MinHash+LSH candidate pairs → "
     "connected components (min-label propagation, one keyed shuffle join "
     "per round) → (doc_id, cluster_id=min doc in component, cluster_size). "
-    "The canonical keeper per cluster is the doc with doc_id = cluster_id.",
+    "The canonical keeper per cluster is the doc with doc_id = cluster_id. "
+    "This is the textbook form; production corpora should use "
+    "dedup_clusters_hardened, which composes the exact-collapse flood "
+    "guard with diameter-independent star components.",
     tags=("dedup", "iterative"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,9 +1036,11 @@ def _clusters_oracle() -> str:
     "measures the pair-count collapse",
     tags=("dedup", "iterative", "skew"),
 )
-def dedup_clusters_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+def _collapsed_clusters(docs: DataFrame, components) -> DataFrame:
+    """Exact-collapse → LSH over representatives → ``components`` over the
+    rep pair graph → membership expand. Shared by the two-stage and
+    hardened entries; ``components`` is the connected-components
+    implementation (min-label or alternating-star)."""
     members = spread(docs).select("doc_id", F.md5(F.col("text")).alias("fp"))
     reps = members.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     # bands for every doc are cheap (hash rows only cross exchanges); the
@@ -1051,7 +1056,7 @@ def dedup_clusters_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    comp = connected_components(pairs).select(
+    comp = components(pairs).select(
         F.col("id").alias("rep"), F.col("lbl").alias("lbl")
     )
     doc_lbl = (
@@ -1070,6 +1075,31 @@ def dedup_clusters_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id", "cluster_size")
         .orderBy("cluster_id", "doc_id")
     )
+
+
+def dedup_clusters_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return _collapsed_clusters(docs, connected_components)
+
+
+@query(
+    "dedup_clusters_hardened",
+    None,  # generated below — identical semantics to dedup_clusters_twostage
+    doc="the production-default cluster resolver: exact md5-collapse → "
+    "MinHash+LSH over representatives → ALTERNATING-STAR connected "
+    "components → membership expand, composing the flood guard "
+    "(k byte-identical docs contribute ONE bucket row, not C(k,2) "
+    "pairs) with diameter-independent O(log²n) convergence (Kiveris et "
+    "al. SoCC 2014). A real 100 TB crawl has BOTH pathologies at once — "
+    "mirror floods and long near-dup chains (snapshot successions) — "
+    "which dedup_clusters_twostage and dedup_clusters_star each handle "
+    "only one of. Same per-round shuffle primitives; identical clusters "
+    "(the component minimum is always its fingerprint group's minimum)",
+    tags=("dedup", "iterative", "star", "skew", "hardened"),
+)
+def dedup_clusters_hardened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return _collapsed_clusters(docs, connected_components_star)
 
 
 def _clusters_twostage_oracle() -> str:
@@ -1188,6 +1218,7 @@ def _edit_distance_oracle() -> str:
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["dedup_clusters_twostage"].oracle = _clusters_twostage_oracle()
+_registry._REGISTRY["dedup_clusters_hardened"].oracle = _clusters_twostage_oracle()
 _registry._REGISTRY["dedup_clusters_star"].oracle = _clusters_oracle()
 _registry._REGISTRY["dedup_edit_distance"].oracle = _edit_distance_oracle()
 _registry._REGISTRY["dedup_minhash_lsh"].oracle = _minhash_oracle()

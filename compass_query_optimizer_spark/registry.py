@@ -59,6 +59,7 @@ _SAMPLE_PRIORITY = [
     # -- new in round 8: first driver exposure --
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
+    "dedup_clusters_hardened",       # flood guard + star CC composed
     # -- changed in round 8 (tokenizer/overflow fixes): fresh evidence --
     "text_kl_drift",
     "text_hash_classifier",

@@ -357,3 +357,54 @@ def test_minhash_index_persists_and_probes_identically(spark, tmp_path):
         )
     )
     assert "PushedFilters: [" in plan and "band" in plan
+
+
+def test_hardened_clusters_compose_flood_guard_with_star(spark, tmp_path, monkeypatch):
+    """dedup_clusters_hardened = exact-collapse (flood guard) + alternating
+    -star components (diameter-independence) in ONE entry. Under the
+    400-copy flood fixture it must produce byte-identical clusters to the
+    two-stage path, while actually running the star engine (spied), whose
+    long-chain robustness is property-tested separately
+    (test_properties::test_star_components_survive_long_chains)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from compass_query_optimizer_spark.operators import dedup
+
+    flood = "the same press release mirrored across hosts " * 4
+    texts = [flood] * 400 + [
+        f"unique document u{i} " + " ".join(f"tok{i}w{j}" for j in range(30))
+        for i in range(100)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    calls = {"star": 0}
+    orig = dedup.connected_components_star
+
+    def spy(edges, **kw):
+        calls["star"] += 1
+        return orig(edges, **kw)
+
+    monkeypatch.setattr(dedup, "connected_components_star", spy)
+
+    hard = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup.dedup_clusters_hardened(spark, str(tmp_path)).collect()
+    )
+    assert calls["star"] == 1, "hardened entry must run the star engine"
+    two = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup.dedup_clusters_twostage(spark, str(tmp_path)).collect()
+    )
+    assert hard == two
+    assert len(hard) == 500
+    assert all(c == 0 and s >= 400 for d, c, s in hard if d < 400)

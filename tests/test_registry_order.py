@@ -16,6 +16,7 @@ from compass_query_optimizer_spark.registry import _SAMPLE_PRIORITY, all_queries
 CHANGED_THIS_ROUND = {
     "compass_count_distinct_auto",    # new: plan-time carrier routing
     "compass_count_distinct_bitmap",  # new: packed-bitmap carrier
+    "dedup_clusters_hardened",        # new: composed hardened clustering
     "text_kl_drift",                  # regex-tokenizer parity fix
     "text_hash_classifier",           # regex-tokenizer parity fix
     "text_curriculum_stages",         # regex-tokenizer parity fix
