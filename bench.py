@@ -156,9 +156,25 @@ def main() -> None:
     }
     # box load before/after: round 5's driver walls were 2-6x inflated by
     # concurrent load on the box — record it so contention is
-    # self-diagnosing instead of reading as a code regression
+    # self-diagnosing instead of reading as a code regression. Two rounds
+    # of self-diagnosis showed the driver reliably benches under load
+    # (r7: loadavg 6→18), so now ACT on it: if the 1-min load is above
+    # LOAD_GATE when the bench starts, wait for the box to drain (bounded
+    # by SPARK_GRAFT_BENCH_LOAD_WAIT seconds, default 300) and, if it
+    # never does, stamp an explicit contended-run marker into the line.
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "8"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
     try:
+        deadline = time.monotonic() + load_wait
+        waited = 0.0
+        while os.getloadavg()[0] > load_gate and time.monotonic() < deadline:
+            time.sleep(15.0)
+            waited += 15.0
+        if waited:
+            out["load_waited_sec"] = round(waited, 0)
         out["loadavg_start"] = [round(v, 2) for v in os.getloadavg()]
+        if out["loadavg_start"][0] > load_gate:
+            out["contended"] = True  # ran hot anyway; walls are suspect
     except OSError:
         pass
 

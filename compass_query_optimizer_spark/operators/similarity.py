@@ -277,8 +277,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_K = 16  # coarse-quantizer cells
-IVF_NPROBE = 2  # cells probed per query
+# coarse-quantizer cells / cells probed per query. IVF_K is env-tunable
+# (read once at import, so the Spark builders and the generated DuckDB
+# oracles always agree) because the right K grows with corpus size —
+# K ≈ √N keeps cells at √N vectors; the scale sweep exercises a wider K
+# at its 1M-vector point to show nprobe-bounded growth holding.
+IVF_K = int(os.environ.get("SPARK_GRAFT_IVF_K", "16"))
+IVF_NPROBE = int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", "2"))
 
 
 @query(

@@ -50,12 +50,23 @@ SWEEP_OPS = [
 ]
 
 
-def gen_fixture(out_dir: str, n_docs: int, n_vecs: int, dim: int = 64) -> None:
+def gen_fixture(
+    out_dir: str, n_docs: int, n_vecs: int, dim: int = 64, flood_pct: int = 0
+) -> None:
+    """``flood_pct`` > 0 additionally plants floor(n·pct/100) byte-identical
+    copies of ONE document at the front — the mirror-flood pathology the
+    hardened clustering path must stay flat under (a one-stage LSH pair
+    join would see C(flood,2) pairs through a single bucket)."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(42)
     texts = []
+    n_flood = n_docs * flood_pct // 100
+    flood_text = "the same press release mirrored across ten thousand hosts " * 3
     for i in range(n_docs):
-        if i % 10 == 3 and i > 10:
+        if i < n_flood:
+            texts.append(flood_text)
+            continue
+        if i % 10 == 3 and i > 10 + n_flood:
             texts.append(texts[i - 7])  # ~10% planted exact duplicates
             continue
         n_words = 10 + int(rng.randint(0, 50))
@@ -92,6 +103,8 @@ def main() -> None:
     ap.add_argument("--sizes", default="5000,50000,250000")
     ap.add_argument("--out", default="/tmp/compass_scale_sweep")
     ap.add_argument("--ops", default=",".join(SWEEP_OPS))
+    ap.add_argument("--flood", type=int, default=0,
+                    help="plant this %% of docs as one identical flood")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     ops = args.ops.split(",")
@@ -106,10 +119,11 @@ def main() -> None:
 
     dirs = {}
     for n in sizes:
-        d = os.path.join(args.out, f"n{n}")
+        tag = f"n{n}" if not args.flood else f"n{n}_flood{args.flood}"
+        d = os.path.join(args.out, tag)
         if not os.path.exists(os.path.join(d, "embeddings.parquet")):
             t0 = time.time()
-            gen_fixture(d, n_docs=n, n_vecs=n)
+            gen_fixture(d, n_docs=n, n_vecs=n, flood_pct=args.flood)
             print(f"# generated {d} in {time.time() - t0:.1f}s")
         dirs[n] = d
 
