@@ -52,6 +52,7 @@ _MEASURE_OPS = (
     "count_distinct_hll",
     "count_distinct_bitmap",
     "count_distinct_auto",
+    "sum_distinct",
 )
 
 
@@ -66,7 +67,7 @@ def _measure_seed(measure_op: str, col: str):
     count_distinct_hll carries a CONSTANT-SIZE Datasketches HLL sketch
     instead (~KB per key at any cardinality) — the scale path for
     unbounded measures, approximate within HLL's published rsd."""
-    if measure_op == "count_distinct":
+    if measure_op in ("count_distinct", "sum_distinct"):
         return F.collect_set(col)
     if measure_op == "count_distinct_hll":
         return F.hll_sketch_agg(col)
@@ -75,7 +76,7 @@ def _measure_seed(measure_op: str, col: str):
 
 def _measure_reagg(measure_op: str, col: str):
     """Chain re-aggregation of the riding measure (the shrink step)."""
-    if measure_op == "count_distinct":
+    if measure_op in ("count_distinct", "sum_distinct"):
         return F.array_distinct(F.flatten(F.collect_list(col)))
     if measure_op == "count_distinct_hll":
         return F.hll_union_agg(col)
@@ -93,6 +94,14 @@ def _measure_final(measure_op: str, col: str):
         return F.size(
             F.array_distinct(F.flatten(F.collect_list(col)))
         ).cast("long")
+    if measure_op == "sum_distinct":
+        # SUM over the union of surviving per-key sets; NULL over the
+        # empty join (SQL's SUM semantics, unlike COUNT's 0)
+        u = F.array_distinct(F.flatten(F.collect_list(col)))
+        s = F.aggregate(
+            u, F.lit(0.0), lambda a, x: a + x.cast("double")
+        )
+        return F.when(F.size(u) > 0, s)
     if measure_op == "count_distinct_hll":
         return F.hll_sketch_estimate(F.hll_union_agg(col)).cast("long")
     return _MEASURE_FNS[measure_op](col)
@@ -808,6 +817,10 @@ class CompassOptimizer:
                 # the raw join computes exact COUNT(DISTINCT) directly —
                 # carrier routing only exists inside the eager chain
                 aggs.append(F.count_distinct(mcol).cast("long").alias("agg_val"))
+            elif measure_op == "sum_distinct":
+                aggs.append(
+                    F.sum_distinct(mcol).cast("double").alias("agg_val")
+                )
             elif measure_op == "count_distinct_hll":
                 aggs.append(
                     F.hll_sketch_estimate(F.hll_sketch_agg(mcol))

@@ -455,6 +455,89 @@ def compass_count_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame
     return df.select(F.col("agg_val").alias("nd_nation"), "cnt")
 
 
+GROUPED_AUTO_DISTINCT_ORACLE = """
+SELECT n.n_name,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS nd_cust,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query(
+    "compass_grouped_distinct_auto",
+    GROUPED_AUTO_DISTINCT_ORACLE,
+    doc="grouped COUNT(DISTINCT c_custkey) per nation through the eager "
+    "chain with plan-time carrier routing: c_custkey is integral and "
+    "dense (range ≈ corpus customers), so at gate scale the auto route "
+    "lands on the packed bitmap — every (group, key) row carries "
+    "⌈range/64⌉ fixed words, bit_or-merged through the chain, "
+    "popcounted per group at the end. EXACT (so the oracle is the plain "
+    "grouped COUNT DISTINCT) while per-key state stays constant-size — "
+    "the grouped form of the reference's Bitmap impl; at ranges past "
+    "the cap the same entry degrades to set/HLL automatically",
+    tags=("compass", "join", "count_distinct", "auto", "grouped"),
+)
+def compass_grouped_distinct_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        GROUPED_COUNT_SQL,
+        sf_dir,
+        group_by=[("n", "n_name")],
+        measure=("c", "c_custkey"),
+        measure_op="count_distinct_auto",
+    )
+    return df.select(
+        "n_name", F.col("agg_val").cast("long").alias("nd_cust"), "cnt"
+    ).orderBy("n_name")
+
+
+SUM_DISTINCT_ORACLE = """
+SELECT ROUND(CAST(SUM(DISTINCT c.c_acctbal) AS DOUBLE), 2) AS sum_bal,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+"""
+
+
+@query(
+    "compass_sum_distinct",
+    SUM_DISTINCT_ORACLE,
+    doc="SUM(DISTINCT) through the eager chain — the duplicate-SENSITIVE "
+    "aggregate over duplicate-INSENSITIVE state: per-key distinct-value "
+    "sets ride the multiplicity chain untouched (a join multiplying a "
+    "row's count must NOT multiply its distinct sum — exactly why "
+    "class-1 SUM and class-3 sets need different carriers), unions at "
+    "re-aggregations, and the final aggregate sums the union once. "
+    "Completes the Yan & Larson measure-class matrix next to "
+    "COUNT(DISTINCT)",
+    tags=("compass", "join", "sum_distinct"),
+)
+def compass_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        GROUPED_COUNT_SQL,
+        sf_dir,
+        measure=("c", "c_acctbal"),
+        measure_op="sum_distinct",
+    )
+    return df.select(
+        F.round(F.col("agg_val").cast("double"), 2).alias("sum_bal"), "cnt"
+    )
+
+
 MINMAX_ORACLE = """
 SELECT ROUND(CAST(MIN(l.l_extendedprice) AS DOUBLE), 2) AS min_price,
        ROUND(CAST(MAX(l.l_extendedprice) AS DOUBLE), 2) AS max_price,

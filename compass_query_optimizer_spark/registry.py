@@ -60,6 +60,8 @@ _SAMPLE_PRIORITY = [
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed
+    "compass_grouped_distinct_auto",  # grouped bitmap-routed distinct
+    "compass_sum_distinct",           # set-valued SUM(DISTINCT) measure
     # -- changed in round 8 (tokenizer/overflow fixes): fresh evidence --
     "text_kl_drift",
     "text_hash_classifier",

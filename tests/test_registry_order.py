@@ -17,6 +17,8 @@ CHANGED_THIS_ROUND = {
     "compass_count_distinct_auto",    # new: plan-time carrier routing
     "compass_count_distinct_bitmap",  # new: packed-bitmap carrier
     "dedup_clusters_hardened",        # new: composed hardened clustering
+    "compass_grouped_distinct_auto",  # new: grouped auto-routed distinct
+    "compass_sum_distinct",           # new: SUM(DISTINCT) measure class
     "text_kl_drift",                  # regex-tokenizer parity fix
     "text_hash_classifier",           # regex-tokenizer parity fix
     "text_curriculum_stages",         # regex-tokenizer parity fix
