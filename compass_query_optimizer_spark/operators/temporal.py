@@ -1064,3 +1064,93 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(grain("month", "mau"))
         .orderBy("grain")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution: credit each purchase to the touch (click/view)
+# that preceded it — last-touch (the touch immediately before) and
+# first-touch (the user's earliest touch before it). The canonical
+# marketing-analytics operator; at scale the danger is a per-conversion
+# lookup join, so both models compute in ONE pass with carry-forward
+# windows over (user, ts) — the as-of-join trick applied within a table.
+# ---------------------------------------------------------------------------
+
+ATTRIB_TOUCHES = ("click", "view")
+
+
+@query(
+    "events_attribution",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type IN {ATTRIB_TOUCHES} THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch,
+             FIRST_VALUE(CASE WHEN event_type IN {ATTRIB_TOUCHES} THEN event_type END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch
+      FROM events
+    ),
+    conv AS (SELECT * FROM seq WHERE event_type = 'purchase')
+    SELECT model, touch_type,
+           CAST(COUNT(*) AS BIGINT) AS conversions,
+           ROUND(SUM(value), 2) AS revenue
+    FROM (
+      SELECT 'last' AS model, COALESCE(last_touch, 'none') AS touch_type, value
+      FROM conv
+      UNION ALL
+      SELECT 'first', COALESCE(first_touch, 'none'), value FROM conv
+    )
+    GROUP BY model, touch_type
+    ORDER BY model, touch_type
+    """,
+    doc="first/last-touch conversion attribution: one (user)-keyed window "
+    "pass carries each user's most recent and earliest preceding touch "
+    "(click/view) forward to every purchase — no per-conversion lookup "
+    "join, no self-join; purchases with no preceding touch credit "
+    "'none'. The single shuffle is the window's (user_id) partition; "
+    "output is models × touch types. Both engines use IGNORE NULLS "
+    "carry-forward windows with identical (ts, event_id) ordering",
+    tags=("events", "analytics", "attribution"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin(*ATTRIB_TOUCHES), F.col("event_type")
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    )
+    conv = seq.filter(F.col("event_type") == "purchase")
+    last = conv.select(
+        F.lit("last").alias("model"),
+        F.coalesce("last_touch", F.lit("none")).alias("touch_type"),
+        "value",
+    )
+    first = conv.select(
+        F.lit("first").alias("model"),
+        F.coalesce("first_touch", F.lit("none")).alias("touch_type"),
+        "value",
+    )
+    return (
+        last.unionByName(first)
+        .groupBy("model", "touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("model", "touch_type")
+    )

@@ -62,6 +62,8 @@ _SAMPLE_PRIORITY = [
     "dedup_clusters_hardened",       # flood guard + star CC composed
     "compass_grouped_distinct_auto",  # grouped bitmap-routed distinct
     "compass_sum_distinct",           # set-valued SUM(DISTINCT) measure
+    "events_attribution",             # first/last-touch conversion credit
+    "q38_qualify",                    # QUALIFY (top-1-per-group) surface
     # -- changed in round 8 (tokenizer/overflow fixes): fresh evidence --
     "text_kl_drift",
     "text_hash_classifier",

@@ -1372,3 +1372,50 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus ORDER BY o_orderstatus
         """
     )
+
+
+@query(
+    "q38_qualify",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           ROUND(CAST(o.o_totalprice AS DOUBLE), 2) AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o.o_custkey
+      ORDER BY o.o_orderdate DESC, o.o_orderkey
+    ) = 1
+    ORDER BY c.c_name
+    """,
+    doc="QUALIFY-clause semantics (filter on a window function — the "
+    "top-1-per-group idiom modern dialects ship as first-class syntax; "
+    "DuckDB's native QUALIFY is the oracle): latest order per BUILDING "
+    "customer, ROW_NUMBER ordered by (o_orderdate DESC, o_orderkey) so "
+    "same-day ties break deterministically. Spark has no QUALIFY "
+    "keyword; the engine lowers it to the equivalent window + filter, "
+    "which Catalyst executes as one (o_custkey)-partitioned window after "
+    "the join — no self-join, no argmax subquery",
+    tags=("window", "dialect", "beyond-parity"),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
+        )
+        .orderBy("c_name")
+    )

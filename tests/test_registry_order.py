@@ -19,6 +19,8 @@ CHANGED_THIS_ROUND = {
     "dedup_clusters_hardened",        # new: composed hardened clustering
     "compass_grouped_distinct_auto",  # new: grouped auto-routed distinct
     "compass_sum_distinct",           # new: SUM(DISTINCT) measure class
+    "events_attribution",             # new: attribution models
+    "q38_qualify",                    # new: QUALIFY surface
     "text_kl_drift",                  # regex-tokenizer parity fix
     "text_hash_classifier",           # regex-tokenizer parity fix
     "text_curriculum_stages",         # regex-tokenizer parity fix
