@@ -665,3 +665,135 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Achlioptas JCSS 2003: a ±1 sign
+# matrix satisfies the JL lemma): project 64-dim vectors to JL_K dims and
+# AUDIT the lemma — for vector pairs, E‖Rx−Ry‖² = k·‖x−y‖², so the ratio
+# ‖Δp‖²/(k·‖Δx‖²) concentrates around 1 with std ≈ √(2/k). The cheap
+# dimensionality-reduction step before sketching/clustering when PCA's
+# data-dependent pass is too expensive; the audit row is the operator's
+# own proof it preserved geometry. The ±1 matrix is a compile-time
+# literal (md5-derived, the LSH plane_signs scheme) so both engines
+# project identically; everything is exact int64 until the final ratios.
+# ---------------------------------------------------------------------------
+
+JL_K = 16  # projected dimensions
+JL_PAIRS = 200  # consecutive-id vector pairs audited
+_JL_SIGNS = None  # built lazily to avoid import-order cost
+
+
+def _jl_signs():
+    global _JL_SIGNS
+    if _JL_SIGNS is None:
+        from compass_query_optimizer_spark.functions.hashing import plane_signs
+
+        _JL_SIGNS = plane_signs(JL_K, 64, salt="jl")
+    return _JL_SIGNS
+
+
+def _jl_oracle() -> str:
+    rows = []
+    for k, signs in enumerate(_jl_signs()):
+        arr = "[" + ", ".join(str(s) for s in signs) + "]"
+        rows.append(
+            f"list_sum(list_transform(range(1, 65), "
+            f"j -> qv[j] * ({arr}::BIGINT[])[j]))"
+        )
+    pv = "list_value(" + ", ".join(rows) + ")"
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE vec_id < {2 * JL_PAIRS}
+    ),
+    proj AS (SELECT vec_id, qv, {pv} AS pv FROM q),
+    pairs AS (
+      SELECT a.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS dx2,
+             list_sum(list_transform(range(1, {JL_K} + 1),
+               i -> (a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i]))) AS dp2
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0
+    ),
+    r AS (
+      SELECT dp2 * 1.0 / ({JL_K} * dx2) AS ratio FROM pairs WHERE dx2 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ratio), 4) AS avg_ratio,
+           ROUND(MIN(ratio), 4) AS min_ratio,
+           ROUND(MAX(ratio), 4) AS max_ratio,
+           CAST(SUM(CASE WHEN ratio BETWEEN 0.3 AND 1.7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_2sigma
+    FROM r
+    """
+
+
+@query(
+    "emb_random_projection",
+    None,  # generated below (inlines the sign matrix)
+    doc=f"Johnson-Lindenstrauss ±1 random projection 64→{JL_K} dims "
+    "(Achlioptas JCSS 2003) with the lemma audited in-engine: for "
+    f"{JL_PAIRS} consecutive-id vector pairs the squared-distance ratio "
+    f"‖Δp‖²/({JL_K}·‖Δx‖²) must concentrate around 1 (std √(2/k) ≈ "
+    "0.35). One scan, 16 zip_with aggregates per row (JVM codegen, no "
+    "explode — the projection never becomes 64×16 rows), one keyed "
+    "self-join over the audited pair ids, exact int64 until the final "
+    "ratios. The matrix is a hash-derived compile-time literal, so the "
+    "operator is reproducible across engines and re-runs",
+    tags=("embeddings", "projection", "jl"),
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(
+        F.col("vec_id") < 2 * JL_PAIRS
+    )
+    q = spread(emb).select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    pks = [
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.array(*[F.lit(s).cast("long") for s in signs]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{k}")
+        for k, signs in enumerate(_jl_signs())
+    ]
+    proj = q.select("vec_id", "qv", F.array(*pks).alias("pv"))
+    a = proj.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("ida"), F.col("qv").alias("qa"), F.col("pv").alias("pa")
+    )
+    b = proj.select(
+        F.col("vec_id").alias("idb"), F.col("qv").alias("qb"), F.col("pv").alias("pb")
+    )
+    sq = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, F.col("idb") == F.col("ida") + 1).select(
+        sq(F.col("qa"), F.col("qb")).alias("dx2"),
+        sq(F.col("pa"), F.col("pb")).alias("dp2"),
+    )
+    r = pairs.filter(F.col("dx2") > 0).select(
+        (F.col("dp2") * 1.0 / (JL_K * F.col("dx2"))).alias("ratio")
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+        F.round(F.min("ratio"), 4).alias("min_ratio"),
+        F.round(F.max("ratio"), 4).alias("max_ratio"),
+        F.sum(
+            F.when(F.col("ratio").between(0.3, 1.7), 1).otherwise(0)
+        ).cast("long").alias("n_within_2sigma"),
+    )
+
+
+from compass_query_optimizer_spark import registry as _registry  # noqa: E402
+
+_registry._REGISTRY["emb_random_projection"].oracle = _jl_oracle()

@@ -64,6 +64,7 @@ _SAMPLE_PRIORITY = [
     "compass_sum_distinct",           # set-valued SUM(DISTINCT) measure
     "events_attribution",             # first/last-touch conversion credit
     "q38_qualify",                    # QUALIFY (top-1-per-group) surface
+    "emb_random_projection",          # JL ±1 projection, lemma audited
     # -- changed in round 8 (tokenizer/overflow fixes): fresh evidence --
     "text_kl_drift",
     "text_hash_classifier",

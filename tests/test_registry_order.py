@@ -21,6 +21,7 @@ CHANGED_THIS_ROUND = {
     "compass_sum_distinct",           # new: SUM(DISTINCT) measure class
     "events_attribution",             # new: attribution models
     "q38_qualify",                    # new: QUALIFY surface
+    "emb_random_projection",          # new: JL projection audit
     "text_kl_drift",                  # regex-tokenizer parity fix
     "text_hash_classifier",           # regex-tokenizer parity fix
     "text_curriculum_stages",         # regex-tokenizer parity fix
