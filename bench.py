@@ -89,6 +89,10 @@ HEADLINE = [
     "text_hash_classifier",       # hashed linear model inference
     "sim_ann_ivfpq",              # full IVFADC composition
     "pipeline_pretrain",          # composed quality→dedup→decontam plan
+    "compass_count_distinct_auto",  # plan-time distinct-carrier routing
+    "dedup_clusters_hardened",    # flood guard + star CC composed default
+    "events_attribution",         # first/last-touch window attribution
+    "emb_random_projection",      # JL ±1 projection + lemma audit
 ]
 
 MAX_WORKERS = 6  # A/B worker threads; per_query walls are N-way-concurrent
