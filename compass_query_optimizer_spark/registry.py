@@ -65,6 +65,8 @@ _SAMPLE_PRIORITY = [
     "events_attribution",             # first/last-touch conversion credit
     "q38_qualify",                    # QUALIFY (top-1-per-group) surface
     "emb_random_projection",          # JL ±1 projection, lemma audited
+    "q39_range_frames",               # value-based RANGE window frames
+    "q40_percentile_within_group",    # ordered-set exact percentiles
     # -- changed in round 8 (tokenizer/overflow fixes): fresh evidence --
     "text_kl_drift",
     "text_hash_classifier",

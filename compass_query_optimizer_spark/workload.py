@@ -1419,3 +1419,96 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_name")
     )
+
+
+@query(
+    "q39_range_frames",
+    """
+    WITH daily AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             SUM(o_totalprice) AS day_rev
+      FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    )
+    SELECT o_custkey, d,
+           ROUND(SUM(day_rev) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS rev_7d
+    FROM daily
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, d
+    """,
+    doc="RANGE-frame window over event TIME (trailing 7-day revenue per "
+    "customer): the frame is value-based — it spans a calendar window, "
+    "not a row count, so gaps in the order history are handled "
+    "correctly where a ROWS frame silently is not. Spark's rangeBetween "
+    "is numeric-only, so the engine orders by epoch days with a "
+    "[-6, 0] range — semantically identical to DuckDB's native "
+    "RANGE BETWEEN INTERVAL frame, which is the oracle",
+    tags=("window", "frames", "beyond-parity"),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .filter(F.col("o_custkey") < 100)
+        .groupBy(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .agg(F.sum("o_totalprice").alias("day_rev"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "o_custkey",
+            "d",
+            F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+        )
+        .orderBy("o_custkey", "d")
+    )
+
+
+@query(
+    "q40_percentile_within_group",
+    """
+    SELECT o_orderstatus,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+               AS median_price,
+           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2)
+               AS p90_price,
+           ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+               AS median_disc
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="ordered-set aggregates (PERCENTILE_CONT / PERCENTILE_DISC WITHIN "
+    "GROUP): exact interpolated and discrete quantiles per group — the "
+    "ANSI ordered-set syntax both engines now ship natively (Spark 3.4+ "
+    "percentile_cont; DuckDB quantile family). Exact percentiles sort "
+    "within each group, so at scale prefer approx_percentile "
+    "(text_percentile_approx) unless the gate requires exactness",
+    tags=("agg", "percentile", "beyond-parity"),
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+                   AS median_price,
+               ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2)
+                   AS p90_price,
+               ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+                   AS median_disc
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )

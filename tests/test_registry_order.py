@@ -22,6 +22,8 @@ CHANGED_THIS_ROUND = {
     "events_attribution",             # new: attribution models
     "q38_qualify",                    # new: QUALIFY surface
     "emb_random_projection",          # new: JL projection audit
+    "q39_range_frames",               # new: RANGE-interval frames
+    "q40_percentile_within_group",    # new: ordered-set percentiles
     "text_kl_drift",                  # regex-tokenizer parity fix
     "text_hash_classifier",           # regex-tokenizer parity fix
     "text_curriculum_stages",         # regex-tokenizer parity fix
