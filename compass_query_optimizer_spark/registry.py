@@ -67,6 +67,7 @@ _SAMPLE_PRIORITY = [
     "emb_random_projection",          # JL ±1 projection, lemma audited
     "q39_range_frames",               # value-based RANGE window frames
     "q40_percentile_within_group",    # ordered-set exact percentiles
+    "stream_late_data_drop",          # watermark late-drop semantics proof
     # -- changed in round 8 (tokenizer/overflow fixes): fresh evidence --
     "text_kl_drift",
     "text_hash_classifier",

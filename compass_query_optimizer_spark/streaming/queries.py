@@ -500,3 +500,154 @@ def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(sink).orderBy("ws")
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data semantics, PROVEN: the one genuinely streaming-only
+# behavior no batch query exhibits is the watermark DROPPING late rows.
+# This entry stages the events table as two arrival batches against one
+# checkpoint — drain 1 sees the first two days minus every third event;
+# drain 2 delivers those held-back early rows LATE (plus all later rows).
+# Spark's append-mode windowed aggregation must (a) finalize each window
+# exactly once, (b) drop the late rows whose window closed before they
+# arrived, and (c) fold in late rows whose window was still open. The
+# DuckDB oracle reproduces the exact drop rule from the two watermark
+# scalars, so the gate pins the semantics, not just row counts.
+# ---------------------------------------------------------------------------
+
+LATE_HOLDBACK_MOD = 3  # every third early event arrives in batch 2 (late)
+LATE_SPLIT_DAYS = 2  # batch 1 = first N days of the stream
+
+
+@query(
+    "stream_late_data_drop",
+    f"""
+    WITH b AS (
+      SELECT *,
+             ts < (SELECT MIN(CAST(ts AS DATE)) FROM events)
+                   + INTERVAL {LATE_SPLIT_DAYS} DAYS AS early
+      FROM events
+    ),
+    wm AS (
+      SELECT (SELECT MAX(ts) FROM b
+              WHERE early AND event_id % {LATE_HOLDBACK_MOD} != 0)
+               - INTERVAL 1 HOUR AS wm1,
+             (SELECT MAX(ts) FROM b) - INTERVAL 1 HOUR AS wm2
+    ),
+    kept AS (
+      -- batch-1 rows always count; held-back rows survive only if their
+      -- hour window was still open when they (late) arrived
+      SELECT date_trunc('hour', ts) AS ws, event_type
+      FROM b, wm
+      WHERE (early AND event_id % {LATE_HOLDBACK_MOD} != 0)
+         OR (NOT early)
+         OR (date_trunc('hour', ts) + INTERVAL 1 HOUR > wm.wm1)
+    )
+    SELECT CAST(ws AS TIMESTAMP) AS ws, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM kept, wm
+    -- append mode emits only windows the final watermark has closed
+    WHERE ws + INTERVAL 1 HOUR <= wm.wm2
+    GROUP BY ws, event_type
+    ORDER BY ws, event_type
+    """,
+    doc="watermark late-data proof: the events table arrives as two "
+    "batches against ONE checkpoint (two availableNow drains) — every "
+    f"third event of the first {LATE_SPLIT_DAYS} days is held back and "
+    "delivered late in batch 2. Append-mode hourly counts must drop "
+    "late rows whose window the watermark already closed, keep late "
+    "rows for still-open windows, fold batch-2's later days in "
+    "normally, and emit every window exactly once. The oracle derives "
+    "the same drop rule from the two watermark scalars (max event time "
+    "per drain − 1h), so both engines agree on WHICH rows died, not "
+    "just how many survived",
+    tags=("streaming", "watermark", "late-data"),
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from compass_query_optimizer_spark.catalog import load_tables
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # explicit TimestampType (LTZ): the session pins
+    # spark.sql.timestampType=TIMESTAMP_NTZ, under which the string cast
+    # 'timestamp' parses to NTZ — and EventTimeWatermark rejects NTZ.
+    # The session timezone is UTC, so the instant is unchanged.
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", F.col("ts").cast(T.TimestampType()).alias("ts"), "event_type"
+    )
+    split = ev.agg(
+        F.date_add(F.min(F.col("ts").cast("date")), LATE_SPLIT_DAYS).alias("d")
+    ).collect()[0]["d"]
+    early = F.col("ts") < F.lit(split).cast("timestamp")
+    held = early & (F.col("event_id") % LATE_HOLDBACK_MOD == 0)
+
+    root = tempfile.mkdtemp(prefix="late_drop_")
+    src_dir = os.path.join(root, "arrivals")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def drain() -> None:
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        agg = (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("w.start").alias("ws_raw"), "event_type", "cnt"
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def stage(df, name: str) -> None:
+        # the file stream source lists FLAT files under the path — a
+        # Spark directory-write would be invisible to it, so write to a
+        # scratch dir and move the single part file in as a plain file
+        scratch = os.path.join(root, f"scratch_{name}")
+        df.coalesce(1).write.parquet(scratch, mode="overwrite")
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        shutil.move(
+            os.path.join(scratch, part), os.path.join(src_dir, name)
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    try:
+        # batch 1: on-time prefix (first days minus the held-back third)
+        stage(ev.filter(early & ~held), "batch1.parquet")
+        drain()
+        # batch 2: the held-back early rows arrive LATE + all later days
+        stage(ev.filter(held | ~early), "batch2.parquet")
+        drain()
+        return (
+            spark.read.parquet(out_dir)
+            .select(
+                F.col("ws_raw").cast("timestamp_ntz").alias("ws"),
+                "event_type",
+                "cnt",
+            )
+            .orderBy("ws", "event_type")
+            .localCheckpoint()  # materialize before the staging dir dies
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
