@@ -197,24 +197,34 @@ def test_eager_count_equals_raw_and_duckdb(spark, case):
     msql_tpl = "SELECT {agg}(a%d.k2) AS v FROM %s WHERE %s" % (
         n - 1, froms, " AND ".join(conds)
     )
-    for op, agg in (
-        ("sum", "SUM"),
-        ("min", "MIN"),
-        ("max", "MAX"),
-        ("count_distinct", None),
+    def oracle_q(op: str) -> str:
+        m = f"a{n - 1}.k2"
+        base = f"FROM {froms} WHERE {' AND '.join(conds)}"
+        if op in ("count_distinct", "count_distinct_auto"):
+            return f"SELECT COUNT(DISTINCT {m}) AS v {base}"
+        if op == "sum_distinct":
+            return f"SELECT SUM(DISTINCT {m}) AS v {base}"
+        return msql_tpl.format(agg=op.upper())
+
+    # count_distinct_auto routes to the packed bitmap on these graphs
+    # (small-int measures), so the bitmap chain is property-tested too;
+    # sum_distinct rides the same set carrier with a summing final
+    for op in (
+        "sum",
+        "min",
+        "max",
+        "count_distinct",
+        "count_distinct_auto",
+        "sum_distinct",
     ):
         e = opt.execute_count(
             sql, tables=sdfs, counts=counts, eager=True,
             measure=(f"a{n - 1}", "k2"), measure_op=op,
         ).collect()[0]["agg_val"]
-        q = (
-            "SELECT COUNT(DISTINCT a%d.k2) AS v FROM %s WHERE %s"
-            % (n - 1, froms, " AND ".join(conds))
-            if op == "count_distinct"
-            else msql_tpl.format(agg=agg)
-        )
-        w = con.execute(q).fetchone()[0]
+        w = con.execute(oracle_q(op)).fetchone()[0]
         if w is None:
+            # count_distinct(_auto) yields 0 on the empty join in both
+            # engines; sum/min/max/sum_distinct yield NULL
             assert e is None, (op, e)
         else:
             assert e is not None and int(e) == int(w), (op, sql, e, w)
