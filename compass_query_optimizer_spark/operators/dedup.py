@@ -1023,19 +1023,6 @@ def _clusters_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dedup_clusters_twostage",
-    None,  # generated below (recursive-CTE oracle)
-    doc="skew-hardened duplicate clustering: exact-collapse (md5 groupBy → "
-    "min-doc representative) BEFORE MinHash+LSH, so k byte-identical docs "
-    "contribute ONE row to the bucket self-join instead of C(k,2) pairs; "
-    "components run over representatives and membership expands back "
-    "through the fingerprint map (id-keyed joins, bodies never shuffle). "
-    "Unlike dedup_clusters this covers singletons too: every doc gets a "
-    "cluster row. Adversarial fixture in tests/test_dedup_baseline.py "
-    "measures the pair-count collapse",
-    tags=("dedup", "iterative", "skew"),
-)
 def _collapsed_clusters(docs: DataFrame, components) -> DataFrame:
     """Exact-collapse → LSH over representatives → ``components`` over the
     rep pair graph → membership expand. Shared by the two-stage and
@@ -1077,6 +1064,19 @@ def _collapsed_clusters(docs: DataFrame, components) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters_twostage",
+    None,  # generated below (recursive-CTE oracle)
+    doc="skew-hardened duplicate clustering: exact-collapse (md5 groupBy → "
+    "min-doc representative) BEFORE MinHash+LSH, so k byte-identical docs "
+    "contribute ONE row to the bucket self-join instead of C(k,2) pairs; "
+    "components run over representatives and membership expands back "
+    "through the fingerprint map (id-keyed joins, bodies never shuffle). "
+    "Unlike dedup_clusters this covers singletons too: every doc gets a "
+    "cluster row. Adversarial fixture in tests/test_dedup_baseline.py "
+    "measures the pair-count collapse",
+    tags=("dedup", "iterative", "skew"),
+)
 def dedup_clusters_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return _collapsed_clusters(docs, connected_components)

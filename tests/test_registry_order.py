@@ -88,3 +88,16 @@ def test_order_is_a_permutation_of_the_registry():
     names = list(all_queries())
     assert len(names) == len(set(names))
     assert set(names) == set(all_queries())
+
+
+def test_every_builder_has_the_query_signature():
+    """A misplaced @query decorator can silently register a helper whose
+    signature isn't (spark, sf_dir) — the round-8 flood sweep caught one.
+    Pin it structurally: every registered builder must take exactly two
+    positional parameters named like the contract."""
+    import inspect
+
+    for name, spec in all_queries().items():
+        params = list(inspect.signature(spec.build).parameters)
+        assert len(params) == 2, (name, params)
+        assert params[0] == "spark" and params[1] in ("sf_dir",), (name, params)
