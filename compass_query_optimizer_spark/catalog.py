@@ -179,10 +179,28 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     narrow base rows, far cheaper than the serialized compute it unlocks.
     At production scale the input already has thousands of splits and this
     is a no-op (we never *shrink* a wide input).
+
+    The width is DATA-SIZED, not a fixed conf: the consumers of this
+    exchange run per-row-expensive transforms whose MAP-SIDE partial-
+    aggregation state (minhash/PQ-encode/argmin hash maps) lives per task,
+    so a fixed width that is right at bench scale starves at 20× the rows
+    — the round-8 1M-vector sweep measured sim_ann_pq at 268.5 s with 32
+    fixed partitions (GC/spill) vs 24.7 s at 128, a 10.9× cliff from
+    sizing alone. Target = plan-time scan-size estimate (parquet footer
+    stats, no job) divided into ~4 MiB slices, clamped to
+    [shuffle width, 1024]; AQE cannot help here because the cost sits on
+    the map side of the exchange, where the partition count is this one.
     """
     sess = df.sparkSession
     if target is None:
-        target = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+        width = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            target = min(1024, max(width, est // (4 << 20)))
+        except Exception:  # stats unavailable (non-classic session, etc.)
+            target = width
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

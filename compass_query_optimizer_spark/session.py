@@ -39,6 +39,17 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Shuffle sizing: start every AQE-managed exchange WIDE (512) and let
+    # coalescePartitions merge small partitions back to the advisory size.
+    # A fixed count cannot serve both regimes: the round-8 1M-vector sweep
+    # measured sim_ann_pq at 268.5 s with 32 fixed partitions (per-
+    # partition spill + GC) vs 24.7 s at 128 — a 10.9× cliff from shuffle
+    # sizing alone, invisible at bench scale. With a high initial count
+    # AQE picks the effective parallelism from DATA VOLUME, which is the
+    # posture that survives a 100× scale-up; the plain shuffle.partitions
+    # stays at 32 as the floor for non-AQE paths (streaming state stores,
+    # which pin their own count at first run).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     "spark.sql.shuffle.partitions": "32",
 }
 
