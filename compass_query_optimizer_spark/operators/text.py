@@ -2178,3 +2178,155 @@ def text_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# The full Gopher quality-rule battery (Rae et al., "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher",
+# arXiv:2112.11446, Table A1) — the standard pretraining document filter,
+# applied as ONE scan of pure codegen expressions. text_quality is the
+# cheap 3-signal gate; this is the full published rule set, each rule
+# reported separately so a corpus owner sees WHICH rule bites before
+# tuning thresholds.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "text_gopher_rules",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\\s+') AS words,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', '..')))
+                  AS BIGINT) AS n_ellipsis
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(len(words) AS BIGINT) AS n_words,
+             list_sum(list_transform(words, w -> length(w))) * 1.0
+               / len(words) AS mean_wlen,
+             (n_hash + n_ellipsis) * 1.0 / len(words) AS sym_ratio,
+             len(list_filter(lines, l -> trim(l) LIKE '-%'
+                                      OR trim(l) LIKE '*%'
+                                      OR trim(l) LIKE '•%')) * 1.0
+               / len(lines) AS bullet_ratio,
+             len(list_filter(lines, l -> trim(l) LIKE '%...')) * 1.0
+               / len(lines) AS ellipsis_line_ratio,
+             len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+               * 1.0 / len(words) AS alpha_ratio,
+             len(list_filter(words,
+                 w -> list_contains({list(GOPHER_STOPWORDS)}, lower(w))))
+               AS n_stop
+      FROM d
+    ),
+    r AS (
+      SELECT lang,
+             n_words BETWEEN 50 AND 100000 AS r_wordcount,
+             mean_wlen BETWEEN 3 AND 10 AS r_meanlen,
+             sym_ratio < 0.1 AS r_symbols,
+             bullet_ratio <= 0.9 AS r_bullets,
+             ellipsis_line_ratio <= 0.3 AS r_ellipsis,
+             alpha_ratio >= 0.8 AS r_alpha,
+             n_stop >= 2 AS r_stopwords
+      FROM m
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT r_wordcount THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_wordcount,
+           CAST(SUM(CASE WHEN NOT r_meanlen THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_meanlen,
+           CAST(SUM(CASE WHEN NOT r_symbols THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_symbols,
+           CAST(SUM(CASE WHEN NOT r_bullets THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_bullets,
+           CAST(SUM(CASE WHEN NOT r_ellipsis THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_ellipsis,
+           CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_alpha,
+           CAST(SUM(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_stopwords,
+           CAST(SUM(CASE WHEN r_wordcount AND r_meanlen AND r_symbols
+                          AND r_bullets AND r_ellipsis AND r_alpha
+                          AND r_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+    doc="the full Gopher document-filter rule battery (Rae et al. "
+    "arXiv:2112.11446 Table A1): word-count bounds, mean word length, "
+    "symbol-to-word ratio (#/ellipsis), bullet-line and ellipsis-line "
+    "ratios, alphabetic-word share, minimum stop-word hits — per-rule "
+    "failure counts per language plus the all-rules pass count, so the "
+    "corpus owner sees WHICH rule bites before tuning. ONE scan of pure "
+    "codegen expressions (higher-order array fns over the split arrays); "
+    "the only shuffle carries langs × 10 counters",
+    tags=("text", "quality", "curation", "gopher"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir)["documents"]).filter(
+        F.length(F.trim("text")) > 0
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(words)
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = F.length("text") - F.length(
+        F.regexp_replace("text", r"\.\.\.", "..")
+    )
+    mean_wlen = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        * 1.0
+        / n_words
+    )
+    def line_ratio(pred):
+        return F.size(F.filter(lines, pred)) * 1.0 / F.size(lines)
+    bullet = line_ratio(
+        lambda l: F.trim(l).startswith("-")
+        | F.trim(l).startswith("*")
+        | F.trim(l).startswith("•")
+    )
+    ell_lines = line_ratio(lambda l: F.trim(l).endswith("..."))
+    alpha = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+        * 1.0
+        / n_words
+    )
+    n_stop = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*GOPHER_STOPWORDS))
+    )
+    m = docs.select(
+        "lang",
+        (n_words.cast("long").between(50, 100000)).alias("r_wordcount"),
+        mean_wlen.between(3, 10).alias("r_meanlen"),
+        ((n_hash + n_ellipsis) * 1.0 / n_words < 0.1).alias("r_symbols"),
+        (bullet <= 0.9).alias("r_bullets"),
+        (ell_lines <= 0.3).alias("r_ellipsis"),
+        (alpha >= 0.8).alias("r_alpha"),
+        (n_stop >= 2).alias("r_stopwords"),
+    )
+    fail = lambda c: F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    all_pass = (
+        F.col("r_wordcount") & F.col("r_meanlen") & F.col("r_symbols")
+        & F.col("r_bullets") & F.col("r_ellipsis") & F.col("r_alpha")
+        & F.col("r_stopwords")
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fail("r_wordcount").alias("fail_wordcount"),
+            fail("r_meanlen").alias("fail_meanlen"),
+            fail("r_symbols").alias("fail_symbols"),
+            fail("r_bullets").alias("fail_bullets"),
+            fail("r_ellipsis").alias("fail_ellipsis"),
+            fail("r_alpha").alias("fail_alpha"),
+            fail("r_stopwords").alias("fail_stopwords"),
+            F.sum(F.when(all_pass, 1).otherwise(0)).cast("long").alias("n_pass"),
+        )
+        .orderBy("lang")
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.catalog import load_tables, spread
 from compass_query_optimizer_spark.registry import query
 
 
@@ -576,3 +576,74 @@ def docs_version_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("n_changes", "deleted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset fingerprint: a partitioning-invariant, mergeable content hash of
+# the corpus, per source and overall — the governance primitive behind
+# "did anything change since the snapshot we trained on?". A Merkle-root
+# answers that for ORDERED data; a distributed table has no order, so the
+# fingerprint is the SUM of per-row hashes (commutative ⇒ identical under
+# any shuffle/partitioning/re-shard) widened to decimal(38,0) so it stays
+# exact at any corpus size. Per-source rows merge into the corpus row by
+# addition — sources can be fingerprinted independently and combined.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_dataset_fingerprint",
+    None,  # generated below (portable-hash constants inlined)
+    doc="content-addressed dataset fingerprint per source + overall "
+    "(GROUPING SETS): SUM over rows of the portable 48-bit hash of "
+    "(doc_id ':' text), decimal(38,0)-exact and commutative, so the "
+    "fingerprint is identical under ANY partitioning or re-shard and "
+    "per-source fingerprints merge into the corpus one by addition. One "
+    "scan, one sources-sized aggregate; a changed/added/dropped doc "
+    "changes the fingerprint with md5 sensitivity. The reproducibility "
+    "check a training run records next to its data snapshot",
+    tags=("versioning", "governance"),
+)
+def docs_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compass_query_optimizer_spark.functions.hashing import (
+        spark_portable_hash,
+    )
+
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    h = spark_portable_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    ).cast("decimal(38,0)")
+    return (
+        docs.select(F.col("source"), h.alias("h"))
+        .rollup("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("h").cast("decimal(38,0)").alias("fingerprint"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "fingerprint",
+        )
+        .orderBy("source")
+    )
+
+
+def _fingerprint_oracle() -> str:
+    from compass_query_optimizer_spark.functions.hashing import (
+        duck_portable_hash,
+    )
+
+    h = duck_portable_hash("concat(CAST(doc_id AS VARCHAR), ':', text)")
+    return f"""
+    SELECT COALESCE(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST({h} AS HUGEINT)) AS DECIMAL(38,0)) AS fingerprint
+    FROM documents
+    GROUP BY ROLLUP (source)
+    ORDER BY source
+    """
+
+
+from compass_query_optimizer_spark import registry as _vregistry  # noqa: E402
+
+_vregistry._REGISTRY["docs_dataset_fingerprint"].oracle = _fingerprint_oracle()

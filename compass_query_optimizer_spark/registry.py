@@ -68,6 +68,8 @@ _SAMPLE_PRIORITY = [
     "q39_range_frames",               # value-based RANGE window frames
     "q40_percentile_within_group",    # ordered-set exact percentiles
     "stream_late_data_drop",          # watermark late-drop semantics proof
+    "text_gopher_rules",              # full Gopher filter rule battery
+    "docs_dataset_fingerprint",       # partitioning-invariant corpus hash
     # -- changed in round 8 (tokenizer/overflow fixes): fresh evidence --
     "text_kl_drift",
     "text_hash_classifier",

@@ -25,6 +25,8 @@ CHANGED_THIS_ROUND = {
     "q39_range_frames",               # new: RANGE-interval frames
     "q40_percentile_within_group",    # new: ordered-set percentiles
     "stream_late_data_drop",          # new: watermark drop proof
+    "text_gopher_rules",              # new: Gopher rule battery
+    "docs_dataset_fingerprint",       # new: corpus fingerprint
     "text_kl_drift",                  # regex-tokenizer parity fix
     "text_hash_classifier",           # regex-tokenizer parity fix
     "text_curriculum_stages",         # regex-tokenizer parity fix
