@@ -615,3 +615,111 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         sample_video_frames, schema=VIDEO_FRAME_SCHEMA
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Scene-change (keyframe) detection on the natively-decoded video frames:
+# per consecutive-frame pair, the mean absolute difference of the raw C444
+# planes; pairs above the threshold are cut candidates. This is the
+# vision-pipeline selection step (sample ONE frame per scene instead of a
+# blind stride) run on REAL decoded arrays — the oracle reconstructs each
+# frame's bytes string-side and reproduces every MAD exactly.
+# ---------------------------------------------------------------------------
+
+SCENE_CUT_MAD = 25.0
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("mad", T.DoubleType()),
+        T.StructField("is_cut", T.BooleanType()),
+    ]
+)
+
+
+def detect_scene_changes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: y4m payload → one row per consecutive frame
+    pair with the planes' exact mean-absolute-difference (int sum / plane
+    size, so the double is bit-identical to the oracle's)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, mads, cuts = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, frames = _decode_y4m(bytes(payload))
+            size = 3 * h * w
+            for k in range(1, frames.shape[0]):
+                sad = int(
+                    np.abs(
+                        frames[k].astype(np.int16) - frames[k - 1].astype(np.int16)
+                    ).sum()
+                )
+                mad = sad / size
+                ids.append(doc_id)
+                idxs.append(k)
+                mads.append(round(mad, 4))
+                cuts.append(mad > SCENE_CUT_MAD)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "mad": pd.array(mads, dtype="float64"),
+                "is_cut": pd.array(cuts, dtype="boolean"),
+            }
+        )
+
+
+@query(
+    "mm_scene_change",
+    f"""
+    WITH f AS (
+      SELECT doc_id, s.k AS k,
+             substr(repeat(md5(text), 18),
+                    CAST(s.k * {VID_W * VID_H * 3} + 1 AS INTEGER),
+                    {VID_W * VID_H * 3}) AS fr
+      FROM documents, UNNEST(range(0, {VID_FRAMES})) AS s(k)
+    ),
+    p AS (
+      SELECT a.doc_id, b.k AS frame_idx,
+             list_sum(list_transform(range(1, {VID_W * VID_H * 3} + 1),
+               i -> abs(ascii(substr(a.fr, CAST(i AS INTEGER), 1))
+                        - ascii(substr(b.fr, CAST(i AS INTEGER), 1))))) AS sad
+      FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           ROUND(sad / {VID_W * VID_H * 3}.0, 4) AS mad,
+           sad / {VID_W * VID_H * 3}.0 > {SCENE_CUT_MAD} AS is_cut
+    FROM p ORDER BY doc_id, frame_idx
+    """,
+    doc="scene-change detection on natively-decoded video: consecutive "
+    "C444 frames' exact mean-absolute-difference (integer SAD / plane "
+    "size) flags cut candidates above the threshold — the keyframe-"
+    "selection step a vision-language pipeline runs instead of blind "
+    "stride sampling. mapInPandas over Arrow batches; payload bytes "
+    "never shuffle; the oracle rebuilds every frame string-side and "
+    "reproduces each MAD bit-for-bit",
+    tags=("multimodal", "pandas-udf", "video"),
+)
+def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    fb = VID_W * VID_H * 3
+    hexsrc = F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 18)
+    frame_parts = [
+        F.concat(F.lit("FRAME\n"), F.substring(hexsrc, k * fb + 1, fb))
+        for k in range(VID_FRAMES)
+    ]
+    payloads = docs.select(
+        "doc_id",
+        F.lit("video/y4m").alias("kind"),
+        F.encode(
+            F.concat(
+                F.lit(f"YUV4MPEG2 W{VID_W} H{VID_H} F25:1 Ip A1:1 C444\n"),
+                *frame_parts,
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return payloads.mapInPandas(detect_scene_changes, schema=SCENE_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -70,6 +70,7 @@ _SAMPLE_PRIORITY = [
     "stream_late_data_drop",          # watermark late-drop semantics proof
     "text_gopher_rules",              # full Gopher filter rule battery
     "docs_dataset_fingerprint",       # partitioning-invariant corpus hash
+    "mm_scene_change",                # keyframe cut detection on decoded frames
     # -- changed in round 8 (tokenizer/overflow fixes): fresh evidence --
     "text_kl_drift",
     "text_hash_classifier",
