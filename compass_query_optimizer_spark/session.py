@@ -39,17 +39,18 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
-    # Shuffle sizing: start every AQE-managed exchange WIDE (512) and let
-    # coalescePartitions merge small partitions back to the advisory size.
-    # A fixed count cannot serve both regimes: the round-8 1M-vector sweep
-    # measured sim_ann_pq at 268.5 s with 32 fixed partitions (per-
-    # partition spill + GC) vs 24.7 s at 128 — a 10.9× cliff from shuffle
-    # sizing alone, invisible at bench scale. With a high initial count
-    # AQE picks the effective parallelism from DATA VOLUME, which is the
-    # posture that survives a 100× scale-up; the plain shuffle.partitions
-    # stays at 32 as the floor for non-AQE paths (streaming state stores,
-    # which pin their own count at first run).
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
+    # Shuffle sizing: a fixed count cannot serve both regimes — the
+    # round-8 1M-vector sweep measured sim_ann_pq at 268.5 s with 32
+    # partitions (map-side partial-agg state spilling/GC) vs 24.7 s at
+    # 128, a 10.9× cliff from sizing alone. The structural fix is
+    # catalog.spread(), which sizes the exchange feeding per-row-
+    # expensive compute from the plan-time scan-size estimate. A static
+    # coalescePartitions.initialPartitionNum=512 was tried and REVERTED:
+    # it never touched the hot map side (spread's width does) and taxed
+    # the 113-query JOB A/B ~7-20% at gate scale in order-controlled
+    # probes. On a real cluster, set initialPartitionNum ≈ 2-3× total
+    # cores at submit time; locally the 32 floor + data-sized spread()
+    # is the measured optimum.
     "spark.sql.shuffle.partitions": "32",
 }
 
