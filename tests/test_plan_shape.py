@@ -347,3 +347,69 @@ def test_ivfpq_assign_and_encode_combine_map_side(spark):
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+# ----------------------------------------------------------- round-8 locks
+def test_attribution_is_one_user_keyed_window_pass(spark):
+    """Both attribution models must come from carry-forward windows over
+    ONE user-partitioned sort — no per-conversion lookup join, no
+    self-join of events against events."""
+    plan = formatted_plan(spark, "events_attribution")
+    assert "hashpartitioning(user_id" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "last(" in plan and "first(" in plan
+
+
+def test_qualify_lowers_to_window_filter_not_argmax_join(spark):
+    plan = formatted_plan(spark, "q38_qualify")
+    assert "row_number" in plan
+    # the one order/customer equi-join (formatted mode lists each node in
+    # the tree AND a detail section, hence == 2) and no argmax self-join
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "NestedLoopJoin" not in plan
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_random_projection_never_explodes(spark):
+    """The 64×16 projection must stay inside zip_with aggregates — a
+    Generate (explode) node would mean 16× the rows cross the plan."""
+    plan = formatted_plan(spark, "emb_random_projection")
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dataset_fingerprint_is_one_scan_one_expand(spark):
+    """ROLLUP = one Expand + hash aggregate over the single scan; the
+    shuffle carries (source)-sized partials, never documents."""
+    plan = formatted_plan(spark, "docs_dataset_fingerprint")
+    # ONE scan node (formatted mode prints tree + detail → 2 mentions)
+    assert plan.count("Scan parquet") == 2
+    assert "Expand" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_rules_single_scan_pure_codegen(spark):
+    """The whole rule battery is one scan of codegen expressions — no
+    Python workers, no joins, one langs-sized aggregate exchange."""
+    plan = formatted_plan(spark, "text_gopher_rules")
+    # ONE scan node (formatted mode prints tree + detail → 2 mentions)
+    assert plan.count("Scan parquet") == 2
+    assert "Python" not in plan and "Join" not in plan
+
+
+def test_bitmap_distinct_rides_as_fixed_words(spark):
+    """The bitmap carrier must appear as bit_or partial aggregates — no
+    collect_set anywhere in the chain."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import GROUPED_COUNT_SQL
+
+    opt = CompassOptimizer(spark)
+    plan_obj = opt.plan(GROUPED_COUNT_SQL, SF)
+    df = opt.build_count_join(
+        plan_obj, measure=("c", "c_nationkey"), measure_op="count_distinct_auto"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "bit_or" in plan and "collect_set" not in plan
+    assert plan_obj.extras["distinct_route"]["route"] == "count_distinct_bitmap"
