@@ -723,3 +723,105 @@ def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(detect_scene_changes, schema=SCENE_SCHEMA).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed audio energy on the natively-decoded PCM16 samples: per
+# 64-sample window, exact RMS (integer sum of squares / window, one sqrt)
+# and a silence flag — the voice-activity / silence-trim primitive an
+# audio-training pipeline runs before segmenting. Same proof shape as
+# mm_scene_change: the REAL decoder on the Spark side, the oracle
+# reconstructing every sample from string arithmetic.
+# ---------------------------------------------------------------------------
+
+AUDIO_WIN = 64  # samples per energy window (9 windows over 576 samples)
+AUDIO_SILENCE_RMS = 20000.0
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("is_silence", T.BooleanType()),
+    ]
+)
+
+
+def audio_energy_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: WAV payload → one row per 64-sample window with
+    the exact RMS (int64 sum of squares, one double sqrt)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, rmss, sils = [], [], [], []
+        for doc_id, kind, payload in zip(pdf["doc_id"], pdf["kind"], pdf["payload"]):
+            rate, samples = decode_payload(kind, bytes(payload))
+            v = samples.reshape(-1).astype(np.int64)
+            for k in range(0, v.shape[0] // AUDIO_WIN):
+                w = v[k * AUDIO_WIN : (k + 1) * AUDIO_WIN]
+                rms = float(np.sqrt(int((w * w).sum()) / AUDIO_WIN))
+                ids.append(doc_id)
+                idxs.append(k)
+                rmss.append(round(rms, 4))
+                sils.append(rms < AUDIO_SILENCE_RMS)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "win_idx": pd.array(idxs, dtype="int32"),
+                "rms": pd.array(rmss, dtype="float64"),
+                "is_silence": pd.array(sils, dtype="boolean"),
+            }
+        )
+
+
+@query(
+    "mm_audio_energy",
+    f"""
+    WITH w AS (
+      SELECT doc_id, s.k AS win_idx,
+             list_sum(list_transform(range(1, {AUDIO_WIN} + 1), i ->
+               CAST(
+                 CASE WHEN ascii(substr(repeat(md5(text), 36),
+                        CAST(s.k * {2 * AUDIO_WIN} + 2 * i - 1 AS INTEGER), 1))
+                      + 256 * ascii(substr(repeat(md5(text), 36),
+                        CAST(s.k * {2 * AUDIO_WIN} + 2 * i AS INTEGER), 1))
+                      >= 32768
+                 THEN ascii(substr(repeat(md5(text), 36),
+                        CAST(s.k * {2 * AUDIO_WIN} + 2 * i - 1 AS INTEGER), 1))
+                      + 256 * ascii(substr(repeat(md5(text), 36),
+                        CAST(s.k * {2 * AUDIO_WIN} + 2 * i AS INTEGER), 1))
+                      - 65536
+                 ELSE ascii(substr(repeat(md5(text), 36),
+                        CAST(s.k * {2 * AUDIO_WIN} + 2 * i - 1 AS INTEGER), 1))
+                      + 256 * ascii(substr(repeat(md5(text), 36),
+                        CAST(s.k * {2 * AUDIO_WIN} + 2 * i AS INTEGER), 1))
+                 END AS BIGINT) ** 2)) AS ss
+      FROM documents,
+           UNNEST(range(0, {AUDIO_DATA_BYTES // 2 // AUDIO_WIN})) AS s(k)
+    )
+    SELECT doc_id, CAST(win_idx AS INTEGER) AS win_idx,
+           ROUND(sqrt(ss / {AUDIO_WIN}.0), 4) AS rms,
+           sqrt(ss / {AUDIO_WIN}.0) < {AUDIO_SILENCE_RMS} AS is_silence
+    FROM w ORDER BY doc_id, win_idx
+    """,
+    doc="windowed audio energy on natively-decoded PCM16: per 64-sample "
+    "window the exact RMS (int64 sum of squares, one sqrt) with a "
+    "silence flag — the voice-activity/silence-trim primitive an audio "
+    "pipeline runs before segmenting. The oracle reconstructs every "
+    "little-endian int16 sample from string arithmetic and reproduces "
+    "each RMS bit-for-bit; payload bytes never shuffle",
+    tags=("multimodal", "pandas-udf", "audio"),
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    payloads = docs.select(
+        "doc_id",
+        F.lit("audio/wav").alias("kind"),
+        F.concat(
+            F.lit(_wav_header()),
+            F.encode(F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 36), "UTF-8"),
+        ).alias("payload"),
+    )
+    return payloads.mapInPandas(
+        audio_energy_windows, schema=AUDIO_ENERGY_SCHEMA
+    ).orderBy("doc_id", "win_idx")

@@ -28,6 +28,7 @@ CHANGED_THIS_ROUND = {
     "text_gopher_rules",              # new: Gopher rule battery
     "docs_dataset_fingerprint",       # new: corpus fingerprint
     "mm_scene_change",                # new: scene-change detection
+    "mm_audio_energy",                # new: windowed audio energy
     "text_kl_drift",                  # regex-tokenizer parity fix
     "text_hash_classifier",           # regex-tokenizer parity fix
     "text_curriculum_stages",         # regex-tokenizer parity fix
