@@ -1154,3 +1154,76 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast baseline with an in-query backtest: hold out the stream's last
+# day, forecast each (event_type, hour-of-day) count with the seasonal-
+# naive mean over the training days, and report the MAE against the held-
+# out actuals next to a global-mean strawman. The capacity-planning
+# sanity loop every event platform runs — and the honest yardstick any
+# fancier model must beat. Hours are compared where both sides observe
+# traffic (inner join on present hours; gap-filling is events_gap_fill's
+# job and composes in front).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_forecast_baseline",
+    """
+    WITH hourly AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    last_day AS (SELECT MAX(d) AS ld FROM hourly),
+    train AS (SELECT h.* FROM hourly h, last_day WHERE h.d < ld),
+    test AS (SELECT h.* FROM hourly h, last_day WHERE h.d = ld),
+    seasonal AS (
+      SELECT event_type, hod, AVG(n) AS fc FROM train GROUP BY 1, 2
+    ),
+    globalm AS (SELECT event_type, AVG(n) AS gfc FROM train GROUP BY 1)
+    SELECT t.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test_hours,
+           ROUND(AVG(ABS(t.n - s.fc)), 4) AS mae_seasonal,
+           ROUND(AVG(ABS(t.n - g.gfc)), 4) AS mae_global
+    FROM test t
+    JOIN seasonal s USING (event_type, hod)
+    JOIN globalm g USING (event_type)
+    GROUP BY t.event_type
+    ORDER BY t.event_type
+    """,
+    doc="seasonal-naive forecast backtest: hold out the last day, predict "
+    "each (event_type, hour-of-day) count with the training-day mean for "
+    "that hour, and report MAE against actuals next to a global-mean "
+    "strawman — the capacity-planning yardstick a fancier model must "
+    "beat. Events reduce to (type, day, hour) cells before ANYTHING "
+    "joins, so every shuffle carries hour-cell cardinality, never "
+    "events; the two model tables are types×24 and types rows, "
+    "broadcast",
+    tags=("events", "analytics", "forecast"),
+)
+def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    last_day = hourly.agg(F.max("d").alias("ld"))
+    train = hourly.crossJoin(F.broadcast(last_day)).filter(F.col("d") < F.col("ld"))
+    test = hourly.crossJoin(F.broadcast(last_day)).filter(F.col("d") == F.col("ld"))
+    seasonal = train.groupBy("event_type", "hod").agg(F.avg("n").alias("fc"))
+    globalm = train.groupBy("event_type").agg(F.avg("n").alias("gfc"))
+    return (
+        test.join(F.broadcast(seasonal), ["event_type", "hod"])
+        .join(F.broadcast(globalm), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_hours"),
+            F.round(F.avg(F.abs(F.col("n") - F.col("fc"))), 4).alias("mae_seasonal"),
+            F.round(F.avg(F.abs(F.col("n") - F.col("gfc"))), 4).alias("mae_global"),
+        )
+        .orderBy("event_type")
+    )

@@ -72,6 +72,7 @@ _SAMPLE_PRIORITY = [
     "docs_dataset_fingerprint",       # partitioning-invariant corpus hash
     "mm_scene_change",                # keyframe cut detection on decoded frames
     "mm_audio_energy",                # windowed RMS / silence on decoded PCM16
+    "events_forecast_baseline",       # seasonal-naive backtest with MAE
     # -- changed in round 8 (tokenizer/overflow fixes): fresh evidence --
     "text_kl_drift",
     "text_hash_classifier",

@@ -29,6 +29,7 @@ CHANGED_THIS_ROUND = {
     "docs_dataset_fingerprint",       # new: corpus fingerprint
     "mm_scene_change",                # new: scene-change detection
     "mm_audio_energy",                # new: windowed audio energy
+    "events_forecast_baseline",       # new: forecast backtest
     "text_kl_drift",                  # regex-tokenizer parity fix
     "text_hash_classifier",           # regex-tokenizer parity fix
     "text_curriculum_stages",         # regex-tokenizer parity fix
