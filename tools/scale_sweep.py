@@ -38,6 +38,7 @@ LANGS = ["en", "de", "fr", "zh", "es"]
 
 SWEEP_OPS = [
     "dedup_exact",
+    "dedup_clusters_hardened",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_bloom",
