@@ -583,10 +583,13 @@ def docs_version_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corpus, per source and overall — the governance primitive behind
 # "did anything change since the snapshot we trained on?". A Merkle-root
 # answers that for ORDERED data; a distributed table has no order, so the
-# fingerprint is the SUM of per-row hashes (commutative ⇒ identical under
-# any shuffle/partitioning/re-shard) widened to decimal(38,0) so it stays
-# exact at any corpus size. Per-source rows merge into the corpus row by
-# addition — sources can be fingerprinted independently and combined.
+# fingerprint is the SUM of per-row hashes MOD the Mersenne prime 2^61−1 —
+# commutative (identical under any shuffle/partitioning/re-shard),
+# mergeable (per-source fingerprints combine by modular addition), exact
+# at any corpus size, and a plain BIGINT in both engines (the driver's
+# value-hash is type-sensitive, so the carrier type is part of the
+# contract). The sum is widened to decimal(38,0) INTERNALLY before the
+# mod so no intermediate ever wraps.
 # ---------------------------------------------------------------------------
 
 
@@ -594,13 +597,14 @@ def docs_version_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_dataset_fingerprint",
     None,  # generated below (portable-hash constants inlined)
     doc="content-addressed dataset fingerprint per source + overall "
-    "(GROUPING SETS): SUM over rows of the portable 48-bit hash of "
-    "(doc_id ':' text), decimal(38,0)-exact and commutative, so the "
-    "fingerprint is identical under ANY partitioning or re-shard and "
-    "per-source fingerprints merge into the corpus one by addition. One "
-    "scan, one sources-sized aggregate; a changed/added/dropped doc "
-    "changes the fingerprint with md5 sensitivity. The reproducibility "
-    "check a training run records next to its data snapshot",
+    "(ROLLUP): SUM over rows of the portable 48-bit hash of "
+    "(doc_id ':' text), taken mod the Mersenne prime 2^61−1 — exact "
+    "(decimal-widened before the mod), commutative (identical under ANY "
+    "partitioning or re-shard), and mergeable (per-source fingerprints "
+    "combine by modular addition). One scan, one sources-sized "
+    "aggregate; a changed/added/dropped doc changes the fingerprint "
+    "with md5 sensitivity. The reproducibility check a training run "
+    "records next to its data snapshot",
     tags=("versioning", "governance"),
 )
 def docs_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,12 +616,15 @@ def docs_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = spark_portable_hash(
         F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
     ).cast("decimal(38,0)")
+    m = (1 << 61) - 1
     return (
         docs.select(F.col("source"), h.alias("h"))
         .rollup("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("h").cast("decimal(38,0)").alias("fingerprint"),
+            F.pmod(F.sum("h"), F.lit(m).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("fingerprint"),
         )
         .select(
             F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
@@ -634,10 +641,11 @@ def _fingerprint_oracle() -> str:
     )
 
     h = duck_portable_hash("concat(CAST(doc_id AS VARCHAR), ':', text)")
+    m = (1 << 61) - 1
     return f"""
     SELECT COALESCE(source, 'ALL') AS source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CAST({h} AS HUGEINT)) AS DECIMAL(38,0)) AS fingerprint
+           CAST(SUM(CAST({h} AS HUGEINT)) % {m} AS BIGINT) AS fingerprint
     FROM documents
     GROUP BY ROLLUP (source)
     ORDER BY source
