@@ -748,10 +748,13 @@ def _jl_oracle() -> str:
     tags=("embeddings", "projection", "jl"),
 )
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread(): the audit touches only 2·JL_PAIRS rows — the filter
+    # pushes to the scan and a widening exchange would cost more than the
+    # 16 aggregates it parallelizes
     emb = load_tables(spark, sf_dir)["embeddings"].filter(
         F.col("vec_id") < 2 * JL_PAIRS
     )
-    q = spread(emb).select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    q = emb.select("vec_id", quantized(F.col("embedding")).alias("qv"))
     pks = [
         F.aggregate(
             F.zip_with(
