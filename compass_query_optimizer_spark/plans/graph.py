@@ -28,6 +28,14 @@ class JoinQuerySpec:
     join_preds: list[tuple[str, str, str, str]]  # (alias_a, col_a, alias_b, col_b)
     filters: dict[str, str] = field(default_factory=dict)  # alias -> SQL conjunction
     post_filters: list[str] = field(default_factory=list)  # cross-alias residuals
+    # aliases joined LEFT OUTER (null-extending). The reference executes
+    # left outer joins per nesting level of the same left-deep chain
+    # (RelAlgExecutor.cpp:2635-2644 left_deep_join_types); here each outer
+    # alias must join only to NON-outer aliases, and per-alias `filters` on
+    # an outer alias are ON-clause semantics (applied to the table before
+    # the join — a WHERE filter on the nullable side would kill the
+    # null-extended rows and silently turn the join inner).
+    outer: set[str] = field(default_factory=set)
 
 
 _JOIN_RE = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")

@@ -219,17 +219,23 @@ class CompassOptimizer:
         counts: dict[str, int] | None = None,
         use_fallback: bool = False,
         count_cache_tag: str | None = None,
+        outer: set[str] | None = None,
     ) -> CompassPlan:
         """``tables`` (name -> DataFrame) overrides the default catalog load
         from ``sf_dir`` — any star schema (e.g. the mini-IMDB JOB fixture)
         plans through the same pipeline. ``counts`` (table name -> rows)
         skips the base-cardinality jobs; ``use_fallback`` forces the
-        size-descending order (MapD's default heuristic) for A/B runs."""
+        size-descending order (MapD's default heuristic) for A/B runs.
+        ``outer``: aliases joined LEFT OUTER (see JoinQuerySpec.outer) —
+        rides programmatically like group_by/measure because the parsed
+        text stays the reference's conjunctive inner shape."""
         spec = (
             parse_join_query(spec_or_sql)
             if isinstance(spec_or_sql, str)
             else spec_or_sql
         )
+        if outer:
+            spec.outer = set(outer)
         graph = JoinGraph(spec)
         caller_tables = tables is not None
         if tables is None:
@@ -274,6 +280,25 @@ class CompassOptimizer:
             fb_cost = (
                 order_cost(graph, pd.stats, fb) if not search.fallback else None
             )
+        if spec.outer:
+            # LEFT OUTER legalization: null-extending joins are hoisted to
+            # the tail of the chosen order. (A ⋈ B) ⟕ C ≡ (A ⟕ C) ⋈ B only
+            # when B never references C, so keeping every outer alias after
+            # the full inner prefix is the one ordering that is always
+            # correct — the same left-deep-with-outer-levels shape the
+            # reference executes (RelAlgExecutor.cpp:2635-2644). The inner
+            # prefix keeps the sketch-searched order.
+            if spec.outer >= set(spec.tables):
+                raise ValueError("outer aliases must leave an inner prefix")
+            for a, _, b, _ in spec.join_preds:
+                if a in spec.outer and b in spec.outer:
+                    raise ValueError(
+                        f"outer aliases may only join non-outer aliases "
+                        f"(edge {a}={b})"
+                    )
+            search.order = [x for x in search.order if x not in spec.outer] + [
+                x for x in search.order if x in spec.outer
+            ]
         plan = CompassPlan(spec, graph, pd, search, fallback_cost=fb_cost)
         plan.extras["dataset_tag"] = tag
         if self.template_path is not None:
@@ -323,12 +348,15 @@ class CompassOptimizer:
                 elif b == alias and a in in_chain:
                     conds.append(F.col(f"{a}__{ca}") == F.col(f"{alias}__{cb}"))
             if not conds:  # disconnected fallback only
+                if alias in plan.spec.outer:
+                    raise ValueError(f"outer alias {alias} has no join edge")
                 joined = joined.crossJoin(frames[alias])
             else:
                 cond = conds[0]
                 for c in conds[1:]:
                     cond = cond & c
-                joined = joined.join(frames[alias], cond)
+                how = "left" if alias in plan.spec.outer else "inner"
+                joined = joined.join(frames[alias], cond, how)
             in_chain.add(alias)
 
         for residual in plan.spec.post_filters:
@@ -676,13 +704,30 @@ class CompassOptimizer:
                     conds.append(F.col(f"{alias}__{ca}") == F.col(f"{b}__{cb}"))
                 elif b == alias and a in in_chain:
                     conds.append(F.col(f"{a}__{ca}") == F.col(f"{alias}__{cb}"))
+            is_outer = alias in spec.outer
             if not conds:  # disconnected fallback only
+                if is_outer:
+                    raise ValueError(f"outer alias {alias} has no join edge")
                 joined = joined.crossJoin(frames[alias])
             else:
                 cond = conds[0]
                 for c in conds[1:]:
                     cond = cond & c
-                joined = joined.join(frames[alias], cond)
+                joined = joined.join(
+                    frames[alias], cond, "left" if is_outer else "inner"
+                )
+            # null-extension multiplicity (Yan & Larson VLDB'95 §5, outer
+            # joins): an unmatched prefix row survives a LEFT OUTER join
+            # exactly once, so the partner multiplicity is
+            # coalesce(cnt, 1); a null-extended measure value is NULL and
+            # every aggregate skips it, so the riding __agg needs no
+            # coalesce — sum/min/max/collect_list all drop NULLs, which is
+            # precisely SQL's aggregate-over-null-extended-rows rule
+            cnt_new = (
+                F.coalesce(F.col("__cnt_new"), F.lit(1).cast("long"))
+                if is_outer
+                else F.col("__cnt_new")
+            )
             if measure is not None and alias == measure[0]:
                 # the incoming side owns the measure. sum: each prefix
                 # row's count multiplies the per-key sum (Σ x over the
@@ -700,10 +745,10 @@ class CompassOptimizer:
                 # scales the running sum exactly as it scales the count
                 # (min/max pass through joins untouched)
                 joined = joined.withColumn(
-                    "__agg", F.col("__agg") * F.col("__cnt_new")
+                    "__agg", F.col("__agg") * cnt_new
                 )
             joined = joined.withColumn(
-                "__cnt", F.col("__cnt") * F.col("__cnt_new")
+                "__cnt", F.col("__cnt") * cnt_new
             ).drop("__cnt_new")
             in_chain.add(alias)
             remaining.discard(alias)
@@ -770,6 +815,7 @@ class CompassOptimizer:
         group_by: list[tuple[str, str]] | None = None,
         measure: tuple[str, str] | None = None,
         measure_op: str = "sum",
+        outer: set[str] | None = None,
     ) -> DataFrame:
         """The reference's benchmark form: COUNT(*) of the join.
 
@@ -789,6 +835,7 @@ class CompassOptimizer:
             counts=counts,
             use_fallback=use_fallback,
             count_cache_tag=count_cache_tag,
+            outer=outer,
         )
         if eager is None:
             # always on by default: measured at fixture scale 2 the eager

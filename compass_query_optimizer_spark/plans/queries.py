@@ -632,3 +632,93 @@ def compass_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lo.join(hi, "n_name").select(
         "n_name", "min_price", "max_price", "cnt"
     ).orderBy("n_name")
+
+
+# LEFT OUTER through the eager chain (Yan & Larson VLDB'95 §5 extends the
+# aggregate push-down to outer joins; the reference executes LEFT joins as
+# levels of the same left-deep chain, RelAlgExecutor.cpp:2635-2644
+# left_deep_join_types). The planner text stays the conjunctive inner
+# shape; the outer alias rides programmatically like group_by/measure, and
+# its per-alias filter is ON-clause semantics (pre-join — a WHERE filter
+# on the nullable side would silently turn the join inner).
+LEFT_OUTER_SQL = """
+SELECT COUNT(*) AS cnt
+FROM customer c, nation n, orders o
+WHERE c.c_nationkey = n.n_nationkey AND o.o_custkey = c.c_custkey
+  AND n.n_regionkey <= 2 AND o.o_orderstatus = 'F'
+"""
+
+LEFT_OUTER_ORACLE = """
+SELECT ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 2) AS sum_open,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN orders o
+  ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+WHERE n.n_regionkey <= 2
+"""
+
+GROUPED_LEFT_OUTER_ORACLE = """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN orders o
+  ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+WHERE n.n_regionkey <= 2
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query(
+    "compass_count_left_outer",
+    LEFT_OUTER_ORACLE,
+    doc="SUM + COUNT(*) below a LEFT OUTER join via the eager multiplicity "
+    "chain: orders collapses to (o_custkey → cnt, Σ o_totalprice) BEFORE "
+    "the null-extending join, the chain multiplies by coalesce(cnt, 1) — "
+    "an unmatched customer survives exactly once — and the riding sum "
+    "needs no coalesce because SQL aggregates skip the NULLs "
+    "null-extension produces. The outer alias is legalized to the tail of "
+    "the sketch-searched order ((A ⋈ B) ⟕ C ≡ (A ⟕ C) ⋈ B only when B "
+    "never references C). Exact vs the plain LEFT JOIN SQL",
+    tags=("compass", "join", "outer"),
+)
+def compass_count_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        LEFT_OUTER_SQL,
+        sf_dir,
+        measure=("o", "o_totalprice"),
+        outer={"o"},
+    )
+    return df.select(
+        F.round(F.col("agg_val").cast("double"), 2).alias("sum_open"), "cnt"
+    )
+
+
+@query(
+    "compass_grouped_count_left_outer",
+    GROUPED_LEFT_OUTER_ORACLE,
+    doc="grouped COUNT(*) below a LEFT OUTER join through the eager chain: "
+    "group columns ride the multiplicity chain across the null-extending "
+    "join, unmatched customers contribute multiplicity 1 to their "
+    "nation's count — the grouped form of compass_count_left_outer. "
+    "Join rows never materialize on either side of the outer join",
+    tags=("compass", "join", "outer", "grouped"),
+)
+def compass_grouped_count_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    return (
+        CompassOptimizer(spark)
+        .execute_count(
+            LEFT_OUTER_SQL,
+            sf_dir,
+            group_by=[("n", "n_name")],
+            outer={"o"},
+        )
+        .orderBy("n_name")
+    )

@@ -57,6 +57,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # works, it just lands in the unsampled tail until promoted.
 _SAMPLE_PRIORITY = [
     # -- new in round 8: first driver exposure --
+    "compass_count_left_outer",      # eager algebra below LEFT OUTER join
+    "compass_grouped_count_left_outer",  # grouped form of the outer chain
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed

@@ -346,3 +346,62 @@ def test_distinct_route_explain_surface(spark):
         measure_op="count_distinct_bitmap",
     )
     assert "bit_or" in phys and "collect_set" not in phys
+
+
+def test_left_outer_eager_matches_raw_join(spark):
+    """The null-extension multiplicity algebra (coalesce(cnt,1); NULL
+    measures skipped) must reproduce the raw LEFT JOIN's COUNT(*) and SUM
+    exactly — including the unmatched rows the sf0.001 fixture contains."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import LEFT_OUTER_SQL
+
+    opt = CompassOptimizer(spark)
+    eager = opt.execute_count(
+        LEFT_OUTER_SQL, SF, measure=("o", "o_totalprice"), outer={"o"}
+    ).collect()[0]
+    raw = opt.execute_count(
+        LEFT_OUTER_SQL, SF, measure=("o", "o_totalprice"), outer={"o"},
+        eager=False,
+    ).collect()[0]
+    assert eager["cnt"] == raw["cnt"] > 0
+    assert abs(float(eager["agg_val"]) - float(raw["agg_val"])) < 1e-6
+    # the fixture must exercise null extension: COUNT(*) of the outer join
+    # strictly exceeds the matched-only inner count
+    inner = opt.execute_count(
+        LEFT_OUTER_SQL, SF, measure=("o", "o_totalprice")
+    ).collect()[0]
+    assert eager["cnt"] > 0 and inner["cnt"] != eager["cnt"]
+
+
+def test_left_outer_grouped_eager_matches_raw(spark):
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import LEFT_OUTER_SQL
+
+    opt = CompassOptimizer(spark)
+    eager = {
+        r["n_name"]: r["cnt"]
+        for r in opt.execute_count(
+            LEFT_OUTER_SQL, SF, group_by=[("n", "n_name")], outer={"o"}
+        ).collect()
+    }
+    raw = {
+        r["n_name"]: r["cnt"]
+        for r in opt.execute_count(
+            LEFT_OUTER_SQL, SF, group_by=[("n", "n_name")], outer={"o"},
+            eager=False,
+        ).collect()
+    }
+    assert eager == raw and len(eager) > 0
+
+
+def test_left_outer_validation_errors(spark):
+    """Outer aliases joining each other, or leaving no inner prefix, must
+    fail loudly at plan time — a silent wrong order would corrupt counts."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import LEFT_OUTER_SQL
+
+    opt = CompassOptimizer(spark)
+    with pytest.raises(ValueError, match="non-outer"):
+        opt.plan(LEFT_OUTER_SQL, SF, outer={"c", "o"})
+    with pytest.raises(ValueError, match="inner prefix"):
+        opt.plan(LEFT_OUTER_SQL, SF, outer={"c", "o", "n"})

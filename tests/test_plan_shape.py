@@ -413,3 +413,24 @@ def test_bitmap_distinct_rides_as_fixed_words(spark):
     )
     assert "bit_or" in plan and "collect_set" not in plan
     assert plan_obj.extras["distinct_route"]["route"] == "count_distinct_bitmap"
+
+
+def test_left_outer_eager_chain_collapses_before_null_extension(spark):
+    """The outer side must arrive at the LEFT OUTER join already collapsed
+    to (key -> cnt, Σ) partial aggregates — join rows never materialize —
+    and the outer alias must sit at the tail of the enforced order."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import LEFT_OUTER_SQL
+
+    opt = CompassOptimizer(spark)
+    plan_obj = opt.plan(LEFT_OUTER_SQL, SF, outer={"o"})
+    assert plan_obj.search.order[-1] == "o"
+    df = opt.build_count_join(plan_obj, measure=("o", "o_totalprice"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "LeftOuter" in plan
+    # the measure table's collapse runs as a partial (map-side) aggregate
+    assert "partial_sum" in plan and "partial_count" in plan
+    # the chain never falls back to a cartesian or a raw-row outer join
+    assert "CartesianProduct" not in plan
