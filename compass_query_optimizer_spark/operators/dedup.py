@@ -1225,3 +1225,83 @@ _registry._REGISTRY["dedup_minhash_lsh"].oracle = _minhash_oracle()
 _registry._REGISTRY["dedup_simhash"].oracle = _simhash_oracle()
 _registry._REGISTRY["dedup_ngram_jaccard"].oracle = _jaccard_oracle()
 _registry._REGISTRY["dedup_clusters"].oracle = _clusters_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span detection (the substring-level dedup of Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better", ACL 2022,
+# arXiv:2107.06499): a document is penalized not for being a near-copy of
+# one other document but for CONTAINING spans that recur anywhere in the
+# corpus (boilerplate, licenses, quoted chunks). The paper builds a suffix
+# array; the distributed re-expression is a shingle inverted index — every
+# W-token rolling window hashes to a key, one keyed count finds windows
+# occurring >= 2 times corpus-wide, and a join back scores each document by
+# its duplicated-window fraction. Linear in corpus tokens, two keyed
+# shuffles (window-hash count + join back), no suffix array and no
+# quadratic pair step — the standard way this runs at crawl scale.
+# ---------------------------------------------------------------------------
+SPAN_W = 8  # tokens per rolling window
+
+
+@query(
+    "dedup_substring_spans",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + {SPAN_W - 1}), ' ')) AS wk
+      FROM tok, UNNEST(range(1, len(toks) - {SPAN_W - 2})) AS s(i)
+      WHERE len(toks) >= {SPAN_W}
+    ),
+    cnt AS (SELECT wk, COUNT(*) AS n_occ FROM win GROUP BY wk)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+           ROUND(SUM(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS dup_frac
+    FROM win w JOIN cnt c USING (wk)
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
+    doc=f"duplicate-span scoring per Lee et al. ACL'22: every {SPAN_W}-token "
+    "rolling window hashes into a shingle inverted index; windows seen "
+    ">= 2 times corpus-wide (including within one document) are "
+    "duplicated spans, and each document reports its duplicated-window "
+    "fraction — the signal the paper removes spans by. Docs shorter "
+    f"than {SPAN_W} tokens have no window and are absent, like the oracle",
+    tags=("dedup", "spans"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    base = spread(t["documents"]).select("doc_id", toks.alias("toks"))
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= SPAN_W,
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SPAN_W - 1}),"
+                    f" i -> md5(array_join(slice(toks, i, {SPAN_W}), ' ')))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("wk"),
+    )
+    counts = wins.groupBy("wk").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        wins.join(counts, "wk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+        )
+        .orderBy("doc_id")
+    )

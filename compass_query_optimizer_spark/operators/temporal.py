@@ -1227,3 +1227,83 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: the classic recency/frequency/monetary quartile grid
+# over purchase events — the customer-value partitioning a growth team runs
+# weekly. Everything reduces to ONE per-user combiner aggregate before the
+# three NTILE windows (150 users here; at 100 TB the per-user rollup is the
+# only event-cardinality shuffle, and the quartile windows run over user
+# cardinality — if even that is too hot, swap NTILE for approx_percentile
+# cut points as text_quality_percentile does). Monetary quantizes to exact
+# int64 cents BEFORE ranking so the quartile boundaries are bit-identical
+# across engines — ordering by a float SUM would let one ULP of
+# accumulation-order drift flip a user across a boundary.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rfm_segments",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+      SELECT CAST(NTILE(4) OVER (ORDER BY last_ts, user_id) AS INTEGER) AS r_score,
+             CAST(NTILE(4) OVER (ORDER BY freq, user_id) AS INTEGER) AS f_score,
+             CAST(NTILE(4) OVER (ORDER BY cents, user_id) AS INTEGER) AS m_score,
+             cents
+      FROM per_user
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(cents) / 100.0, 2) AS seg_value
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    doc="RFM segmentation: per-user recency/frequency/monetary rollup → "
+    "NTILE(4) quartile scores on each axis → segment grid with user "
+    "counts and value. Ties break on user_id so the quartile assignment "
+    "is total-order deterministic; monetary ranks on exact integer "
+    "cents, not a float sum",
+    tags=("temporal", "segmentation"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    scored = per_user.select(
+        F.ntile(4)
+        .over(Window.orderBy("last_ts", "user_id"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy("freq", "user_id"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("cents", "user_id"))
+        .cast("int")
+        .alias("m_score"),
+        "cents",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("cents") / 100.0, 2).alias("seg_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -59,6 +59,10 @@ _SAMPLE_PRIORITY = [
     # -- new in round 8: first driver exposure --
     "compass_count_left_outer",      # eager algebra below LEFT OUTER join
     "compass_grouped_count_left_outer",  # grouped form of the outer chain
+    "dedup_substring_spans",          # Lee et al. ACL'22 duplicate spans
+    "q42_recursive_cte",              # WITH RECURSIVE fixpoint closure
+    "q41_pivot",                      # long->wide PIVOT surface
+    "events_rfm_segments",            # RFM quartile segmentation grid
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed

@@ -1512,3 +1512,90 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
         """
     )
+
+
+_PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "q41_pivot",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+               AS "4-NOT SPECIFIED",
+           COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="PIVOT surface (long → wide reshaping): order counts per status "
+    "pivoted across the five priorities. The pivot values are declared "
+    "explicitly — Spark's two-pass value discovery is a hidden extra job "
+    "and non-deterministic column order at scale — so the plan is ONE "
+    "hash aggregate with five conditional counts (what the oracle "
+    "spells as COUNT(*) FILTER), never a per-value scan. Absent cells "
+    "coalesce to 0 to match SQL's empty-count semantics",
+    tags=("agg", "pivot", "beyond-parity"),
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    wide = (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(p)
+            for p in _PIVOT_PRIORITIES
+        ],
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "q42_recursive_cte",
+    """
+    WITH RECURSIVE chain(k, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+      UNION ALL
+      SELECT c.c_custkey AS k, chain.depth + 1 AS depth
+      FROM customer c JOIN chain ON (c.c_custkey >> 1) = chain.k
+      WHERE c.c_custkey BETWEEN 2 AND 255
+    )
+    SELECT CAST(depth AS INTEGER) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           ROUND(SUM(c2.c_acctbal), 2) AS sum_acctbal
+    FROM chain JOIN customer c2 ON c2.c_custkey = chain.k
+    GROUP BY depth ORDER BY depth
+    """,
+    doc="recursive CTE (WITH RECURSIVE, new in Spark 4.0): transitive "
+    "closure over a synthetic management chain (parent = custkey >> 1, "
+    "a 255-node binary hierarchy) — per-depth node counts and balance "
+    "rollup. Spark executes the fixpoint as iterated UnionLoop steps; "
+    "each iteration is one distributed join of the frontier against the "
+    "(filtered, pushed-down) customer scan, so depth-d closure costs d "
+    "bounded joins, not a quadratic self-join — the same iterate-to-"
+    "fixpoint shape as dedup_clusters_star, but expressed declaratively",
+    tags=("recursive", "beyond-parity"),
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(k, depth) AS (
+          SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+          UNION ALL
+          SELECT c.c_custkey AS k, chain.depth + 1 AS depth
+          FROM customer c JOIN chain ON shiftright(c.c_custkey, 1) = chain.k
+          WHERE c.c_custkey BETWEEN 2 AND 255
+        )
+        SELECT CAST(depth AS INTEGER) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               ROUND(SUM(c2.c_acctbal), 2) AS sum_acctbal
+        FROM chain JOIN customer c2 ON c2.c_custkey = chain.k
+        GROUP BY depth ORDER BY depth
+        """
+    )

@@ -434,3 +434,23 @@ def test_left_outer_eager_chain_collapses_before_null_extension(spark):
     assert "partial_sum" in plan and "partial_count" in plan
     # the chain never falls back to a cartesian or a raw-row outer join
     assert "CartesianProduct" not in plan
+
+
+def test_substring_spans_is_two_keyed_shuffles_no_pairs(spark):
+    """The duplicate-span score must stay an inverted-index plan: window
+    construction lives in the scan stage (generate over the token array),
+    and the only joins are the window-hash equi-join back to counts —
+    never a doc×doc pair step."""
+    plan = formatted_plan(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "Generate" in plan  # explode of the per-doc window array
+    # the fact table scans once per side of the count join, not per pair
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_pivot_is_one_aggregate_no_discovery_job(spark):
+    """Declared pivot values must compile to a single hash aggregate with
+    conditional counts — no second scan to discover the pivot domain."""
+    plan = formatted_plan(spark, "q41_pivot")
+    assert plan.count("Scan parquet") == 2  # tree + detail of ONE scan
+    assert "Join" not in plan
