@@ -825,3 +825,104 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         audio_energy_windows, schema=AUDIO_ENERGY_SCHEMA
     ).orderBy("doc_id", "win_idx")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup: the multimodal twin of dedup_exact. Each
+# image reduces to a 64-bit average hash (aHash — 8x8 block means vs the
+# global mean; cf. Zauner, "Implementation and Benchmarking of Perceptual
+# Image Hash Functions", 2010) computed from the REAL decoded pixels, and
+# duplicate groups fall out of one keyed groupBy on the hash. Bits derive
+# from exact integer comparisons (block_sum * 64 > total_sum ⟺ block mean
+# > global mean), so the hash is bit-identical across engines and across
+# float platforms. At 100 TB: payloads never shuffle (the hash is computed
+# scan-side in Arrow batches, 64 bits/image cross the exchange); for
+# NEAR-dup matching at hamming ≤ k, compose with the pigeonhole block join
+# dedup_simhash already ships — the hash here is the input to it.
+# ---------------------------------------------------------------------------
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.StringType()),
+    ]
+)
+
+
+def phash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: PPM payload → 64-char aHash bit string via the
+    real netpbm decoder (channel-sum grayscale, 3x2-pixel blocks)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, hashes = [], []
+        for doc_id, kind, payload in zip(pdf["doc_id"], pdf["kind"], pdf["payload"]):
+            img = decode_payload(kind, bytes(payload))  # (16, 24, 3) uint8
+            g = img.astype(np.int64).sum(axis=2)  # grayscale = r+g+b, exact
+            blocks = g.reshape(8, 2, 8, 3).sum(axis=(1, 3))  # (by, bx) sums
+            total = int(g.sum())
+            bits = (blocks * 64 > total).reshape(-1)  # b = by*8 + bx
+            ids.append(doc_id)
+            hashes.append("".join("1" if b else "0" for b in bits))
+        yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+
+@query(
+    "mm_phash_dedup",
+    f"""
+    WITH px AS (SELECT doc_id, repeat(md5(text), 36) AS p FROM documents),
+    tot AS (
+      SELECT doc_id, p,
+             list_sum(list_transform(range(1, {IMG_W * IMG_H * 3 + 1}),
+               i -> ascii(substr(p, CAST(i AS INTEGER), 1)))) AS total
+      FROM px
+    ),
+    blk AS (
+      SELECT t.doc_id, s.b AS b, t.total,
+             list_sum(list_transform(range(0, 18), j ->
+               ascii(substr(t.p,
+                 CAST(((((s.b // 8) * 2 + (j // 9)) * {IMG_W}
+                        + (s.b % 8) * 3 + ((j % 9) // 3)) * 3
+                       + (j % 3) + 1) AS INTEGER), 1)))) AS bsum
+      FROM tot t, UNNEST(range(0, 64)) AS s(b)
+    ),
+    h AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN bsum * 64 > total THEN '1' ELSE '0' END,
+                        '' ORDER BY b) AS phash
+      FROM blk GROUP BY doc_id
+    )
+    SELECT phash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM h GROUP BY phash ORDER BY phash
+    """,
+    doc="perceptual-hash image dedup: the real netpbm decoder reduces each "
+    "24x16 RGB payload to a 64-bit average hash (8x8 block means vs the "
+    "global mean, exact integer comparisons), and duplicate images group "
+    "on the hash — keep min doc_id, count copies. The oracle rebuilds "
+    "every pixel byte string-side and re-derives each bit. Payload bytes "
+    "never cross an exchange; compose with dedup_simhash's pigeonhole "
+    "join for hamming-near matching",
+    tags=("multimodal", "dedup", "pandas-udf", "image"),
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    header = f"P6\n{IMG_W} {IMG_H}\n255\n"
+    payloads = docs.select(
+        "doc_id",
+        F.lit("image/ppm").alias("kind"),
+        F.encode(
+            F.concat(
+                F.lit(header), F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 36)
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    hashed = payloads.mapInPandas(phash_images, schema=PHASH_SCHEMA)
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .orderBy("phash")
+    )

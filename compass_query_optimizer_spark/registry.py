@@ -63,6 +63,7 @@ _SAMPLE_PRIORITY = [
     "q42_recursive_cte",              # WITH RECURSIVE fixpoint closure
     "q41_pivot",                      # long->wide PIVOT surface
     "events_rfm_segments",            # RFM quartile segmentation grid
+    "mm_phash_dedup",                 # 64-bit aHash image dedup, real decoder
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed
