@@ -93,6 +93,8 @@ HEADLINE = [
     "dedup_clusters_hardened",    # flood guard + star CC composed default
     "events_attribution",         # first/last-touch window attribution
     "emb_random_projection",      # JL ±1 projection + lemma audit
+    "compass_count_left_outer",   # eager algebra below a LEFT OUTER join
+    "dedup_substring_spans",      # Lee et al. duplicate-span inverted index
 ]
 
 MAX_WORKERS = 6  # A/B worker threads; per_query walls are N-way-concurrent

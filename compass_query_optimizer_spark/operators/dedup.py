@@ -1305,3 +1305,72 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection: dedup that keeps the BEST copy, not
+# the first. Min-id keepers are fine for byte-identical groups, but
+# near-dup clusters contain genuinely different documents (truncated
+# mirrors, boilerplate-wrapped copies) — production curation keeps the
+# highest-quality member per cluster (here: longest n_chars, the simplest
+# monotone quality proxy; swapping in a model score column leaves the plan
+# unchanged). Runs over the hardened cluster path (exact-collapse → star
+# CC) and resolves the keeper with ONE combiner-friendly max(struct)
+# aggregate per cluster — no window over corpus cardinality.
+# ---------------------------------------------------------------------------
+def _keep_best_oracle() -> str:
+    base = _clusters_twostage_oracle()
+    head, _, _ = base.partition("SELECT doc_id, cluster_id,")
+    return (
+        head
+        + """, scored AS (
+      SELECT dl.cluster_id, dl.doc_id, d2.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY dl.cluster_id
+                                ORDER BY d2.n_chars DESC, dl.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY dl.cluster_id) AS n_members
+      FROM doc_lbl dl JOIN documents d2 USING (doc_id)
+    )
+    SELECT cluster_id, CAST(doc_id AS BIGINT) AS keep_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS kept_chars
+    FROM scored WHERE rk = 1 ORDER BY cluster_id
+    """
+    )
+
+
+@query(
+    "dedup_keep_best",
+    None,  # generated below (hardened-cluster oracle + arg-max keeper)
+    doc="quality-aware dedup: hardened near-dup clusters (exact-collapse → "
+    "star CC) resolved to the highest-quality member per cluster "
+    "(longest n_chars, doc_id tie-break) instead of the min id — the "
+    "keep-best rule real curation uses. The keeper falls out of one "
+    "combiner-friendly max(struct) per cluster, never a corpus-wide "
+    "rank window",
+    tags=("dedup", "curation", "hardened"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    clusters = _collapsed_clusters(docs, connected_components_star)
+    scored = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max("cluster_size").cast("long").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("best"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).cast("long").alias("keep_id"),
+            "n_members",
+            F.col("best.n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_registry._REGISTRY["dedup_keep_best"].oracle = _keep_best_oracle()

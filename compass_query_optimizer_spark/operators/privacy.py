@@ -89,3 +89,70 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (Sweeney, IJUFKS 2002): before a corpus ships, count
+# quasi-identifier equivalence classes smaller than k — the classes whose
+# members a linker can re-identify. QI here = (lang, source, length bucket);
+# swapping in other columns leaves the plan unchanged. ONE combiner
+# aggregate over QI cells does all the work; the k-threshold sweep runs
+# over the (small) class table, so corpus cardinality never reaches the
+# explode. The 100 TB shape: class counting is the only event-cardinality
+# shuffle, identical to dedup_exact's.
+# ---------------------------------------------------------------------------
+_K_THRESHOLDS = [2, 5, 10]
+
+
+@query(
+    "privacy_k_anonymity",
+    """
+    WITH qi AS (
+      SELECT lang, source, n_chars // 500 AS len_bucket,
+             COUNT(*) AS class_size
+      FROM documents GROUP BY lang, source, n_chars // 500
+    )
+    SELECT k.k AS k,
+           CAST(COUNT(*) FILTER (class_size < k.k) AS BIGINT)
+               AS classes_below_k,
+           CAST(COALESCE(SUM(class_size) FILTER (class_size < k.k), 0)
+                AS BIGINT) AS rows_at_risk
+    FROM qi CROSS JOIN (SELECT UNNEST([2, 5, 10]) AS k) k
+    GROUP BY k.k ORDER BY k.k
+    """,
+    doc="k-anonymity audit over the (lang, source, length-bucket) "
+    "quasi-identifier: per k in {2, 5, 10}, the number of QI classes "
+    "below k and the documents at re-identification risk inside them — "
+    "the release gate a governance pipeline runs next to PII redaction. "
+    "One QI-keyed combiner aggregate; the threshold sweep explodes only "
+    "the class table",
+    tags=("privacy", "governance"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    qi = docs.groupBy(
+        "lang", "source", F.expr("n_chars div 500").alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    ks = qi.select(
+        F.explode(F.array(*[F.lit(k) for k in _K_THRESHOLDS])).alias("k"),
+        "class_size",
+    )
+    return (
+        ks.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("class_size") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below_k"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("class_size") < F.col("k"), F.col("class_size")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+        .orderBy("k")
+    )

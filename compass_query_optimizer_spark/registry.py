@@ -64,6 +64,8 @@ _SAMPLE_PRIORITY = [
     "q41_pivot",                      # long->wide PIVOT surface
     "events_rfm_segments",            # RFM quartile segmentation grid
     "mm_phash_dedup",                 # 64-bit aHash image dedup, real decoder
+    "privacy_k_anonymity",            # QI class-size release gate
+    "dedup_keep_best",                # quality-aware canonical selection
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed

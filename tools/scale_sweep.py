@@ -48,6 +48,7 @@ SWEEP_OPS = [
     "sim_ann_pq",
     "sim_ann_ivfpq",
     "text_winnowing",
+    "dedup_substring_spans",
 ]
 
 
