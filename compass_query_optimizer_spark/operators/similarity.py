@@ -1318,3 +1318,66 @@ def _ivfpq_oracle() -> str:
 
 
 _registry._REGISTRY["sim_ann_ivfpq"].oracle = _ivfpq_oracle()
+
+
+# ---------------------------------------------------------------------------
+# In-engine ANN quality evaluation: recall@k of the IVF index against the
+# exact brute-force top-k — THE number an index tuner trades against scan
+# cost when picking K/nprobe (Jégou et al. TPAMI 2011 report exactly this
+# curve). Both sides run in the engine (the baseline the repo already
+# ships and the index entry itself), so the evaluation is one semi-join +
+# two per-query counts over 50×TOP_K rows — the eval is cheaper than
+# either index pass, and re-runs on every corpus/parameter change instead
+# of trusting a one-off offline notebook.
+# ---------------------------------------------------------------------------
+def _recall_oracle() -> str:
+    topk_sql = _registry._REGISTRY["sim_topk_bruteforce"].oracle
+    return f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({topk_sql})),
+    approx AS (SELECT query_id, neighbor_id FROM ({_ivf_oracle()})),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hits
+      FROM exact e JOIN approx a USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    ),
+    base AS (SELECT query_id, COUNT(*) AS k FROM exact GROUP BY query_id)
+    SELECT b.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) * 1.0 / b.k, 4) AS recall
+    FROM base b LEFT JOIN hits h USING (query_id)
+    ORDER BY b.query_id
+    """
+
+
+@query(
+    "sim_ann_recall",
+    None,  # generated below (composes the brute-force and IVF oracles)
+    doc="ANN index quality gate: per-query recall@k of sim_ann_ivf against "
+    "the exact brute-force top-k, computed in-engine as one semi-join "
+    "over the two result sets — the K/nprobe tuning number (Jégou "
+    "TPAMI'11's recall curve) measured on the live corpus instead of an "
+    "offline notebook. Unmatched queries report recall 0, not absence",
+    tags=("similarity", "ivf", "evaluation"),
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_registry._REGISTRY["sim_ann_recall"].oracle = _recall_oracle

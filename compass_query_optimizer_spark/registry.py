@@ -66,6 +66,7 @@ _SAMPLE_PRIORITY = [
     "mm_phash_dedup",                 # 64-bit aHash image dedup, real decoder
     "privacy_k_anonymity",            # QI class-size release gate
     "dedup_keep_best",                # quality-aware canonical selection
+    "sim_ann_recall",                 # in-engine IVF recall@k eval gate
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed
