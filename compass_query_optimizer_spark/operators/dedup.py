@@ -1374,3 +1374,104 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _registry._REGISTRY["dedup_keep_best"].oracle = _keep_best_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Span REMOVAL accounting — the action step of Lee et al. ACL'22 (the
+# paper removes each duplicated span, it does not drop documents): every
+# token covered by at least one corpus-duplicated window is marked for
+# removal, and each document reports how much of it survives. The same
+# inverted index as dedup_substring_spans plus one covered-position
+# expansion (a dup window covers W consecutive token positions); the
+# expansion is bounded by W × dup-window count, and distinct-position
+# dedup runs doc-keyed — still linear, still no pair step.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_span_removal",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(toks, i, i + {SPAN_W - 1}), ' ')) AS wk
+      FROM tok, UNNEST(range(1, len(toks) - {SPAN_W - 2})) AS s(i)
+      WHERE len(toks) >= {SPAN_W}
+    ),
+    cnt AS (SELECT wk, COUNT(*) AS n_occ FROM win GROUP BY wk),
+    cov AS (
+      SELECT DISTINCT w.doc_id, (w.i + j.j) AS pos
+      FROM win w JOIN cnt c USING (wk), UNNEST(range(0, {SPAN_W})) AS j(j)
+      WHERE c.n_occ >= 2
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens FROM tok
+      WHERE len(toks) >= {SPAN_W}
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COUNT(v.pos) AS BIGINT) AS n_removed,
+           ROUND((b.n_tokens - COUNT(v.pos)) * 1.0 / b.n_tokens, 6)
+               AS keep_frac
+    FROM base b LEFT JOIN cov v USING (doc_id)
+    GROUP BY b.doc_id, b.n_tokens ORDER BY b.doc_id
+    """,
+    doc="duplicated-span REMOVAL accounting (the action step of Lee et "
+    "al. ACL'22): tokens covered by any corpus-duplicated window are "
+    "marked for removal; each doc reports surviving-token fraction. The "
+    "position expansion is W rows per dup window, distinct-position "
+    "dedup is doc-keyed — the cleanup stays linear like the scorer",
+    tags=("dedup", "spans", "curation"),
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    base = (
+        spread(t["documents"])
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= SPAN_W)
+        .select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    )
+    wins = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {SPAN_W - 1}),"
+                f" i -> md5(array_join(slice(toks, i, {SPAN_W}), ' ')))"
+            )
+        ).alias("pos0", "wk"),
+    )
+    dup = (
+        wins.groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("wk")
+    )
+    cov = (
+        wins.join(dup, "wk")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos0") + 1, F.col("pos0") + SPAN_W)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    removed = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.round(
+                (F.col("n_tokens") - F.coalesce(F.col("n_removed"), F.lit(0)))
+                / F.col("n_tokens"),
+                6,
+            ).alias("keep_frac"),
+        )
+        .orderBy("doc_id")
+    )

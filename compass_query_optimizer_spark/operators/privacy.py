@@ -156,3 +156,60 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "privacy_l_diversity",
+    """
+    WITH qi AS (
+      SELECT source, n_chars // 500 AS len_bucket,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(*) AS class_size
+      FROM documents GROUP BY source, n_chars // 500
+    )
+    SELECT l.l AS l,
+           CAST(COUNT(*) FILTER (n_langs < l.l) AS BIGINT)
+               AS classes_below_l,
+           CAST(COALESCE(SUM(class_size) FILTER (n_langs < l.l), 0)
+                AS BIGINT) AS rows_at_risk
+    FROM qi CROSS JOIN (SELECT UNNEST([2, 3]) AS l) l
+    GROUP BY l.l ORDER BY l.l
+    """,
+    doc="l-diversity audit (Machanavajjhala et al., TKDD 2007 — the "
+    "k-anonymity refinement): a QI class can be large yet still leak if "
+    "every member shares one sensitive value, so count classes whose "
+    "sensitive attribute (lang) has < l distinct values. Same one-"
+    "aggregate shape as privacy_k_anonymity: COUNT(DISTINCT lang) rides "
+    "the QI-keyed combiner aggregate, the l sweep explodes only classes",
+    tags=("privacy", "governance"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    qi = docs.groupBy(
+        "source", F.expr("n_chars div 500").alias("len_bucket")
+    ).agg(
+        F.count_distinct("lang").alias("n_langs"),
+        F.count(F.lit(1)).alias("class_size"),
+    )
+    ls = qi.select(
+        F.explode(F.array(F.lit(2), F.lit(3))).alias("l"),
+        "n_langs",
+        "class_size",
+    )
+    return (
+        ls.groupBy("l")
+        .agg(
+            F.sum(F.when(F.col("n_langs") < F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below_l"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("n_langs") < F.col("l"), F.col("class_size"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+        .orderBy("l")
+    )

@@ -67,6 +67,8 @@ _SAMPLE_PRIORITY = [
     "privacy_k_anonymity",            # QI class-size release gate
     "dedup_keep_best",                # quality-aware canonical selection
     "sim_ann_recall",                 # in-engine IVF recall@k eval gate
+    "dedup_span_removal",             # token-level span cleanup accounting
+    "privacy_l_diversity",            # sensitive-value diversity gate
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed
