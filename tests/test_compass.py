@@ -405,3 +405,43 @@ def test_left_outer_validation_errors(spark):
         opt.plan(LEFT_OUTER_SQL, SF, outer={"c", "o"})
     with pytest.raises(ValueError, match="inner prefix"):
         opt.plan(LEFT_OUTER_SQL, SF, outer={"c", "o", "n"})
+
+
+def test_left_outer_inner_measure_scales_by_coalesced_multiplicity(spark):
+    """A measure on an INNER table below a LEFT OUTER join: unmatched
+    prefix rows keep their running sum × 1 (coalesce(cnt, 1)), matched
+    rows scale by the outer multiplicity — SUM(c.c_acctbal) over the
+    outer join, exactly."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import LEFT_OUTER_SQL
+
+    opt = CompassOptimizer(spark)
+    eager = opt.execute_count(
+        LEFT_OUTER_SQL, SF, measure=("c", "c_acctbal"), outer={"o"}
+    ).collect()[0]
+    raw = opt.execute_count(
+        LEFT_OUTER_SQL, SF, measure=("c", "c_acctbal"), outer={"o"},
+        eager=False,
+    ).collect()[0]
+    assert eager["cnt"] == raw["cnt"] > 0
+    assert abs(float(eager["agg_val"]) - float(raw["agg_val"])) < 1e-4
+
+
+def test_left_outer_count_distinct_skips_null_extension(spark):
+    """COUNT(DISTINCT o.col) below the outer join: null-extended rows
+    contribute no value (SQL's rule), which the set carrier honors
+    because collect_list drops the NULL arrays unmatched rows carry."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import LEFT_OUTER_SQL
+
+    opt = CompassOptimizer(spark)
+    eager = opt.execute_count(
+        LEFT_OUTER_SQL, SF, measure=("o", "o_orderpriority"),
+        measure_op="count_distinct", outer={"o"},
+    ).collect()[0]
+    raw = opt.execute_count(
+        LEFT_OUTER_SQL, SF, measure=("o", "o_orderpriority"),
+        measure_op="count_distinct", outer={"o"}, eager=False,
+    ).collect()[0]
+    assert eager["agg_val"] == raw["agg_val"] > 0
+    assert eager["cnt"] == raw["cnt"]
