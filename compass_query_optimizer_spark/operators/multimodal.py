@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from compass_query_optimizer_spark.catalog import load_tables
 from compass_query_optimizer_spark.registry import query
@@ -925,4 +926,136 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dups"),
         )
         .orderBy("phash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed multimodal curation pipeline — the image twin of
+# pipeline_pretrain: decode → perceptual-hash dedup (keep min doc per
+# hash) → integer brightness quality gate → per-source attrition. One
+# mapInPandas pass computes BOTH signals (the 64-bit aHash and the exact
+# total-luminance int) from one decode, payloads never cross an exchange,
+# and the funnel is two keyed aggregates — the plan shape a 100 TB image
+# crawl curation actually runs, with a model-scored quality column
+# swapping in for the brightness gate without touching the plan.
+# ---------------------------------------------------------------------------
+MM_BRIGHTNESS_MIN = 80000  # exact int threshold on the 1,152-byte sum
+
+PHASH_QC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.StringType()),
+        T.StructField("brightness", T.LongType()),
+    ]
+)
+
+
+def phash_and_brightness(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one decode yields the aHash AND the exact
+    integer total luminance (the two curation signals)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, hashes, bright = [], [], []
+        for doc_id, kind, payload in zip(pdf["doc_id"], pdf["kind"], pdf["payload"]):
+            img = decode_payload(kind, bytes(payload))
+            g = img.astype(np.int64).sum(axis=2)
+            blocks = g.reshape(8, 2, 8, 3).sum(axis=(1, 3))
+            total = int(g.sum())
+            bits = (blocks * 64 > total).reshape(-1)
+            ids.append(doc_id)
+            hashes.append("".join("1" if b else "0" for b in bits))
+            bright.append(total)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "phash": hashes,
+                "brightness": pd.array(bright, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "pipeline_multimodal",
+    f"""
+    WITH px AS (SELECT doc_id, repeat(md5(text), 36) AS p FROM documents),
+    tot AS (
+      SELECT doc_id, p,
+             list_sum(list_transform(range(1, {IMG_W * IMG_H * 3 + 1}),
+               i -> ascii(substr(p, CAST(i AS INTEGER), 1)))) AS total
+      FROM px
+    ),
+    blk AS (
+      SELECT t.doc_id, s.b AS b, t.total,
+             list_sum(list_transform(range(0, 18), j ->
+               ascii(substr(t.p,
+                 CAST(((((s.b // 8) * 2 + (j // 9)) * {IMG_W}
+                        + (s.b % 8) * 3 + ((j % 9) // 3)) * 3
+                       + (j % 3) + 1) AS INTEGER), 1)))) AS bsum
+      FROM tot t, UNNEST(range(0, 64)) AS s(b)
+    ),
+    h AS (
+      SELECT doc_id, ANY_VALUE(total) AS brightness,
+             string_agg(CASE WHEN bsum * 64 > total THEN '1' ELSE '0' END,
+                        '' ORDER BY b) AS phash
+      FROM blk GROUP BY doc_id
+    ),
+    keep AS (
+      SELECT h.doc_id, h.brightness, d.source,
+             ROW_NUMBER() OVER (PARTITION BY h.phash ORDER BY h.doc_id)
+                 AS rk
+      FROM h JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (rk = 1) AS BIGINT) AS n_after_dedup,
+           CAST(COUNT(*) FILTER (rk = 1 AND brightness >= {MM_BRIGHTNESS_MIN})
+                AS BIGINT) AS n_kept
+    FROM keep GROUP BY source ORDER BY source
+    """,
+    doc="composed multimodal curation: one decode pass yields the aHash "
+    "and exact integer brightness, perceptual dedup keeps the min doc "
+    "per hash, the brightness gate drops dim images, and the per-source "
+    "attrition funnel reports docs → after-dedup → kept. Payloads stay "
+    "in the scan stage; the funnel is keyed aggregates over 64-bit "
+    "hashes and int64 signals",
+    tags=("multimodal", "pipeline", "pandas-udf", "image"),
+)
+def pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    header = f"P6\n{IMG_W} {IMG_H}\n255\n"
+    payloads = docs.select(
+        "doc_id",
+        F.lit("image/ppm").alias("kind"),
+        F.encode(
+            F.concat(
+                F.lit(header), F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 36)
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    sig = payloads.mapInPandas(phash_and_brightness, schema=PHASH_QC_SCHEMA)
+    w = Window.partitionBy("phash").orderBy("doc_id")
+    keep = (
+        sig.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return (
+        keep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_after_dedup"),
+            F.sum(
+                F.when(
+                    (F.col("rk") == 1)
+                    & (F.col("brightness") >= MM_BRIGHTNESS_MIN),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
     )

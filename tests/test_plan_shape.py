@@ -278,7 +278,13 @@ def test_bloom_filter_build_side_is_bounded(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["mm_image_decode", "mm_audio_decode", "mm_video_frames", "mm_phash_dedup"],
+    [
+        "mm_image_decode",
+        "mm_audio_decode",
+        "mm_video_frames",
+        "mm_phash_dedup",
+        "pipeline_multimodal",
+    ],
 )
 def test_mm_decode_payloads_stay_in_scan_stage(spark, name):
     """Media payload bytes are built and consumed (mapInPandas decode) in
