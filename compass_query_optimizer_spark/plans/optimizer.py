@@ -107,23 +107,27 @@ def _measure_final(measure_op: str, col: str):
     return _MEASURE_FNS[measure_op](col)
 
 
-def _bitmap_seed_aggs(vmin: int, n_words: int) -> list:
+def _bitmap_seed_aggs(
+    vmin: int, n_words: int, mval: str = "__mval", prefix: str = "__agg"
+) -> list:
     """Per-table collapse for the bitmap count-distinct route (the
     reference's ``CountDistinctImplType::Bitmap``): each group's distinct
     values pack into ``n_words`` 64-bit words as set bits of the offset
     ``value - vmin``. Natively combiner-aggregated by ``bit_or`` — no
     array, no Python, fixed 8·n_words bytes per key at ANY row count.
-    NULL measures contribute no bits (COUNT(DISTINCT)'s NULL rule)."""
+    NULL measures contribute no bits (COUNT(DISTINCT)'s NULL rule).
+    ``mval``/``prefix`` name the source column and output channels so
+    several riding measures can coexist in one chain."""
     aggs = []
     for w in range(n_words):
-        off = f"(CAST(__mval AS BIGINT) - ({vmin}))"
+        off = f"(CAST({mval} AS BIGINT) - ({vmin}))"
         contrib = F.expr(
-            f"CASE WHEN __mval IS NOT NULL AND {off} >= {64 * w}"
+            f"CASE WHEN {mval} IS NOT NULL AND {off} >= {64 * w}"
             f" AND {off} < {64 * (w + 1)}"
             f" THEN shiftleft(CAST(1 AS BIGINT), CAST({off} - {64 * w} AS INT))"
             f" ELSE CAST(0 AS BIGINT) END"
         )
-        aggs.append(F.bit_or(contrib).alias(f"__agg{w}_new"))
+        aggs.append(F.bit_or(contrib).alias(f"{prefix}{w}_new"))
     return aggs
 
 
@@ -539,6 +543,7 @@ class CompassOptimizer:
         group_by: list[tuple[str, str]] | None = None,
         measure: tuple[str, str] | None = None,
         measure_op: str = "sum",
+        measures: list[tuple[str, str, str]] | None = None,
     ) -> DataFrame:
         """COUNT(*) of the join via eager aggregation (Yan & Larson,
         "Eager Aggregation and Lazy Aggregation", VLDB 1995; the groupjoin
@@ -606,29 +611,58 @@ class CompassOptimizer:
         sum/min/max yield NULL over the empty join, count_distinct yields
         0 (SQL semantics), matching the plain plan. Adds ``agg_val``
         before ``cnt`` to the output.
+
+        ``measures``: optional [(alias, col, op), ...] — SEVERAL riding
+        measures in ONE chain pass (mutually exclusive with ``measure``).
+        Each measure carries its own channel(s) through the same joins
+        and re-aggregations, so ``SELECT SUM(x), MIN(y), MAX(y), COUNT(*)
+        GROUP BY g`` over a multi-way join costs one planning pass and
+        one chain instead of one chain per aggregate. Output columns are
+        ``agg_val0..agg_valN`` in declaration order, then ``cnt``. The
+        plan-time routed carriers (auto/bitmap) stay single-measure —
+        their stats job and EXPLAIN record are per-plan.
         """
         import re as _re
 
         spec = plan.spec
         order = plan.search.order
 
+        if measures is not None and measure is not None:
+            raise ValueError("pass either measure or measures, not both")
+        single = measures is None
+        if single:
+            measures = [(measure[0], measure[1], measure_op)] if measure else []
         # count_distinct_auto / count_distinct_bitmap resolve to a concrete
         # carrier from plan-time measure stats (the reference's switch)
         bitmap: dict = {}
-        if measure is not None and measure_op in (
+        if single and measures and measures[0][2] in (
             "count_distinct_auto",
             "count_distinct_bitmap",
         ):
-            measure_op, bitmap = self._resolve_distinct_route(
-                plan, measure, measure_op
+            mal, mcol, _ = measures[0]
+            routed_op, bitmap = self._resolve_distinct_route(
+                plan, (mal, mcol), measures[0][2]
             )
-        # the riding measure may span several physical columns (one per
-        # bitmap word); every chain step below treats them uniformly
-        agg_names = (
-            [f"__agg{w}" for w in range(bitmap["n_words"])]
-            if measure_op == "count_distinct_bitmap"
-            else ["__agg"]
-        )
+            measures = [(mal, mcol, routed_op)]
+        for _, _, op in measures:
+            if op not in _MEASURE_OPS:
+                raise ValueError(f"unsupported measure_op {op!r}")
+            if not single and op in (
+                "count_distinct_auto",
+                "count_distinct_bitmap",
+            ):
+                raise ValueError(
+                    "auto/bitmap distinct routing is single-measure — its "
+                    "plan-time stats job and EXPLAIN record are per-plan"
+                )
+        # each riding measure may span several physical columns (one per
+        # bitmap word); every chain step below treats channels uniformly
+        channels: list[list[str]] = [
+            [f"__m{i}w{w}" for w in range(bitmap["n_words"])]
+            if op == "count_distinct_bitmap"
+            else [f"__m{i}"]
+            for i, (_, _, op) in enumerate(measures)
+        ]
 
         # columns each alias must expose: join-pred endpoints + residuals
         needed: dict[str, set[str]] = {a: set() for a in spec.tables}
@@ -661,22 +695,36 @@ class CompassOptimizer:
                 if c in f.columns
             ]
             aggs = [F.count(F.lit(1)).alias("__cnt_new")]
-            if measure is not None and alias == measure[0]:
-                # the measure column is aggregated, never grouped — select
-                # it under a private name so it can coincide with a key
-                keys = keys + [F.col(measure[1]).alias("__mval")]
-                if measure_op == "count_distinct_bitmap":
-                    aggs.extend(
-                        _bitmap_seed_aggs(bitmap["vmin"], bitmap["n_words"])
-                    )
-                else:
-                    aggs.append(
-                        _measure_seed(measure_op, "__mval").alias("__agg_new")
-                    )
+            own = [
+                (i, col, op)
+                for i, (al, col, op) in enumerate(measures)
+                if al == alias
+            ]
+            if own:
+                # measure columns are aggregated, never grouped — select
+                # them under private names so they can coincide with keys
+                keys = keys + [
+                    F.col(col).alias(f"__mval{i}") for i, col, _ in own
+                ]
+                for i, _, op in own:
+                    if op == "count_distinct_bitmap":
+                        aggs.extend(
+                            _bitmap_seed_aggs(
+                                bitmap["vmin"],
+                                bitmap["n_words"],
+                                mval=f"__mval{i}",
+                                prefix=f"__m{i}w",
+                            )
+                        )
+                    else:
+                        aggs.append(
+                            _measure_seed(op, f"__mval{i}").alias(
+                                f"__m{i}_new"
+                            )
+                        )
                 g = f.select(*keys)
-                agg = g.groupBy(
-                    *[c for c in g.columns if c != "__mval"]
-                ).agg(*aggs) if len(g.columns) > 1 else g.agg(*aggs)
+                gb = [c for c in g.columns if not c.startswith("__mval")]
+                agg = g.groupBy(*gb).agg(*aggs) if gb else g.agg(*aggs)
             else:
                 g = f.select(*keys) if keys else f
                 agg = (
@@ -692,9 +740,10 @@ class CompassOptimizer:
             frames[alias] = agg
 
         joined = frames[order[0]].withColumnRenamed("__cnt_new", "__cnt")
-        for nm in agg_names:
-            if f"{nm}_new" in joined.columns:
-                joined = joined.withColumnRenamed(f"{nm}_new", nm)
+        for chans in channels:
+            for nm in chans:
+                if f"{nm}_new" in joined.columns:
+                    joined = joined.withColumnRenamed(f"{nm}_new", nm)
         in_chain = {order[0]}
         remaining = set(order[1:])
         for alias in order[1:]:
@@ -728,25 +777,28 @@ class CompassOptimizer:
                 if is_outer
                 else F.col("__cnt_new")
             )
-            if measure is not None and alias == measure[0]:
-                # the incoming side owns the measure. sum: each prefix
-                # row's count multiplies the per-key sum (Σ x over the
-                # matching measure rows); min/max are duplicate-
-                # insensitive — the prefix count is irrelevant
-                for nm in agg_names:
+            for i, (mal, _, mop) in enumerate(measures):
+                if mal == alias:
+                    # the incoming side owns this measure. sum: each
+                    # prefix row's count multiplies the per-key sum (Σ x
+                    # over the matching measure rows); min/max/sets are
+                    # duplicate-insensitive — the prefix count is
+                    # irrelevant
+                    for nm in channels[i]:
+                        joined = joined.withColumn(
+                            nm,
+                            F.col("__cnt") * F.col(f"{nm}_new")
+                            if mop == "sum"
+                            else F.col(f"{nm}_new"),
+                        ).drop(f"{nm}_new")
+                elif channels[i][0] in joined.columns and mop == "sum":
+                    # measure already in the prefix: the partner's
+                    # multiplicity scales the running sum exactly as it
+                    # scales the count (min/max/sets pass through joins
+                    # untouched)
                     joined = joined.withColumn(
-                        nm,
-                        F.col("__cnt") * F.col(f"{nm}_new")
-                        if measure_op == "sum"
-                        else F.col(f"{nm}_new"),
-                    ).drop(f"{nm}_new")
-            elif "__agg" in joined.columns and measure_op == "sum":
-                # measure already in the prefix: the partner's multiplicity
-                # scales the running sum exactly as it scales the count
-                # (min/max pass through joins untouched)
-                joined = joined.withColumn(
-                    "__agg", F.col("__agg") * cnt_new
-                )
+                        channels[i][0], F.col(channels[i][0]) * cnt_new
+                    )
             joined = joined.withColumn(
                 "__cnt", F.col("__cnt") * cnt_new
             ).drop("__cnt_new")
@@ -771,11 +823,13 @@ class CompassOptimizer:
                 if al in in_chain:
                     keep.add(f"{al}__{col}")
             keep &= set(joined.columns)
-            if set(joined.columns) - keep - {"__cnt"} - set(agg_names):
+            all_chans = {nm for chans in channels for nm in chans}
+            if set(joined.columns) - keep - {"__cnt"} - all_chans:
                 aggs = [F.sum("__cnt").alias("__cnt")]
-                for nm in agg_names:
-                    if nm in joined.columns:
-                        aggs.append(_measure_reagg(measure_op, nm).alias(nm))
+                for i, (_, _, mop) in enumerate(measures):
+                    for nm in channels[i]:
+                        if nm in joined.columns:
+                            aggs.append(_measure_reagg(mop, nm).alias(nm))
                 if keep:
                     joined = joined.groupBy(*sorted(keep)).agg(*aggs)
                 elif remaining:
@@ -784,15 +838,16 @@ class CompassOptimizer:
         for residual in spec.post_filters:
             joined = joined.filter(_rewrite_residual(residual, spec))
         final_aggs = []
-        if measure is not None:
+        for i, (_, _, mop) in enumerate(measures):
             # SQL aggregate semantics: NULL over the empty join for
             # sum/min/max, 0 for count_distinct — like the plain plan and
             # the oracle (no coalesce; _measure_final encodes the split)
-            if measure_op == "count_distinct_bitmap":
-                final_aggs.append(_bitmap_final(agg_names).alias("agg_val"))
+            out = "agg_val" if single else f"agg_val{i}"
+            if mop == "count_distinct_bitmap":
+                final_aggs.append(_bitmap_final(channels[i]).alias(out))
             else:
                 final_aggs.append(
-                    _measure_final(measure_op, "__agg").alias("agg_val")
+                    _measure_final(mop, channels[i][0]).alias(out)
                 )
         if group_by:
             return joined.groupBy(
@@ -816,6 +871,7 @@ class CompassOptimizer:
         measure: tuple[str, str] | None = None,
         measure_op: str = "sum",
         outer: set[str] | None = None,
+        measures: list[tuple[str, str, str]] | None = None,
     ) -> DataFrame:
         """The reference's benchmark form: COUNT(*) of the join.
 
@@ -850,32 +906,42 @@ class CompassOptimizer:
             eager = os.environ.get("SPARK_GRAFT_EAGER_COUNT", "1") != "0"
         if eager:
             return self.build_count_join(
-                plan, group_by=group_by, measure=measure, measure_op=measure_op
+                plan,
+                group_by=group_by,
+                measure=measure,
+                measure_op=measure_op,
+                measures=measures,
             )
         joined = self.build_join(plan)
-        aggs = []
-        if measure is not None:
-            mcol = F.col(f"{measure[0]}__{measure[1]}")
-            if measure_op in (
+
+        def raw_agg(mal: str, mcol_name: str, mop: str, out: str):
+            mcol = F.col(f"{mal}__{mcol_name}")
+            if mop in (
                 "count_distinct",
                 "count_distinct_bitmap",
                 "count_distinct_auto",
             ):
                 # the raw join computes exact COUNT(DISTINCT) directly —
                 # carrier routing only exists inside the eager chain
-                aggs.append(F.count_distinct(mcol).cast("long").alias("agg_val"))
-            elif measure_op == "sum_distinct":
-                aggs.append(
-                    F.sum_distinct(mcol).cast("double").alias("agg_val")
-                )
-            elif measure_op == "count_distinct_hll":
-                aggs.append(
+                return F.count_distinct(mcol).cast("long").alias(out)
+            if mop == "sum_distinct":
+                return F.sum_distinct(mcol).cast("double").alias(out)
+            if mop == "count_distinct_hll":
+                return (
                     F.hll_sketch_estimate(F.hll_sketch_agg(mcol))
                     .cast("long")
-                    .alias("agg_val")
+                    .alias(out)
                 )
-            else:
-                aggs.append(_MEASURE_FNS[measure_op](mcol).alias("agg_val"))
+            return _MEASURE_FNS[mop](mcol).alias(out)
+
+        aggs = []
+        if measure is not None:
+            aggs.append(raw_agg(measure[0], measure[1], measure_op, "agg_val"))
+        elif measures:
+            aggs.extend(
+                raw_agg(mal, mcol, mop, f"agg_val{i}")
+                for i, (mal, mcol, mop) in enumerate(measures)
+            )
         if group_by:
             return joined.groupBy(
                 *[F.col(f"{al}__{col}").alias(col) for al, col in group_by]

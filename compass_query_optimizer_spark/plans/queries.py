@@ -722,3 +722,59 @@ def compass_grouped_count_left_outer(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("n_name")
     )
+
+
+# Several riding measures in ONE chain pass: compass_grouped_minmax runs
+# one chain per extreme and joins the results; the multi-measure chain
+# carries every aggregate's channel through the SAME joins and
+# re-aggregations, so SUM + MIN + MAX + COUNT over the 4-way join costs
+# one planning pass and one scan of each table.
+MULTI_MEASURE_ORACLE = """
+SELECT n.n_name,
+       ROUND(CAST(SUM(l.l_extendedprice) AS DOUBLE), 2) AS sum_rev,
+       ROUND(CAST(MIN(l.l_extendedprice) AS DOUBLE), 2) AS min_price,
+       ROUND(CAST(MAX(l.l_extendedprice) AS DOUBLE), 2) AS max_price,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query(
+    "compass_multi_measure",
+    MULTI_MEASURE_ORACLE,
+    doc="grouped SUM + MIN + MAX + COUNT in ONE eager chain pass: each "
+    "measure rides its own channel through the same collapsed joins and "
+    "re-aggregations (sum scales by partner multiplicity, extremes pass "
+    "untouched), so a multi-aggregate report costs one planning pass and "
+    "ONE scan per table — where the per-measure form runs a chain per "
+    "aggregate and joins the results. Plan-locked to a single lineitem "
+    "scan",
+    tags=("compass", "join", "grouped", "multi-measure"),
+)
+def compass_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        GROUPED_COUNT_SQL,
+        sf_dir,
+        group_by=[("n", "n_name")],
+        measures=[
+            ("l", "l_extendedprice", "sum"),
+            ("l", "l_extendedprice", "min"),
+            ("l", "l_extendedprice", "max"),
+        ],
+    )
+    return df.select(
+        "n_name",
+        F.round(F.col("agg_val0").cast("double"), 2).alias("sum_rev"),
+        F.round(F.col("agg_val1").cast("double"), 2).alias("min_price"),
+        F.round(F.col("agg_val2").cast("double"), 2).alias("max_price"),
+        "cnt",
+    ).orderBy("n_name")

@@ -445,3 +445,43 @@ def test_left_outer_count_distinct_skips_null_extension(spark):
     ).collect()[0]
     assert eager["agg_val"] == raw["agg_val"] > 0
     assert eager["cnt"] == raw["cnt"]
+
+
+def test_multi_measure_eager_matches_raw(spark):
+    """All channels of a multi-measure chain must agree with the raw join
+    — and with the single-measure chains they replace."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import GROUPED_COUNT_SQL
+
+    opt = CompassOptimizer(spark)
+    ms = [
+        ("l", "l_extendedprice", "sum"),
+        ("l", "l_extendedprice", "min"),
+        ("l", "l_extendedprice", "max"),
+    ]
+    eager = opt.execute_count(GROUPED_COUNT_SQL, SF, measures=ms).collect()[0]
+    raw = opt.execute_count(
+        GROUPED_COUNT_SQL, SF, measures=ms, eager=False
+    ).collect()[0]
+    assert eager["cnt"] == raw["cnt"] > 0
+    for i in range(3):
+        assert abs(
+            float(eager[f"agg_val{i}"]) - float(raw[f"agg_val{i}"])
+        ) < 1e-4
+    single = opt.execute_count(
+        GROUPED_COUNT_SQL, SF, measure=("l", "l_extendedprice")
+    ).collect()[0]
+    assert abs(float(eager["agg_val0"]) - float(single["agg_val"])) < 1e-4
+
+
+def test_multi_measure_rejects_routed_carriers(spark):
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import GROUPED_COUNT_SQL
+
+    opt = CompassOptimizer(spark)
+    with pytest.raises(ValueError, match="single-measure"):
+        opt.execute_count(
+            GROUPED_COUNT_SQL,
+            SF,
+            measures=[("l", "l_extendedprice", "count_distinct_auto")],
+        )

@@ -461,3 +461,14 @@ def test_pivot_is_one_aggregate_no_discovery_job(spark):
     plan = formatted_plan(spark, "q41_pivot")
     assert plan.count("Scan parquet") == 2  # tree + detail of ONE scan
     assert "Join" not in plan
+
+
+def test_multi_measure_chain_scans_each_table_once(spark):
+    """SUM + MIN + MAX + COUNT must ride ONE chain: exactly one scan per
+    base table (formatted mode prints tree + detail → 2 mentions each),
+    with all three partial aggregate kinds in the same plan — never a
+    chain per measure joined at the end."""
+    plan = formatted_plan(spark, "compass_multi_measure")
+    assert plan.count("Scan parquet") == 8  # 4 tables × (tree + detail)
+    assert "partial_sum" in plan
+    assert "partial_min" in plan and "partial_max" in plan
