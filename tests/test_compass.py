@@ -485,3 +485,29 @@ def test_multi_measure_rejects_routed_carriers(spark):
             SF,
             measures=[("l", "l_extendedprice", "count_distinct_auto")],
         )
+
+
+def test_multi_measure_below_left_outer(spark):
+    """Multi-measure channels and null-extension multiplicity compose:
+    SUM + MIN + MAX of the outer side below the LEFT OUTER join, each
+    channel skipping the NULLs null-extension produces."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import LEFT_OUTER_SQL
+
+    opt = CompassOptimizer(spark)
+    ms = [
+        ("o", "o_totalprice", "sum"),
+        ("o", "o_totalprice", "min"),
+        ("o", "o_totalprice", "max"),
+    ]
+    eager = opt.execute_count(
+        LEFT_OUTER_SQL, SF, measures=ms, outer={"o"}
+    ).collect()[0]
+    raw = opt.execute_count(
+        LEFT_OUTER_SQL, SF, measures=ms, outer={"o"}, eager=False
+    ).collect()[0]
+    assert eager["cnt"] == raw["cnt"] > 0
+    for i in range(3):
+        assert abs(
+            float(eager[f"agg_val{i}"]) - float(raw[f"agg_val{i}"])
+        ) < 1e-4
