@@ -46,6 +46,7 @@ from compass_query_optimizer_spark.plans.search import (
 _MEASURE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
 _MEASURE_OPS = (
     "sum",
+    "count",
     "min",
     "max",
     "count_distinct",
@@ -54,6 +55,9 @@ _MEASURE_OPS = (
     "count_distinct_auto",
     "sum_distinct",
 )
+# class-1 ops: multiplicity-scaled riders (COUNT(col) is SUM of per-key
+# non-null counts — Yan & Larson treat it exactly like SUM)
+_SCALED_OPS = ("sum", "count")
 
 
 def _measure_seed(measure_op: str, col: str):
@@ -71,6 +75,10 @@ def _measure_seed(measure_op: str, col: str):
         return F.collect_set(col)
     if measure_op == "count_distinct_hll":
         return F.hll_sketch_agg(col)
+    if measure_op == "count":
+        # COUNT(col): per-key NON-NULL count — rides the chain as a
+        # class-1 sum (multiplicity-scaled, summed at re-aggregations)
+        return F.count(col)
     return _MEASURE_FNS[measure_op](col)
 
 
@@ -82,6 +90,8 @@ def _measure_reagg(measure_op: str, col: str):
         return F.hll_union_agg(col)
     if measure_op == "count_distinct_bitmap":
         return F.bit_or(col)
+    if measure_op == "count":
+        return F.sum(col)
     return _MEASURE_FNS[measure_op](col)
 
 
@@ -104,6 +114,9 @@ def _measure_final(measure_op: str, col: str):
         return F.when(F.size(u) > 0, s)
     if measure_op == "count_distinct_hll":
         return F.hll_sketch_estimate(F.hll_union_agg(col)).cast("long")
+    if measure_op == "count":
+        # COUNT(col) is 0 over the empty join, like COUNT(*)
+        return F.coalesce(F.sum(col), F.lit(0)).cast("long")
     return _MEASURE_FNS[measure_op](col)
 
 
@@ -788,10 +801,10 @@ class CompassOptimizer:
                         joined = joined.withColumn(
                             nm,
                             F.col("__cnt") * F.col(f"{nm}_new")
-                            if mop == "sum"
+                            if mop in _SCALED_OPS
                             else F.col(f"{nm}_new"),
                         ).drop(f"{nm}_new")
-                elif channels[i][0] in joined.columns and mop == "sum":
+                elif channels[i][0] in joined.columns and mop in _SCALED_OPS:
                     # measure already in the prefix: the partner's
                     # multiplicity scales the running sum exactly as it
                     # scales the count (min/max/sets pass through joins
@@ -932,6 +945,8 @@ class CompassOptimizer:
                     .cast("long")
                     .alias(out)
                 )
+            if mop == "count":
+                return F.count(mcol).cast("long").alias(out)
             return _MEASURE_FNS[mop](mcol).alias(out)
 
         aggs = []

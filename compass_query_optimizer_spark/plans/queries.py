@@ -778,3 +778,64 @@ def compass_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("agg_val2").cast("double"), 2).alias("max_price"),
         "cnt",
     ).orderBy("n_name")
+
+
+# AVG below a LEFT OUTER join needs COUNT(col), not COUNT(*): the
+# null-extended rows count toward the join's multiplicity but NOT toward
+# AVG's denominator. The `count` measure op (class-1: per-key non-null
+# count riding as a multiplicity-scaled sum) supplies the denominator;
+# one multi-measure chain carries SUM and COUNT(col) together and the
+# division happens on the 25-row grouped result.
+AVG_LEFT_OUTER_ORACLE = """
+SELECT n.n_name,
+       ROUND(CAST(AVG(o.o_totalprice) AS DOUBLE), 2) AS avg_open,
+       CAST(COUNT(o.o_totalprice) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN orders o
+  ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+WHERE n.n_regionkey <= 2
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query(
+    "compass_avg_left_outer",
+    AVG_LEFT_OUTER_ORACLE,
+    doc="AVG below the LEFT OUTER join via one multi-measure chain: "
+    "SUM(o_totalprice) and COUNT(o_totalprice) ride together, and AVG = "
+    "sum/count divides on the grouped result — COUNT(col), not "
+    "COUNT(*), because null-extended rows count toward the join's "
+    "multiplicity but not AVG's denominator. The `count` op is Yan & "
+    "Larson class-1: a per-key non-null count scaled by partner "
+    "multiplicity exactly like SUM",
+    tags=("compass", "join", "outer", "avg", "multi-measure"),
+)
+def compass_avg_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        LEFT_OUTER_SQL,
+        sf_dir,
+        group_by=[("n", "n_name")],
+        measures=[
+            ("o", "o_totalprice", "sum"),
+            ("o", "o_totalprice", "count"),
+        ],
+        outer={"o"},
+    )
+    return df.select(
+        "n_name",
+        F.round(
+            F.when(
+                F.col("agg_val1") > 0, F.col("agg_val0") / F.col("agg_val1")
+            ).cast("double"),
+            2,
+        ).alias("avg_open"),
+        F.col("agg_val1").cast("long").alias("n_orders"),
+        "cnt",
+    ).orderBy("n_name")

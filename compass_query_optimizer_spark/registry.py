@@ -71,6 +71,7 @@ _SAMPLE_PRIORITY = [
     "privacy_l_diversity",            # sensitive-value diversity gate
     "pipeline_multimodal",            # decode→phash dedup→QC funnel
     "compass_multi_measure",          # SUM+MIN+MAX+COUNT in one chain pass
+    "compass_avg_left_outer",         # AVG below outer via COUNT(col) rider
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed

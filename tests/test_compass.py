@@ -511,3 +511,37 @@ def test_multi_measure_below_left_outer(spark):
         assert abs(
             float(eager[f"agg_val{i}"]) - float(raw[f"agg_val{i}"])
         ) < 1e-4
+
+
+def test_count_measure_op_matches_raw_and_scales(spark):
+    """COUNT(col) as a class-1 rider: per-key non-null counts scale by
+    partner multiplicity exactly like SUM — including below the outer
+    join, where COUNT(col) < COUNT(*) whenever unmatched rows exist."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import (
+        GROUPED_COUNT_SQL,
+        LEFT_OUTER_SQL,
+    )
+
+    opt = CompassOptimizer(spark)
+    # inner: COUNT(col) == COUNT(*) when the column is never null
+    eager = opt.execute_count(
+        GROUPED_COUNT_SQL, SF, measure=("l", "l_extendedprice"),
+        measure_op="count",
+    ).collect()[0]
+    raw = opt.execute_count(
+        GROUPED_COUNT_SQL, SF, measure=("l", "l_extendedprice"),
+        measure_op="count", eager=False,
+    ).collect()[0]
+    assert eager["agg_val"] == raw["agg_val"] == eager["cnt"] > 0
+    # outer: COUNT(col) counts only matched rows, COUNT(*) counts all
+    outer = opt.execute_count(
+        LEFT_OUTER_SQL, SF, measure=("o", "o_totalprice"),
+        measure_op="count", outer={"o"},
+    ).collect()[0]
+    outer_raw = opt.execute_count(
+        LEFT_OUTER_SQL, SF, measure=("o", "o_totalprice"),
+        measure_op="count", outer={"o"}, eager=False,
+    ).collect()[0]
+    assert outer["agg_val"] == outer_raw["agg_val"]
+    assert outer["agg_val"] < outer["cnt"]
