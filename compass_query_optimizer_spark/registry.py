@@ -72,6 +72,7 @@ _SAMPLE_PRIORITY = [
     "pipeline_multimodal",            # decode→phash dedup→QC funnel
     "compass_multi_measure",          # SUM+MIN+MAX+COUNT in one chain pass
     "compass_avg_left_outer",         # AVG below outer via COUNT(col) rider
+    "stream_stream_left_join",        # outer stream join, watermark-pinned
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed

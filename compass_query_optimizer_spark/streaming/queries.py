@@ -651,3 +651,147 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join: the inner interval join above plus
+# null-extension for purchases that never saw a qualifying click. Outer
+# results cannot emit eagerly — Spark holds an unmatched left row in state
+# until the GLOBAL watermark (the MINIMUM across both input streams of
+# max-event-time − delay) passes its eviction point, then emits it
+# null-extended exactly once. Purchases younger than the final global
+# watermark are WITHHELD at stream end (they might still match a future
+# click); the oracle reproduces that exact rule from the two max-ts
+# scalars, so the gate pins WHICH rows are withheld, not just counts.
+# Two availableNow drains against one checkpoint prove the join state
+# survives restart, like stream_late_data_drop.
+# ---------------------------------------------------------------------------
+_SS_LEFT_ORACLE = """
+WITH p AS (SELECT user_id AS u, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id AS u, ts FROM events WHERE event_type = 'click'),
+wm AS (
+  SELECT LEAST(
+      (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+      (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+    ) - INTERVAL 1 HOUR AS g
+),
+lj AS (
+  SELECT p.u, p.ts, c.ts AS cts FROM p LEFT JOIN c
+    ON p.u = c.u AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+),
+emitted AS (
+  SELECT u, cts FROM lj, wm WHERE cts IS NOT NULL OR ts < wm.g
+)
+SELECT u AS user_id,
+       CAST(COUNT(cts) AS BIGINT) AS n_matched,
+       CAST(COUNT(*) FILTER (cts IS NULL) AS BIGINT) AS n_unmatched
+FROM emitted GROUP BY u ORDER BY u
+"""
+
+
+@query(
+    "stream_stream_left_join",
+    _SS_LEFT_ORACLE,
+    doc="stream-stream LEFT OUTER interval join: matched purchase-click "
+    "pairs emit immediately; unmatched purchases emit null-extended "
+    "only after the GLOBAL watermark (min across both streams of "
+    "max-event-time − 1h) evicts their state, and purchases younger "
+    "than the final watermark stay withheld — the oracle derives the "
+    "same emission rule from the two max-ts scalars, pinning the "
+    "semantics. Runs as two availableNow drains against one checkpoint, "
+    "so buffered join state provably survives restart",
+    tags=("streaming", "join", "outer", "watermark"),
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from compass_query_optimizer_spark.catalog import load_tables
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast(T.TimestampType()).alias("ts"),
+        "event_type",
+    )
+    split = ev.agg(
+        F.date_add(F.min(F.col("ts").cast("date")), 2).alias("d")
+    ).collect()[0]["d"]
+    early = F.col("ts") < F.lit(split).cast("timestamp")
+
+    root = tempfile.mkdtemp(prefix="ss_left_")
+    src_dir = os.path.join(root, "arrivals")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def drain() -> None:
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        p = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "1 hour")
+        )
+        c = (
+            src.filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "1 hour")
+        )
+        j = p.join(
+            c,
+            F.expr(
+                "p_user = c_user AND "
+                "c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts < p_ts"
+            ),
+            "leftOuter",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def stage(df, name: str) -> None:
+        scratch = os.path.join(root, f"scratch_{name}")
+        df.coalesce(1).write.parquet(scratch, mode="overwrite")
+        part = next(
+            f
+            for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        shutil.move(os.path.join(scratch, part), os.path.join(src_dir, name))
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    try:
+        stage(ev.filter(early), "batch1.parquet")
+        drain()
+        stage(ev.filter(~early), "batch2.parquet")
+        drain()
+        return (
+            spark.read.parquet(out_dir)
+            .groupBy(F.col("p_user").alias("user_id"))
+            .agg(
+                F.count("c_user").alias("n_matched"),
+                F.sum(F.when(F.col("c_user").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_unmatched"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint()  # materialize before the staging dir dies
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

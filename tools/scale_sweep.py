@@ -49,6 +49,8 @@ SWEEP_OPS = [
     "sim_ann_ivfpq",
     "text_winnowing",
     "dedup_substring_spans",
+    "dedup_span_removal",
+    "dedup_keep_best",
 ]
 
 
