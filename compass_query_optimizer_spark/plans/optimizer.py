@@ -388,6 +388,7 @@ class CompassOptimizer:
         group_by: list[tuple[str, str]] | None = None,
         measure: tuple[str, str] | None = None,
         measure_op: str = "sum",
+        measures: list[tuple[str, str, str]] | None = None,
     ) -> str:
         """Human-readable plan report — the engine's analog of the
         reference's EXPLAIN / EXPLAIN CALCITE surface (MapDHandler.cpp
@@ -403,7 +404,10 @@ class CompassOptimizer:
         of the row-producing join, with ``measure``/``measure_op``/
         ``group_by`` selecting the measure-algebra variant so the eager
         SUM/MIN/MAX/COUNT-DISTINCT/AVG plans are inspectable."""
-        lines = [f"COMPASS plan: {' ⋈ '.join(plan.search.order)}"]
+        order_syms = [
+            f"⟕ {a}" if a in plan.spec.outer else a for a in plan.search.order
+        ]
+        lines = [f"COMPASS plan: {' ⋈ '.join(order_syms).replace('⋈ ⟕', '⟕')}"]
         mode = "fallback (size-descending)" if plan.search.fallback else "sketch search"
         lines.append(
             f"  mode={mode}  cost={plan.search.cost:.1f}"
@@ -443,6 +447,11 @@ class CompassOptimizer:
             desc = "count(*)"
             if measure is not None:
                 desc = f"{measure_op}({measure[0]}.{measure[1]}) + count(*)"
+            elif measures:
+                desc = (
+                    " + ".join(f"{op}({al}.{col})" for al, col, op in measures)
+                    + " + count(*)  [one chain, one channel per measure]"
+                )
             if group_by:
                 desc += " group by " + ", ".join(
                     f"{al}.{col}" for al, col in group_by
@@ -467,11 +476,18 @@ class CompassOptimizer:
                     f" exact ≤{self.config.distinct_exact_max_ndv} ndv,"
                     " else hll)"
                 )
+        if plan.spec.outer:
+            lines.append(
+                "  outer: "
+                + ", ".join(sorted(plan.spec.outer))
+                + " null-extend at the chain tail"
+                " (multiplicity = coalesce(cnt, 1))"
+            )
         if physical:
             df = (
                 self.build_count_join(
                     plan, group_by=group_by, measure=measure,
-                    measure_op=measure_op,
+                    measure_op=measure_op, measures=measures,
                 )
                 if count
                 else self.build_join(plan)

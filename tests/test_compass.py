@@ -545,3 +545,20 @@ def test_count_measure_op_matches_raw_and_scales(spark):
     ).collect()[0]
     assert outer["agg_val"] == outer_raw["agg_val"]
     assert outer["agg_val"] < outer["cnt"]
+
+
+def test_explain_reports_outer_and_multi_measure(spark):
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import LEFT_OUTER_SQL
+
+    opt = CompassOptimizer(spark)
+    plan = opt.plan(LEFT_OUTER_SQL, SF, outer={"o"})
+    rpt = opt.explain(
+        plan,
+        count=True,
+        measures=[("o", "o_totalprice", "sum"), ("o", "o_totalprice", "count")],
+    )
+    assert "⟕ o" in rpt  # the outer alias is marked in the order line
+    assert "null-extend at the chain tail" in rpt
+    assert "sum(o.o_totalprice) + count(o.o_totalprice)" in rpt
+    assert "one chain, one channel per measure" in rpt
