@@ -1475,3 +1475,85 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental span novelty: the standing-index form of duplicate-span
+# scoring (the third incremental dedup flavor next to exact fingerprints
+# and banded MinHash). The standing corpus folds ONCE into a distinct
+# window-hash index — persistable, O(corpus tokens) rows of 16-byte keys —
+# and each arrival batch probes it with one equi-join: per new document,
+# how much of it already exists verbatim in the corpus. This is how the
+# span cleanup actually deploys on a continuous crawl: the index is
+# precomputed, only arrivals re-tokenize.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_incremental_spans",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + {SPAN_W - 1}), ' ')) AS wk
+      FROM tok, UNNEST(range(1, len(toks) - {SPAN_W - 2})) AS s(i)
+      WHERE len(toks) >= {SPAN_W}
+    ),
+    idx AS (SELECT DISTINCT wk FROM win WHERE doc_id % 3 != 0),
+    arr AS (SELECT doc_id, wk FROM win WHERE doc_id % 3 = 0)
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN i.wk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seen,
+           ROUND(SUM(CASE WHEN i.wk IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS seen_frac
+    FROM arr a LEFT JOIN idx i USING (wk)
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+    doc="incremental span novelty: arrivals (doc_id % 3 = 0) probe the "
+    "standing corpus's distinct window-hash index with one equi-join — "
+    "per new doc, the fraction of its 8-token windows already in the "
+    "corpus. The index is the persistable artifact; only arrivals "
+    "re-tokenize. Completes the incremental trio (exact fingerprint, "
+    "banded MinHash, span index)",
+    tags=("dedup", "spans", "incremental"),
+)
+def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    wins = (
+        spread(t["documents"])
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= SPAN_W,
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {SPAN_W - 1}),"
+                        f" i -> md5(array_join(slice(toks, i, {SPAN_W}), ' ')))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("wk"),
+        )
+    )
+    idx = (
+        wins.filter(F.col("doc_id") % 3 != 0).select("wk").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    arr = wins.filter(F.col("doc_id") % 3 == 0)
+    return (
+        arr.join(idx, "wk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_seen"),
+        )
+        .withColumn(
+            "seen_frac", F.round(F.col("n_seen") / F.col("n_windows"), 6)
+        )
+        .orderBy("doc_id")
+    )

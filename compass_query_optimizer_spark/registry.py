@@ -73,6 +73,8 @@ _SAMPLE_PRIORITY = [
     "compass_multi_measure",          # SUM+MIN+MAX+COUNT in one chain pass
     "compass_avg_left_outer",         # AVG below outer via COUNT(col) rider
     "stream_stream_left_join",        # outer stream join, watermark-pinned
+    "dedup_incremental_spans",        # standing span index probe
+    "q43_grouping_sets",              # explicit GROUPING SETS lattice
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed

@@ -1599,3 +1599,41 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY depth ORDER BY depth
         """
     )
+
+
+@query(
+    "q43_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    ORDER BY g_status, g_prio,
+             o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="explicit GROUPING SETS (the lattice CUBE and ROLLUP are sugar "
+    "for): exactly three chosen groupings in ONE Expand+hash-agg pass, "
+    "with GROUPING() markers disambiguating real NULLs from subtotal "
+    "rows. Completes the grouping trio with q27 (ROLLUP) and q35 "
+    "(CUBE); NULLS FIRST pinned on both engines because their default "
+    "null sort order differs",
+    tags=("agg", "grouping-sets", "beyond-parity"),
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY g_status, g_prio,
+                 o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
