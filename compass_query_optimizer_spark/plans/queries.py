@@ -839,3 +839,56 @@ def compass_avg_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("agg_val1").cast("long").alias("n_orders"),
         "cnt",
     ).orderBy("n_name")
+
+
+# Measures owned by DIFFERENT aliases in one chain: lineitem's SUM and
+# orders' MIN/COUNT each seed on their own table's collapse and meet in
+# the shared chain — the general groupjoin shape (a revenue sum and an
+# order-value floor in one report) that per-measure chains would pay two
+# planning passes for.
+CROSS_TABLE_MEASURES_ORACLE = """
+SELECT n.n_name,
+       ROUND(CAST(SUM(l.l_extendedprice) AS DOUBLE), 2) AS sum_rev,
+       ROUND(CAST(MIN(o.o_totalprice) AS DOUBLE), 2) AS min_order,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l, orders o, customer c, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n.n_nationkey
+  AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query(
+    "compass_cross_table_measures",
+    CROSS_TABLE_MEASURES_ORACLE,
+    doc="measures owned by DIFFERENT aliases in ONE chain: "
+    "SUM(l.l_extendedprice) seeds on lineitem's collapse, "
+    "MIN(o.o_totalprice) on orders', and both channels ride the shared "
+    "joins — the sum scaling by every partner's multiplicity (including "
+    "orders'), the extreme passing untouched. One planning pass, one "
+    "scan per table, where per-measure chains would run the pipeline "
+    "twice",
+    tags=("compass", "join", "grouped", "multi-measure"),
+)
+def compass_cross_table_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    df = CompassOptimizer(spark).execute_count(
+        GROUPED_COUNT_SQL,
+        sf_dir,
+        group_by=[("n", "n_name")],
+        measures=[
+            ("l", "l_extendedprice", "sum"),
+            ("o", "o_totalprice", "min"),
+        ],
+    )
+    return df.select(
+        "n_name",
+        F.round(F.col("agg_val0").cast("double"), 2).alias("sum_rev"),
+        F.round(F.col("agg_val1").cast("double"), 2).alias("min_order"),
+        "cnt",
+    ).orderBy("n_name")

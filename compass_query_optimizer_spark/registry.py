@@ -71,6 +71,7 @@ _SAMPLE_PRIORITY = [
     "privacy_l_diversity",            # sensitive-value diversity gate
     "pipeline_multimodal",            # decode→phash dedup→QC funnel
     "compass_multi_measure",          # SUM+MIN+MAX+COUNT in one chain pass
+    "compass_cross_table_measures",   # measures from different aliases
     "compass_avg_left_outer",         # AVG below outer via COUNT(col) rider
     "stream_stream_left_join",        # outer stream join, watermark-pinned
     "dedup_incremental_spans",        # standing span index probe

@@ -562,3 +562,21 @@ def test_explain_reports_outer_and_multi_measure(spark):
     assert "null-extend at the chain tail" in rpt
     assert "sum(o.o_totalprice) + count(o.o_totalprice)" in rpt
     assert "one chain, one channel per measure" in rpt
+
+
+def test_cross_table_measures_eager_matches_raw(spark):
+    """Measures owned by different aliases: each seeds on its own table's
+    collapse; the sum scales by the OTHER measure table's multiplicity
+    too, the extreme never scales."""
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.queries import GROUPED_COUNT_SQL
+
+    opt = CompassOptimizer(spark)
+    ms = [("l", "l_extendedprice", "sum"), ("o", "o_totalprice", "min")]
+    eager = opt.execute_count(GROUPED_COUNT_SQL, SF, measures=ms).collect()[0]
+    raw = opt.execute_count(
+        GROUPED_COUNT_SQL, SF, measures=ms, eager=False
+    ).collect()[0]
+    assert eager["cnt"] == raw["cnt"] > 0
+    assert abs(float(eager["agg_val0"]) - float(raw["agg_val0"])) < 1e-4
+    assert abs(float(eager["agg_val1"]) - float(raw["agg_val1"])) < 1e-6
