@@ -95,6 +95,7 @@ HEADLINE = [
     "emb_random_projection",      # JL ±1 projection + lemma audit
     "compass_count_left_outer",   # eager algebra below a LEFT OUTER join
     "dedup_substring_spans",      # Lee et al. duplicate-span inverted index
+    "compass_multi_measure",      # SUM+MIN+MAX+COUNT in one chain pass
 ]
 
 MAX_WORKERS = 6  # A/B worker threads; per_query walls are N-way-concurrent
