@@ -1307,3 +1307,86 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS graph distances over a behavior graph — the third graph primitive
+# next to min-label and alternating-star connected components: hop
+# distance from a seed user over the co-purchase graph (users purchasing
+# in the same hour are linked). Classic iterative frontier expansion: one
+# keyed join + one min-aggregate + one anti-join per round, rows per
+# round bounded by unvisited nodes (never path counts — a recursive
+# UNION ALL would enumerate 36^8 paths on this graph). Hop-limited to
+# BFS_MAX_HOPS on BOTH engines: at 100 TB you bound rounds anyway, and
+# the cap makes the oracle's recursion terminate identically. Edge
+# generation is an hour-bucketed self-join — pairs per bucket bounded by
+# per-hour purchaser count (9 here; cap or sample hot buckets on a real
+# corpus, as dedup's band joins do).
+# ---------------------------------------------------------------------------
+BFS_MAX_HOPS = 8
+
+
+@query(
+    "events_graph_distances",
+    f"""
+    WITH RECURSIVE p AS (
+      SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT a.u AS ua, b.u AS ub FROM p a JOIN p b ON a.h = b.h AND a.u <> b.u
+    ),
+    seed AS (SELECT MIN(ua) AS s FROM e),
+    bfs(u, d) AS (
+      SELECT s, 0 FROM seed
+      UNION
+      SELECT e.ub, bfs.d + 1 FROM e JOIN bfs ON e.ua = bfs.u
+      WHERE bfs.d < {BFS_MAX_HOPS}
+    )
+    SELECT u AS user_id, CAST(MIN(d) AS INTEGER) AS dist
+    FROM bfs GROUP BY u ORDER BY u
+    """,
+    doc="BFS hop distances from the minimum-id user over the hourly "
+    "co-purchase graph, hop-limited to "
+    f"{BFS_MAX_HOPS}: the Spark side runs iterative frontier expansion "
+    "(join + min-agg + anti-join per round, rows bounded by unvisited "
+    "nodes), the oracle a depth-capped recursive CTE — same distances. "
+    "Completes the graph family next to the two connected-components "
+    "algorithms",
+    tags=("graph", "iterative", "temporal"),
+)
+def events_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+    )
+    a = p.select(F.col("user_id").alias("ua"), "h")
+    b = p.select(F.col("user_id").alias("ub"), "h")
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("ua") != F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed = edges.agg(F.min("ua").alias("user_id")).select(
+        "user_id", F.lit(0).cast("int").alias("dist")
+    )
+    dist = seed.localCheckpoint(eager=True)
+    frontier = dist
+    for k in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["user_id"] == edges["ua"])
+            .select(F.col("ub").alias("user_id"))
+            .distinct()
+            .withColumn("dist", F.lit(k).cast("int"))
+        )
+        new = nxt.join(dist.select("user_id"), "user_id", "left_anti")
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return dist.orderBy("user_id")

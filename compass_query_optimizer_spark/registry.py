@@ -76,6 +76,7 @@ _SAMPLE_PRIORITY = [
     "stream_stream_left_join",        # outer stream join, watermark-pinned
     "dedup_incremental_spans",        # standing span index probe
     "q43_grouping_sets",              # explicit GROUPING SETS lattice
+    "events_graph_distances",         # hop-capped BFS over behavior graph
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed
