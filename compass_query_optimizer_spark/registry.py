@@ -77,6 +77,7 @@ _SAMPLE_PRIORITY = [
     "dedup_incremental_spans",        # standing span index probe
     "q43_grouping_sets",              # explicit GROUPING SETS lattice
     "events_graph_distances",         # hop-capped BFS over behavior graph
+    "q44_session_window",             # NATIVE session_window vs lag oracle
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed

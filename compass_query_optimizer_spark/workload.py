@@ -1637,3 +1637,74 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
                  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """
     )
+
+
+@query(
+    "q44_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    per_session AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             CAST(date_diff('microsecond', MIN(ts),
+                            MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT)
+                 AS dur_us
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+    doc="NATIVE session windows (F.session_window, Spark's dynamic-gap "
+    "session operator — one hash aggregate with session merge, no lag "
+    "window pass) checked against the classical lag+cumsum derivation "
+    "the oracle runs: per user, session count, event count, and total "
+    "session duration (last event + 30-min gap, microsecond-exact "
+    "integers). The batch twin of stream_session_window through a "
+    "DIFFERENT operator than events_sessionize's window derivation — "
+    "three independent implementations of one semantics, all agreeing",
+    tags=("session", "window", "beyond-parity"),
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    t = load_tables(spark, sf_dir)
+    # explicit LTZ cast: the session pins timestampType=TIMESTAMP_NTZ and
+    # unix_micros rejects NTZ; the session timezone is UTC so the instant
+    # is unchanged (same note as streaming/queries.py)
+    ev = t["events"].select(
+        "user_id", F.col("ts").cast(T.TimestampType()).alias("ts")
+    )
+    per_session = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        per_session.select(
+            "user_id",
+            "n_events",
+            (
+                F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))
+            ).alias("dur_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("dur_us").cast("long").alias("total_dur_us"),
+        )
+        .orderBy("user_id")
+    )
