@@ -1381,3 +1381,113 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _registry._REGISTRY["sim_ann_recall"].oracle = _recall_oracle
+
+
+# ---------------------------------------------------------------------------
+# PQ reconstruction-distortion audit — the index-quality twin of
+# sim_ann_recall: recall measures retrieval quality, distortion measures
+# how much signal the 8×4-bit compression destroys (Jégou TPAMI'11 §III
+# analyzes exactly this MSE). The per-(vector, subspace) arg-min L2 the
+# encoder already computes IS the distortion; summing it per vector and
+# averaging per label costs one extra combiner aggregate over rows the
+# encode pass produces anyway. Exact int64 end-to-end until the final
+# mean division, so the audit is bit-identical across engines — a rising
+# per-label distortion is the retrain-the-codebook tripwire.
+# ---------------------------------------------------------------------------
+def _pq_distortion_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cnt AS (SELECT CAST(CEIL(COUNT(*) * 1.0 / {PQ_K}) AS BIGINT) AS stride
+            FROM embeddings),
+    subs AS (
+      SELECT vec_id, label, s.s AS s,
+             list_slice(qv, s.s * {PQ_SUBDIM} + 1,
+                        s.s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM q, UNNEST(range(0, {PQ_M})) AS s(s)
+    ),
+    cents AS (
+      SELECT vec_id AS cid, s, sv AS cv
+      FROM subs, cnt WHERE vec_id % GREATEST(stride, 1) = 0
+    ),
+    d2 AS (
+      SELECT a.vec_id, a.label, a.s,
+             MIN(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+               i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i])))) AS mind2
+      FROM subs a JOIN cents c USING (s)
+      GROUP BY a.vec_id, a.label, a.s
+    ),
+    per_vec AS (
+      SELECT vec_id, label, SUM(mind2) AS dist
+      FROM d2 GROUP BY vec_id, label
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(dist) * 1.0 / COUNT(*), 4) AS mean_dist,
+           CAST(MAX(dist) AS BIGINT) AS max_dist
+    FROM per_vec GROUP BY label ORDER BY label
+    """
+
+
+@query(
+    "emb_pq_distortion",
+    _pq_distortion_oracle,  # deferred (inlines the PQ constants)
+    doc="PQ reconstruction-distortion audit: per label, the mean and max "
+    f"of Σ over {PQ_M} subspaces of the encoder's arg-min squared L2 to "
+    "the stride-sampled sub-codebooks — the MSE Jégou TPAMI'11 §III "
+    "analyzes, measured in-engine as one extra combiner aggregate over "
+    "the encode pass's own rows. Exact int64 until the final mean; a "
+    "rising per-label distortion is the retrain-the-codebook tripwire "
+    "that pairs with sim_ann_recall's retrieval gate",
+    tags=("similarity", "pq", "evaluation"),
+)
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    n = _quantized_with_norm(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cnt = emb.count()
+    stride = max(1, math.ceil(cnt / PQ_K))
+    subs = n.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("qv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("s", "sv"),
+    )
+    cents = subs.filter(F.col("vec_id") % stride == 0).select(
+        "s", F.col("sv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    per_vec = (
+        subs.join(F.broadcast(cents), "s")
+        .select("vec_id", "label", "s", d2.alias("d2"))
+        .groupBy("vec_id", "label", "s")
+        .agg(F.min("d2").alias("mind2"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("mind2").alias("dist"))
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("dist") / F.count(F.lit(1)), 4).alias("mean_dist"),
+            F.max("dist").cast("long").alias("max_dist"),
+        )
+        .orderBy("label")
+    )

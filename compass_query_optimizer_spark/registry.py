@@ -78,6 +78,7 @@ _SAMPLE_PRIORITY = [
     "q43_grouping_sets",              # explicit GROUPING SETS lattice
     "events_graph_distances",         # hop-capped BFS over behavior graph
     "q44_session_window",             # NATIVE session_window vs lag oracle
+    "emb_pq_distortion",              # PQ reconstruction-MSE audit
     "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
     "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
     "dedup_clusters_hardened",       # flood guard + star CC composed
