@@ -472,3 +472,13 @@ def test_multi_measure_chain_scans_each_table_once(spark):
     assert plan.count("Scan parquet") == 8  # 4 tables × (tree + detail)
     assert "partial_sum" in plan
     assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_pq_distortion_combines_map_side_with_broadcast_codebook(spark):
+    """The distortion audit must reuse the encode pass's shape: sub-codebook
+    broadcast, arg-min as a partial (map-side) aggregate — never a
+    vector×vector join or a sort."""
+    plan = formatted_plan(spark, "emb_pq_distortion")
+    assert "partial_min" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
