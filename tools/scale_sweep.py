@@ -51,6 +51,8 @@ SWEEP_OPS = [
     "dedup_substring_spans",
     "dedup_span_removal",
     "dedup_keep_best",
+    "emb_pq_distortion",
+    "sim_ann_recall",
 ]
 
 
