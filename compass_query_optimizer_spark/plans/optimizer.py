@@ -191,6 +191,7 @@ _COUNT_CACHE: dict[tuple[str, str], int] = {}
 def clear_count_cache() -> None:
     _COUNT_CACHE.clear()
     _NDV_CACHE.clear()
+    _KEY_NDV_CACHE.clear()
 
 
 # (dataset_tag, table, filter_sql, col) -> (ndv_estimate, lo, hi). The
@@ -198,6 +199,13 @@ def clear_count_cache() -> None:
 # narrow-column combiner aggregate, same order of cost as the push-down
 # sketch pass, cached across plans per catalog like _COUNT_CACHE.
 _NDV_CACHE: dict[tuple, tuple[int, object, object]] = {}
+
+# (dataset_tag, table, filter_sql, key-col tuple) -> key-combination NDV.
+# Behind the eager-chain collapse skip: one approx_count_distinct(struct)
+# job per distinct (table, filter, keys), amortized across the whole
+# corpus by the cache (cast_info appears in most JOB queries with the
+# same key set — one job serves them all).
+_KEY_NDV_CACHE: dict[tuple, int] = {}
 
 
 class CompassOptimizer:
@@ -566,6 +574,53 @@ class CompassOptimizer:
         }
         return route, params
 
+    def _should_skip_collapse(
+        self, plan: CompassPlan, alias: str, key_cols: list[str]
+    ) -> bool:
+        """Eager-chain seed decision: skip the per-table collapse when the
+        referenced-key combinations are nearly distinct — the groupBy
+        would shuffle the whole table to shrink it by nothing (cast_info's
+        (movie, person, role) is 99.6% unique at JOB scale 40; its
+        collapse is one of the ~three large exchanges that push 8c/8d
+        into the scale-80 timeout). One cached
+        approx_count_distinct(struct(keys)) job decides; correctness is
+        unaffected either way — the collapse is idempotent and the first
+        post-join re-aggregation shrinks the prefix regardless."""
+        rows = plan.pushdown.stats[alias].rows
+        if rows <= self.config.collapse_skip_min_rows or not key_cols:
+            return False
+        # only probe UNFILTERED tables: their NDV is a per-catalog constant
+        # (one cached job per (table, keys) for the whole corpus), while
+        # filtered variants would key the cache per predicate and multiply
+        # planning jobs across a 113-query workload
+        if plan.spec.filters.get(alias):
+            return False
+        tag = plan.extras.get("dataset_tag")
+        key = (
+            tag,
+            plan.spec.tables[alias],
+            plan.spec.filters.get(alias),
+            tuple(key_cols),
+        )
+        if tag is not None and key in _KEY_NDV_CACHE:
+            ndv = _KEY_NDV_CACHE[key]
+        else:
+            f = plan.pushdown.frames[alias]
+            ndv = int(
+                f.agg(
+                    F.approx_count_distinct(F.struct(*key_cols)).alias("k")
+                ).collect()[0]["k"]
+            )
+            if tag is not None:
+                _KEY_NDV_CACHE[key] = ndv
+        skip = ndv >= self.config.collapse_skip_ndv_ratio * rows
+        plan.extras.setdefault("collapse_skipped", {})[alias] = {
+            "skip": skip,
+            "ndv": ndv,
+            "rows": rows,
+        }
+        return skip
+
     def build_count_join(
         self,
         plan: CompassPlan,
@@ -756,11 +811,19 @@ class CompassOptimizer:
                 agg = g.groupBy(*gb).agg(*aggs) if gb else g.agg(*aggs)
             else:
                 g = f.select(*keys) if keys else f
-                agg = (
-                    g.groupBy(*g.columns).agg(*aggs)
-                    if keys
-                    else g.agg(*aggs)
-                )
+                if keys and self._should_skip_collapse(
+                    plan, alias, sorted(c for c in needed[alias] if c in f.columns)
+                ):
+                    # near-distinct keys: enter the chain raw at
+                    # multiplicity 1 — the collapse would shuffle the
+                    # whole table to shrink it by almost nothing
+                    agg = g.withColumn("__cnt_new", F.lit(1).cast("long"))
+                else:
+                    agg = (
+                        g.groupBy(*g.columns).agg(*aggs)
+                        if keys
+                        else g.agg(*aggs)
+                    )
             if (
                 alias in plan.pushdown.materialized
                 and plan.pushdown.stats[alias].rows <= self.config.broadcast_rows

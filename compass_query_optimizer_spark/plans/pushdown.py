@@ -62,6 +62,18 @@ class PushdownConfig:
     # but immune to the one-row set flatten that OOMs at 100 TB.
     distinct_bitmap_max_range: int = 4_096  # bits (64 words max per key)
     distinct_exact_max_ndv: int = 4_096  # plan-time NDV estimate cap
+    # Eager-chain seed collapse skip: a fact table whose referenced-key
+    # combinations are nearly distinct (cast_info's (movie, person, role)
+    # is 99.6% unique at JOB scale 40) pays a full shuffle for a ~no-op
+    # groupBy. When a cached plan-time NDV estimate of the key struct says
+    # ndv ≥ ratio × rows, the seed skips the collapse and enters the chain
+    # raw with multiplicity 1 — semantically identical (collapse is
+    # idempotent; the first post-join re-aggregation shrinks anyway), one
+    # big exchange cheaper. Tables at or below collapse_skip_min_rows
+    # always collapse (the exchange is cheap and the NDV job isn't worth
+    # scheduling).
+    collapse_skip_ndv_ratio: float = 0.9
+    collapse_skip_min_rows: int = 500_000
 
 
 @dataclass

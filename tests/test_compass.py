@@ -580,3 +580,30 @@ def test_cross_table_measures_eager_matches_raw(spark):
     assert eager["cnt"] == raw["cnt"] > 0
     assert abs(float(eager["agg_val0"]) - float(raw["agg_val0"])) < 1e-4
     assert abs(float(eager["agg_val1"]) - float(raw["agg_val1"])) < 1e-6
+
+
+def test_collapse_skip_gates_on_ndv_and_size(spark):
+    """The seed-collapse skip must (a) fire only above the size floor,
+    (b) fire only for near-distinct keys, (c) never fire on filtered
+    tables, and (d) leave the answer unchanged when forced on."""
+    from compass_query_optimizer_spark.plans.job_corpus import job_tables, load_corpus
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+
+    corpus = load_corpus()
+    tables, counts = job_tables(spark, scale=1)
+    # force the probe by dropping the size floor: cast_info's keys are
+    # near-distinct at every scale, so the skip fires
+    opt = CompassOptimizer(spark, config=PushdownConfig(collapse_skip_min_rows=1))
+    plan = opt.plan(corpus["8c"], tables=tables, counts=counts)
+    skipped = opt.build_count_join(plan)  # builds lazily; probes run now
+    info = plan.extras.get("collapse_skipped", {})
+    assert info.get("ci", {}).get("skip") is True
+    # filtered aliases (rt, cn) must never be probed
+    assert "rt" not in info and "cn" not in info
+    forced = skipped.collect()[0]["cnt"]
+    # default config: floor keeps the probe off at scale 1 — same answer
+    base = CompassOptimizer(spark).execute_count(
+        corpus["8c"], tables=tables, counts=counts
+    ).collect()[0]["cnt"]
+    assert forced == base > 0
