@@ -45,12 +45,18 @@ class PushdownConfig:
     broadcast_rows: int = 1_000_000  # selective sides below this get a hint
     arrow_build: bool = True  # mapInPandas sketch build (vs JVM groupBy)
     parallel_tables: int = 8  # concurrent per-table sketch passes
-    # eager COUNT(*) aggregation (optimizer.build_count_join): inside an
-    # eager plan, only pay a re-aggregation shuffle on prefixes the sketch
-    # estimates at least this large — on a small prefix the collapse can't
-    # win back the exchange. (Per-table pre-aggregation always happens;
-    # it is the main lever and rides the join shuffle it replaces.)
-    eager_reagg_min_rows: float = 100_000.0
+    # eager COUNT(*) aggregation (optimizer.build_count_join): re-aggregate
+    # the prefix after EVERY join (threshold 0). An estimate-based skip
+    # ("don't pay the exchange on prefixes the sketch says are small") was
+    # the round-5..7 default at 100k and was measured in round 8 to be
+    # worthless at its best and catastrophic at its worst: the full corpus
+    # at fixture scale 10 is 38.9 s vs 39.2 s (identical), while JOB 8c at
+    # scale 80 is 92.4 s gated vs 7.8 s always — the zipf tail is exactly
+    # where sketch estimates UNDERESTIMATE, so the gate skips the shrink
+    # on the prefixes that explode (the same reason the estimate-based
+    # eager on/off gate was rejected in round 6). Raise only with a
+    # measured reason.
+    eager_reagg_min_rows: float = 0.0
     # count_distinct_auto routing — the Spark twin of the reference's
     # plan-time approx↔precise switch (RelAlgExecutor.cpp:1350-1418) and
     # its CountDistinctDescriptor bitmap-vs-set choice. Integral measures
