@@ -800,3 +800,180 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 from compass_query_optimizer_spark import registry as _registry  # noqa: E402
 
 _registry._REGISTRY["emb_random_projection"].oracle = _jl_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin cluster validity (Davies & Bouldin, IEEE TPAMI 1979) over
+# the label clustering — the eval metric a curation pipeline runs after
+# k-means / semantic dedup to decide whether the clustering is usable.
+# Everything reduces to exact integer moments so both engines agree
+# bit-for-bit: per-(label, dim) sums s and squared sums s2 are int64,
+# the within-cluster scatter numerator Σ_d (n·s2_d − s_d²) and the
+# between-centroid distance numerator Σ_d (s_d^i·n_j − s_d^j·n_i)² are
+# decimal(38,0) integer sums (order-independent — no float accumulation
+# ever crosses dimensions), and the only float ops are final sqrt/divide
+# on identical inputs. The decimal widening holds to ~3e7 vectors per
+# label ((n²·QUANT)² ≤ 1e38); past that, drop QUANT a decade or move the
+# pair step to double. Output: per label, its scatter S_i, the worst
+# peer j = argmax R_ij = (S_i+S_j)/M_ij, and that R — DB index = AVG(r).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_davies_bouldin",
+    f"""
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, j, SUM(qv[j]) AS s, SUM(qv[j] * qv[j]) AS s2,
+             COUNT(*) AS n
+      FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS j)
+      GROUP BY label, j
+    ),
+    scat AS (
+      SELECT label, MAX(n) AS n, SUM(n * s2 - s * s) AS num
+      FROM dims GROUP BY label
+    ),
+    s_i AS (
+      SELECT label, n,
+             sqrt(CAST(num AS DOUBLE)) / n / {QUANT} AS s_val
+      FROM scat
+    ),
+    m2 AS (
+      SELECT a.label AS la, b.label AS lb, sa.n AS na, sb.n AS nb,
+             SUM((a.s * sb.n - b.s * sa.n) * (a.s * sb.n - b.s * sa.n)) AS num
+      FROM dims a
+      JOIN dims b ON a.j = b.j AND a.label <> b.label
+      JOIN scat sa ON sa.label = a.label
+      JOIN scat sb ON sb.label = b.label
+      GROUP BY a.label, b.label, sa.n, sb.n
+    ),
+    r AS (
+      SELECT m2.la, m2.lb,
+             (si.s_val + sj.s_val)
+               / (sqrt(CAST(m2.num AS DOUBLE)) / (m2.na * m2.nb) / {QUANT})
+               AS r_ij
+      FROM m2
+      JOIN s_i si ON si.label = m2.la
+      JOIN s_i sj ON sj.label = m2.lb
+    ),
+    best AS (
+      SELECT la, lb, r_ij,
+             ROW_NUMBER() OVER (PARTITION BY la ORDER BY r_ij DESC, lb) AS k
+      FROM r
+    )
+    SELECT CAST(b.la AS INTEGER) AS label, CAST(s_i.n AS BIGINT) AS n_vecs,
+           ROUND(s_i.s_val, 6) AS scatter,
+           CAST(b.lb AS INTEGER) AS worst_peer, ROUND(b.r_ij, 6) AS r
+    FROM best b JOIN s_i ON s_i.label = b.la
+    WHERE b.k = 1 ORDER BY label
+    """,
+    doc="Davies-Bouldin cluster validity over the label clustering: "
+    "per-label scatter S_i = sqrt(Σ_d(n·s2−s²))/n, between-centroid "
+    "separation from the exact cross-moment Σ_d(s_i·n_j − s_j·n_i)², "
+    "worst peer ratio R = (S_i+S_j)/M_ij per label (DB index = mean R). "
+    "ONE (label, dim) combiner aggregate over N vectors, then all "
+    "remaining work happens on the labels×64 cell table and a labels² "
+    "matrix — corpus size never reaches the join. Exact int64/decimal "
+    "moments keep both engines bit-identical (float scatter sums would "
+    "diverge with aggregation order); bound ~3e7 vectors/label before "
+    "the decimal widening saturates, documented with the fallback",
+    tags=("embeddings", "clustering", "eval"),
+)
+def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = spread(load_tables(spark, sf_dir)["embeddings"])
+    dims = (
+        emb.select(
+            "label",
+            F.posexplode(quantized(F.col("embedding"))).alias("j0", "x"),
+        )
+        .groupBy("label", (F.col("j0") + 1).alias("j"))
+        .agg(
+            F.sum("x").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    scat = dims.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s") * F.col("s")
+        ).alias("num"),
+    )
+    s_i = scat.select(
+        "label",
+        "n",
+        (
+            F.sqrt(F.col("num").cast("double")) / F.col("n") / F.lit(QUANT)
+        ).alias("s_val"),
+    )
+    a = dims.select(
+        F.col("label").alias("la"), "j", F.col("s").alias("s_a")
+    )
+    b = dims.select(
+        F.col("label").alias("lb"), "j", F.col("s").alias("s_b")
+    )
+    na = scat.select(F.col("label").alias("la"), F.col("n").alias("na"))
+    nb = scat.select(F.col("label").alias("lb"), F.col("n").alias("nb"))
+    m2 = (
+        a.join(b, "j")
+        .filter(F.col("la") != F.col("lb"))
+        .join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .groupBy("la", "lb", "na", "nb")
+        .agg(
+            F.sum(
+                (
+                    F.col("s_a") * F.col("nb").cast("decimal(38,0)")
+                    - F.col("s_b") * F.col("na").cast("decimal(38,0)")
+                )
+                * (
+                    F.col("s_a") * F.col("nb").cast("decimal(38,0)")
+                    - F.col("s_b") * F.col("na").cast("decimal(38,0)")
+                )
+            ).alias("num")
+        )
+    )
+    si = s_i.select(F.col("label").alias("la"), F.col("s_val").alias("sv_a"))
+    sj = s_i.select(F.col("label").alias("lb"), F.col("s_val").alias("sv_b"))
+    r = (
+        m2.join(F.broadcast(si), "la")
+        .join(F.broadcast(sj), "lb")
+        .select(
+            "la",
+            "lb",
+            (
+                (F.col("sv_a") + F.col("sv_b"))
+                / (
+                    F.sqrt(F.col("num").cast("double"))
+                    / (F.col("na") * F.col("nb"))
+                    / F.lit(QUANT)
+                )
+            ).alias("r_ij"),
+        )
+    )
+    w = Window.partitionBy("la").orderBy(F.desc("r_ij"), "lb")
+    return (
+        r.withColumn("k", F.row_number().over(w))
+        .filter(F.col("k") == 1)
+        .join(
+            F.broadcast(
+                s_i.select(F.col("label").alias("la"), "n", "s_val")
+            ),
+            "la",
+        )
+        .select(
+            F.col("la").cast("int").alias("label"),
+            F.col("n").cast("long").alias("n_vecs"),
+            F.round("s_val", 6).alias("scatter"),
+            F.col("lb").cast("int").alias("worst_peer"),
+            F.round("r_ij", 6).alias("r"),
+        )
+        .orderBy("label")
+    )

@@ -1390,3 +1390,224 @@ def events_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     return dist.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting and PageRank over the hourly co-purchase graph — the
+# two graph analytics a data-curation team runs on top of the connectivity
+# primitives (components, BFS) already in the repo: triangles measure
+# local clustering (bot rings and scraped mirrors show up as dense
+# triangles), PageRank ranks nodes by link centrality (seed selection for
+# crawl frontier / influence-weighted sampling).
+#
+# Triangle counting uses the Schank–Wagner degree orientation: every edge
+# points from its lower-(degree, id) endpoint to the higher one, so each
+# triangle is discovered exactly once at its minimum-rank corner and the
+# wedge join is bounded by Σ out-deg² = O(m^1.5) instead of the Σ deg²
+# a naive id-orientation allows on a skewed graph (the classic hub blowup:
+# one 10^6-degree hub contributes 10^12 id-oriented wedges but at most m
+# degree-oriented ones). The oracle orients by id — orientation changes
+# WHICH corner finds a triangle, never the triangle set, so the per-user
+# participation counts are identical while each engine keeps its own
+# plan shape.
+#
+# PageRank runs in exact fixed-point integer arithmetic: total mass
+# S = 10^12 is distributed S//N per node, each iteration routes
+# r_v // deg_v along every edge and applies the damping update
+# r' = (15·S)//(100·N) + (85·Σcontrib)//100 — every operation is an int64
+# sum or floor division, so iteration results are bit-identical in both
+# engines regardless of aggregation order (float PageRank cannot make
+# that promise). Three unrolled iterations on both sides; the co-purchase
+# graph is symmetric so no node is dangling by construction.
+# ---------------------------------------------------------------------------
+
+_PR_MASS = 10**12
+_PR_ITERS = 3
+
+
+def _copurchase_cte() -> str:
+    return """
+    p AS (
+      SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT DISTINCT a.u AS ua, b.u AS ub
+      FROM p a JOIN p b ON a.h = b.h AND a.u <> b.u
+    )"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct co-purchase edges (ua <> ub), checkpointed so the
+    iterative consumers reuse one materialization."""
+    ev = load_tables(spark, sf_dir)["events"]
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+    )
+    a = p.select(F.col("user_id").alias("ua"), "h")
+    b = p.select(F.col("user_id").alias("ub"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("ua") != F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+@query(
+    "events_triangle_count",
+    f"""
+    WITH {_copurchase_cte()},
+    und AS (SELECT ua, ub FROM e WHERE ua < ub),
+    tri AS (
+      SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+      FROM und e1
+      JOIN und e2 ON e1.ua = e2.ua AND e1.ub < e2.ub
+      JOIN und e3 ON e3.ua = e1.ub AND e3.ub = e2.ub
+    ),
+    corners AS (
+      SELECT a AS user_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY user_id ORDER BY user_id
+    """,
+    doc="per-user triangle participation in the hourly co-purchase graph. "
+    "Spark orients every edge low-(degree,id) → high-(degree,id) "
+    "(Schank–Wagner), bounding the wedge join at O(m^1.5) on any degree "
+    "distribution — the hub-proof plan a 100 TB behavior graph needs; "
+    "the oracle orients by id (same triangle set, different discovery "
+    "corner). Three keyed shuffles: degree count, wedge equi-join on "
+    "the center, closing-edge equi-join",
+    tags=("graph", "temporal"),
+)
+def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.filter(F.col("ua") < F.col("ub"))
+    # degree over the undirected edge set: each edge contributes to both ends
+    deg = (
+        und.select(F.col("ua").alias("u"))
+        .unionByName(und.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("ub"), F.col("deg").alias("deg_b"))
+    ranked = und.join(da, "ua").join(db, "ub")
+    # orient: src = lower (deg, id) endpoint
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("ua") < F.col("ub"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+        F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+            "deg_dst"
+        ),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("deg_dst").alias("deg_b2"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("deg_dst").alias("deg_c2"),
+    )
+    # each unordered wedge once: b below c in the same (deg, id) order
+    wedges = o1.join(o2, "a").filter(
+        (F.col("deg_b2") < F.col("deg_c2"))
+        | ((F.col("deg_b2") == F.col("deg_c2")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    corners = (
+        tri.select(F.col("a").alias("user_id"))
+        .unionByName(tri.select(F.col("b").alias("user_id")))
+        .unionByName(tri.select(F.col("c").alias("user_id")))
+    )
+    return (
+        corners.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("user_id")
+    )
+
+
+def _pagerank_oracle() -> str:
+    base = f"(15 * {_PR_MASS}) // (100 * n_nodes)"
+    sql = f"""
+    WITH {_copurchase_cte()},
+    nodes AS (SELECT DISTINCT ua AS u FROM e),
+    n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    deg AS (SELECT ua AS u, COUNT(*) AS deg FROM e GROUP BY ua),
+    r0 AS (SELECT u, {_PR_MASS} // n_nodes AS r FROM nodes, n)"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT e.ub AS u,
+             {base} + (85 * SUM({prev}.r // deg.deg)) // 100 AS r
+      FROM e
+      JOIN {prev} ON e.ua = {prev}.u
+      JOIN deg ON e.ua = deg.u
+      CROSS JOIN n
+      GROUP BY e.ub, n_nodes
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT u AS user_id, CAST(r AS BIGINT) AS rank_int
+    FROM {prev} ORDER BY user_id
+    """
+    return sql
+
+
+@query(
+    "events_pagerank",
+    _pagerank_oracle(),
+    doc=f"PageRank over the co-purchase graph in exact fixed-point integer "
+    f"arithmetic: mass S=1e12 seeds S//N per node, each of {_PR_ITERS} "
+    "iterations routes r_v // deg_v along edges and damps with "
+    "r' = (15S)//(100N) + (85·Σ)//100 — int64 sums and floor divisions "
+    "only, so both engines agree bit-for-bit at every iteration (float "
+    "PageRank diverges across aggregation orders). Per iteration: ONE "
+    "edge-keyed equi-join + ONE destination-keyed sum — the textbook "
+    "distributed PageRank shape; edges checkpoint once and replay "
+    "through all iterations. The graph is symmetric so no dangling-mass "
+    "term is needed",
+    tags=("graph", "iterative", "temporal"),
+)
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("ua").alias("u")).distinct()
+    n_nodes = nodes.count()
+    deg = edges.groupBy("ua").agg(F.count(F.lit(1)).alias("deg"))
+    rank = nodes.select(
+        "u", F.lit(_PR_MASS // n_nodes).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    base = (15 * _PR_MASS) // (100 * n_nodes)
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(rank, edges["ua"] == rank["u"])
+            .join(deg, "ua")
+            .select(
+                F.col("ub").alias("u"),
+                F.expr("r div deg").alias("c"),
+            )
+        )
+        rank = (
+            contrib.groupBy("u")
+            .agg(
+                (F.lit(base) + F.expr("(85 * sum(c)) div 100"))
+                .cast("long")
+                .alias("r")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select(F.col("u").alias("user_id"), F.col("r").alias("rank_int")).orderBy(
+        "user_id"
+    )

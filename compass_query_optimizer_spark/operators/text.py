@@ -2330,3 +2330,195 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction and BM25 more-like-this retrieval — the two
+# classical IR scorers a curation pipeline uses to label and to expand a
+# corpus (keyword tags per document; "find documents like this seed" for
+# targeted data collection). Both run on an integer-exact scoring surface:
+# the idf component uses the LINEAR inverse-document-frequency surrogate
+# (scaled N/df as a floored integer) instead of log(N/df), so every score
+# is a deterministic int64 and the top-k cut is identical in both engines
+# — no libm call whose last ulp could flip a rank at the boundary. The
+# log variant is a one-expression swap; the plan shape (and therefore the
+# 100 TB story) is unchanged. Parallels the reference's integer-first
+# expression discipline (mapd-core evaluates comparisons on decimal-scaled
+# integers, Analyzer/Analyzer.cpp analyze_value).
+# ---------------------------------------------------------------------------
+
+_IDF_SCALE = 1_000_000  # linear-idf fixed-point scale
+_BM25_K1_M = 1200  # k1 = 1.2 in milli-units
+_BM25_B_M = 750  # b = 0.75 in milli-units
+
+
+@query(
+    "text_tfidf_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term, tf, df,
+             tf * ((n_docs * {_IDF_SCALE}) // df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+    doc="per-document top-3 keywords by tf×idf (linear-idf fixed point: "
+    "score = tf · ⌊N·1e6/df⌋, exact int64 in both engines). Two keyed "
+    "shuffles — (doc,term) term frequencies, then term-keyed document "
+    "frequencies joined back — and a doc-partitioned ROW_NUMBER whose "
+    "frames are bounded by per-doc vocabulary, never corpus size; at "
+    "100 TB the df table is the only corpus-wide state and it is "
+    "vocabulary-sized. Tie-break on term makes the top-3 cut total-order "
+    "deterministic",
+    tags=("text", "ir", "keywords"),
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(_re_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", F.expr(f"tf * ((n_docs * {_IDF_SCALE}) div df)")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@query(
+    "text_bm25_mlt",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT COUNT(*) FROM toks) AS sum_dl,
+             (SELECT MIN(doc_id) FROM documents) AS seed_id
+    ),
+    qterms AS (
+      SELECT DISTINCT term FROM tf, stats WHERE tf.doc_id = stats.seed_id
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term
+    ),
+    hits AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dl, df.df,
+             stats.n_docs, stats.sum_dl
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      WHERE tf.doc_id <> stats.seed_id
+    ),
+    term_scores AS (
+      SELECT doc_id, term,
+             (((n_docs - df) * 2 * {_IDF_SCALE} + {_IDF_SCALE})
+                 // (2 * df + 1))
+             * (tf * ({_BM25_K1_M} + 1000))
+             // (tf * 1000
+                 + ({_BM25_K1_M}
+                    * (1000 - {_BM25_B_M}
+                       + ({_BM25_B_M} * dl * n_docs) // sum_dl)) // 1000)
+                 AS s
+      FROM hits
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(SUM(s) AS BIGINT) AS score
+    FROM term_scores GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 more-like-this: the corpus's minimum-id document is the "
+    "query; every other document scores Σ over shared terms of "
+    "idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75, all "
+    "in fixed-point integer arithmetic (linear-idf ⌊(N−df+½)·1e6/(df+½)⌋ "
+    "via the (2df+1) trick; dl/avgdl as dl·N//Σdl in milli-units) so "
+    "both engines produce bit-identical int64 scores and the top-20 cut "
+    "cannot be flipped by float accumulation order. Scale shape: the "
+    "query's term list is a broadcast-size dimension (one document's "
+    "vocabulary), candidate scoring touches only postings of query "
+    "terms (an equi-join on term), and the final TakeOrdered(20) never "
+    "materializes a global sort",
+    tags=("text", "ir", "bm25"),
+)
+def text_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(_re_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = (
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("seed_id"),
+        )
+        .crossJoin(toks.agg(F.count(F.lit(1)).alias("sum_dl")))
+    )
+    qterms = (
+        tf.crossJoin(F.broadcast(stats.select("seed_id")))
+        .filter(F.col("doc_id") == F.col("seed_id"))
+        .select("term")
+        .distinct()
+    )
+    df = tf.join(F.broadcast(qterms), "term").groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    hits = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("seed_id"))
+    )
+    term_scores = hits.select(
+        "doc_id",
+        F.expr(
+            f"(((n_docs - df) * 2 * {_IDF_SCALE} + {_IDF_SCALE})"
+            f" div (2 * df + 1))"
+            f" * (tf * ({_BM25_K1_M} + 1000))"
+            f" div (tf * 1000"
+            f"      + ({_BM25_K1_M}"
+            f"         * (1000 - {_BM25_B_M}"
+            f"            + ({_BM25_B_M} * dl * n_docs) div sum_dl)) div 1000)"
+        ).alias("s"),
+    )
+    return (
+        term_scores.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

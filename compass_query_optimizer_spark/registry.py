@@ -95,18 +95,28 @@ _SAMPLE_PRIORITY = [
     "mm_scene_change",                # keyframe cut detection on decoded frames
     "mm_audio_energy",                # windowed RMS / silence on decoded PCM16
     "events_forecast_baseline",       # seasonal-naive backtest with MAE
-    # -- changed in round 8 (tokenizer/overflow fixes): fresh evidence --
-    "text_kl_drift",
-    "text_hash_classifier",
-    "text_curriculum_stages",
-    "text_epoch_budget",
-    "emb_label_centroid_sim",
-    "sim_ann_ivfpq",
+    # -- new in round 8, second batch: first driver exposure --
+    "text_tfidf_keywords",            # integer-exact tf-idf top-3 keywords
+    "text_bm25_mlt",                  # BM25 more-like-this, fixed-point
+    "events_triangle_count",          # degree-oriented triangle counting
+    "events_pagerank",                # exact fixed-point integer PageRank
+    "emb_davies_bouldin",             # cluster-validity index, exact moments
+    "q45_window_distinct_count",      # COUNT(DISTINCT) window re-expression
+    "q46_ignore_nulls_fill",          # IGNORE NULLS forward-fill surface
     # -- round-8 rotation: retire the r4 evidence tail --
     "events_retention",
     "events_windowed_topk",
     "temporal_asof_forward",
     "temporal_range_join",
+    # -- changed in round 8 (advice fixes): fresh evidence, the behavior
+    # guard first (the rest are tokenizer/doc-parity fixes re-proven by
+    # tests/test_advice_r8.py and the local differential) --
+    "sim_ann_ivfpq",
+    "text_kl_drift",
+    "text_hash_classifier",
+    "text_curriculum_stages",
+    "text_epoch_budget",
+    "emb_label_centroid_sim",
     # -- then the r5-green tail (unsampled since round 5): streaming
     # family, temporal tail, embeddings tail, text tail --
     "stream_dedup_events",

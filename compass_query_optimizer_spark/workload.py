@@ -1708,3 +1708,94 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q45_window_distinct_count",
+    """
+    SELECT user_id, event_id,
+           CAST(COUNT(DISTINCT event_type)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS n_types_so_far
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="DISTINCT aggregate over a running window frame — per user, how "
+    "many distinct event types have appeared up to each event. Spark "
+    "has no native COUNT(DISTINCT) window function, so the engine "
+    "re-expresses it as size(collect_set() OVER w) — per-frame state is "
+    "bounded by the event-type alphabet (6 values), never the frame "
+    "length, so the running set stays O(|alphabet|) per row at 100 TB. "
+    "The oracle runs DuckDB's native windowed DISTINCT; (ts, event_id) "
+    "ordering makes every frame prefix total-order deterministic",
+    tags=("window", "distinct", "beyond-parity"),
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            "event_id",
+            F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
+            "ts",
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
+
+
+@query(
+    "q46_ignore_nulls_fill",
+    """
+    SELECT user_id, event_id, event_type,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="IGNORE NULLS window semantics as a forward-fill: each event "
+    "carries the most recent purchase value of its user (NULL before "
+    "the first purchase). Spark expresses it as F.last(col, "
+    "ignorenulls=True) over a running frame, the oracle as DuckDB's "
+    "LAST_VALUE(... IGNORE NULLS); values pass through untouched (no "
+    "float arithmetic), so the comparison is bit-exact. The gap-fill "
+    "primitive events_gap_fill builds on, exposed as a plain window "
+    "surface entry",
+    tags=("window", "ignore-nulls", "beyond-parity"),
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.last(
+                F.when(F.col("event_type") == "purchase", F.col("value")),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias("last_purchase_value"),
+            "ts",
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
