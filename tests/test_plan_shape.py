@@ -482,3 +482,71 @@ def test_pq_distortion_combines_map_side_with_broadcast_codebook(spark):
     assert "partial_min" in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_prunes_to_id_and_text(spark):
+    """tf-idf must scan only (doc_id, text) — reading lang/source/n_chars
+    for a keyword extraction is a 100 TB-scale waste — and candidate
+    scoring must stay keyed joins, never a cartesian."""
+    plan = formatted_plan(spark, "text_tfidf_keywords")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("source" not in l and "n_chars" not in l for l in reads)
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """BM25 more-like-this: the seed document's term list, the df table,
+    and the corpus scalars are broadcast-size — they must ship as
+    broadcasts, and the posting join must be an equi-join."""
+    plan = formatted_plan(spark, "text_bm25_mlt")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # final top-20 must be a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_count_stays_equijoined_and_pruned(spark):
+    """The wedge and closing joins are equi-joins on (center) and (b, c);
+    a cartesian here would be the all-pairs blowup the degree orientation
+    exists to prevent. Scan reads only the graph-relevant columns."""
+    plan = formatted_plan(spark, "events_triangle_count")
+    assert "CartesianProduct" not in plan
+    # the oriented edge table is checkpointed once and reused by the wedge,
+    # closing, and degree joins — the final plan must read the checkpoint,
+    # never re-derive edges from parquet
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_pagerank_iterations_reuse_checkpointed_edges(spark):
+    """Each PageRank iteration must consume the checkpointed edge RDD, not
+    re-derive edges from the parquet scan (3 iterations × an hour-bucket
+    self-join would triple the most expensive stage)."""
+    plan = formatted_plan(spark, "events_pagerank")
+    assert "CartesianProduct" not in plan
+    # edges materialized once: the final plan sees scans of the
+    # checkpointed RDD, not repeated parquet scans of events
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_davies_bouldin_is_combiner_agg_then_tiny_joins(spark):
+    """The only corpus-sized work is the (label, dim) moment aggregate —
+    it must combine map-side; everything downstream is labels²-sized and
+    the label joins broadcast."""
+    plan = formatted_plan(spark, "emb_davies_bouldin")
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_surface_entries_are_single_scan(spark):
+    """q45/q46 are one-pass window plans: a single parquet scan feeding a
+    Window node — no self-join reformulation."""
+    for name in ("q45_window_distinct_count", "q46_ignore_nulls_fill"):
+        plan = formatted_plan(spark, name)
+        # formatted explain prints each node twice (tree + detail block),
+        # so ONE scan node == two string hits
+        assert plan.count("Scan parquet") == 2, name
+        assert "Window" in plan, name
+        assert "Join" not in plan, name

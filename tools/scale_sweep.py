@@ -103,6 +103,36 @@ def gen_fixture(
     )
     pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
 
+    # events for the graph/temporal operators: user population scales with
+    # n but the time range scales too, so per-hour co-purchase buckets stay
+    # bounded (~100 events/hour) — the shape a real behavior log has, and
+    # the property the hour-bucketed edge join's cost model assumes (the
+    # repo documents hot-bucket capping for the adversarial case)
+    n_events = n_docs
+    n_users = max(n_events // 20, 10)
+    etypes = ["view", "click", "purchase", "signup", "refund", "share"]
+    ets = rng.randint(0, len(etypes), n_events)
+    base_us = 1_700_000_000_000_000  # fixed epoch start, microseconds
+    tss = base_us + (
+        np.sort(rng.randint(0, max(n_events // 100, 1) * 3600, n_events))
+        * 1_000_000
+    ).astype(np.int64)
+    events = pa.table(
+        {
+            "event_id": pa.array(range(n_events), pa.int64()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.randint(0, n_users, n_events).astype(np.int64), pa.int64()
+            ),
+            "event_type": pa.array([etypes[int(i)] for i in ets]),
+            "value": pa.array(
+                np.round(rng.rand(n_events) * 100, 2), pa.float64()
+            ),
+            "props": pa.array(['{"k": 1}'] * n_events),
+        }
+    )
+    pq.write_table(events, os.path.join(out_dir, "events.parquet"))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
