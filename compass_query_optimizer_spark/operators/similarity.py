@@ -1491,3 +1491,114 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction: every vector's top-KNN_K neighbors among its
+# LSH bucket-mates — the standing artifact graph-based curation consumes
+# (semantic dedup clusters over its connected components, diversity
+# sampling walks it, label propagation spreads quality scores along it).
+# sim_ann_lsh answers "nearest neighbors of 5 probe vectors"; this is the
+# all-vectors variant whose cost model is the one that matters at corpus
+# scale: ONE code equi-join (never all-pairs, bucket population pinned by
+# the auto-sized width), exact quantized cosine on bucket-mates only, and
+# a per-vector TOP-k window bounded by bucket size. Vectors alone in
+# their bucket contribute no edges — the honest LSH recall trade, same as
+# every bucketed operator in this family.
+# ---------------------------------------------------------------------------
+KNN_K = 3
+
+
+def _knn_graph_oracle() -> str:
+    if _ENV_ANN_BITS:
+        bits_expr = str(N_PLANES)
+    else:
+        bits_expr = duck_auto_bits(
+            "(SELECT COUNT(*) FROM embeddings)",
+            ANN_TARGET_BUCKET,
+            ANN_LSH_MIN_BITS,
+            ANN_LSH_MAX_BITS,
+        )
+    code = (
+        f"({_duck_lsh_code('qv')} & "
+        f"((CAST(1 AS BIGINT) << ({bits_expr})) - 1))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2,
+             {code} AS code
+      FROM q
+    ),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
+               / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos_raw
+      FROM n a JOIN n b ON a.code = b.code AND b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT vec_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+           ROUND(cos_raw, 6) AS cos
+    FROM ranked WHERE rnk <= {KNN_K}
+    ORDER BY vec_id, rnk
+    """
+
+
+@query(
+    "emb_knn_graph",
+    _knn_graph_oracle(),
+    doc=f"k-NN graph over the whole corpus (top-{KNN_K} neighbors per "
+    "vector among LSH bucket-mates): the standing artifact graph-based "
+    "curation consumes — semantic-dedup components, diversity walks, "
+    "score propagation. One auto-width code equi-join + exact quantized "
+    "cosine + a per-vector TOP-k window bounded by bucket population; "
+    "the all-vectors analog of sim_ann_lsh with the same oracle-mirrored "
+    "width formula, never an all-pairs product",
+    tags=("embeddings", "similarity", "graph"),
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    base = _quantized_with_norm(t["embeddings"])
+    bits = ann_lsh_bits(t["embeddings"].count())
+    n = base.join(
+        _plane_dot_codes(base, [_PLANES[:bits]]).select(
+            "vec_id", F.col("c").alias("code")
+        ),
+        "vec_id",
+    )
+    left = n.select(
+        "vec_id", F.col("qv").alias("qa"), F.col("nrm2").alias("na"), "code"
+    )
+    right = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qb"),
+        F.col("nrm2").alias("nb"),
+        "code",
+    )
+    scored = (
+        left.join(right, "code")
+        .filter(F.col("neighbor_id") != F.col("vec_id"))
+        .withColumn(
+            "cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select(
+            "vec_id", "rnk", "neighbor_id", F.round("cos_raw", 6).alias("cos")
+        )
+        .orderBy("vec_id", "rnk")
+    )

@@ -103,14 +103,21 @@ _SAMPLE_PRIORITY = [
     "emb_davies_bouldin",             # cluster-validity index, exact moments
     "q45_window_distinct_count",      # COUNT(DISTINCT) window re-expression
     "q46_ignore_nulls_fill",          # IGNORE NULLS forward-fill surface
-    # -- round-8 rotation: retire the r4 evidence tail --
+    # -- new in round 8, third batch: first driver exposure --
+    "dedup_containment",              # asymmetric shingle containment
+    "emb_knn_graph",                  # LSH-bucketed k-NN graph artifact
+    "q47_unpivot",                    # wide->long UNPIVOT surface
+    # -- round-8 rotation: the 48 never-sampled entries above leave two
+    # slots for the r4 evidence tail; the two held out (temporal_range_join
+    # has round-8 BENCH exposure, events_windowed_topk is next in line)
+    # stay green under the local differential until round 9 --
     "events_retention",
-    "events_windowed_topk",
     "temporal_asof_forward",
+    "events_windowed_topk",
     "temporal_range_join",
-    # -- changed in round 8 (advice fixes): fresh evidence, the behavior
-    # guard first (the rest are tokenizer/doc-parity fixes re-proven by
-    # tests/test_advice_r8.py and the local differential) --
+    # -- changed in round 8 (advice fixes): prefix slots exhausted; each is
+    # re-proven by tests/test_advice_r8.py and the local differential and
+    # keeps its r7 green driver row --
     "sim_ann_ivfpq",
     "text_kl_drift",
     "text_hash_classifier",

@@ -1799,3 +1799,43 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "event_id")
         .drop("ts")
     )
+
+
+@query(
+    "q47_unpivot",
+    """
+    WITH u AS (
+      UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount
+      INTO NAME metric VALUE val
+    )
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CAST(round(val * 100) AS BIGINT)) / 100.0, 2) AS total
+    FROM u GROUP BY metric ORDER BY metric
+    """,
+    doc="UNPIVOT (wide→long melt, the inverse of q30/q41's PIVOT): three "
+    "lineitem measure columns melt into (metric, val) rows, then one "
+    "aggregate per metric. Spark's native DataFrame.unpivot lowers to a "
+    "single Expand node — one scan, rows×3 output, no join or union of "
+    "three scans. Totals sum exact integer cents (doubles summed in "
+    "shuffled order would diverge between engines), divided back once",
+    tags=("surface", "unpivot", "beyond-parity"),
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    u = t["lineitem"].unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return (
+        u.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("val") * 100).cast("long")) / 100.0, 2
+            ).alias("total"),
+        )
+        .orderBy("metric")
+    )

@@ -550,3 +550,32 @@ def test_window_surface_entries_are_single_scan(spark):
         assert plan.count("Scan parquet") == 2, name
         assert "Window" in plan, name
         assert "Join" not in plan, name
+
+
+def test_containment_verify_runs_on_checkpointed_pairs(spark):
+    """Containment dedup follows the jaccard pattern: candidates and
+    intersect counts materialize once (checkpoint), so the final plan is a
+    filter over the narrow pair table — no replayed candidate join, no
+    cartesian anywhere."""
+    plan = formatted_plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+
+
+def test_knn_graph_is_code_equijoin(spark):
+    """The k-NN graph's candidate generation must be an equi-join on the
+    LSH code — a cartesian here is the all-pairs blowup the auto-width
+    exists to prevent — and ranking must stay a per-vector window."""
+    plan = formatted_plan(spark, "emb_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_unpivot_lowers_to_expand_single_scan(spark):
+    """UNPIVOT must lower to ONE scan + an Expand node (rows×3), never a
+    union of three scans or a join."""
+    plan = formatted_plan(spark, "q47_unpivot")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 2  # one node: tree + detail block
+    assert "Union" not in plan and "Join" not in plan

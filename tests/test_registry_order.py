@@ -36,7 +36,7 @@ CHANGED_THIS_ROUND = {
     "text_epoch_budget",              # regex-tokenizer parity fix
     "emb_label_centroid_sim",         # decimal(38,0) product widening
     "sim_ann_ivfpq",                  # tiny-corpus loud guard
-    # second batch of round-8 additions
+    # second/third batch of round-8 additions
     "text_tfidf_keywords",            # new: integer-exact tf-idf keywords
     "text_bm25_mlt",                  # new: fixed-point BM25 retrieval
     "events_triangle_count",          # new: degree-oriented triangles
@@ -44,6 +44,9 @@ CHANGED_THIS_ROUND = {
     "emb_davies_bouldin",             # new: cluster-validity index
     "q45_window_distinct_count",      # new: windowed DISTINCT surface
     "q46_ignore_nulls_fill",          # new: IGNORE NULLS surface
+    "dedup_containment",              # new: asymmetric containment dedup
+    "emb_knn_graph",                  # new: LSH-bucketed k-NN graph
+    "q47_unpivot",                    # new: UNPIVOT surface
 }
 
 # Changed entries that do NOT get a prefix slot this round: the second
@@ -59,6 +62,11 @@ HELD_OUT_FIXES = {
     "text_curriculum_stages",
     "text_epoch_budget",
     "emb_label_centroid_sim",
+    # the third new-operator batch consumed the last prefix slots; the
+    # tiny-corpus guard only changes behavior on corpora below IVF_K rows
+    # (loud failure instead of a vacuous empty result) and is pinned by
+    # tests/test_advice_r8.py::test_ivfpq_tiny_corpus_fails_loudly
+    "sim_ann_ivfpq",
 }
 
 

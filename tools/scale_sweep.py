@@ -53,6 +53,12 @@ SWEEP_OPS = [
     "dedup_keep_best",
     "emb_pq_distortion",
     "sim_ann_recall",
+    "emb_knn_graph",
+    "text_tfidf_keywords",
+    "text_bm25_mlt",
+    "emb_davies_bouldin",
+    "events_triangle_count",
+    "events_pagerank",
 ]
 
 
