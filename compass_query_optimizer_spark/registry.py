@@ -107,10 +107,13 @@ _SAMPLE_PRIORITY = [
     "dedup_containment",              # asymmetric shingle containment
     "emb_knn_graph",                  # LSH-bucketed k-NN graph artifact
     "q47_unpivot",                    # wide->long UNPIVOT surface
-    # -- round-8 rotation: the 48 never-sampled entries above leave two
-    # slots for the r4 evidence tail; the two held out (temporal_range_join
-    # has round-8 BENCH exposure, events_windowed_topk is next in line)
-    # stay green under the local differential until round 9 --
+    "stream_minhash_dedup",           # streaming near-dup via banded state
+    # -- round-8 rotation: the 49 never-sampled entries above leave ONE
+    # slot for the r4 evidence tail (never-sampled beats stale-refresh:
+    # a first driver row is evidence that doesn't exist yet, an r4 row is
+    # old but green). The three held out (temporal_range_join has round-8
+    # BENCH exposure; events_windowed_topk and temporal_asof_forward are
+    # next in line) stay green under the local differential until round 9 --
     "events_retention",
     "temporal_asof_forward",
     "events_windowed_topk",

@@ -795,3 +795,164 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup dedup on ingest: the MinHash band index maintained as
+# STREAMING STATE. Everything per-document is stateless scan-side work
+# (shingles → K minhashes → banded keys, all higher-order array functions
+# on one row — no explode+groupBy, so it runs inside an append stream);
+# the only stateful operator is min(doc_id) per (band, band_key), whose
+# standing state IS the persistable near-dup index dedup_incremental_minhash
+# maintains batch-side. After the availableNow drain, arriving documents
+# are flagged against the settled index: a document is a near-dup if any
+# of its band buckets was first claimed by a lower doc_id. The oracle is
+# the batch MinHash pipeline (shared Carter-Wegman constants), proving
+# stream/batch consistency for the near-dup semantics, not just for
+# rollups.
+# ---------------------------------------------------------------------------
+
+
+def _row_minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) computed WITHOUT explode+groupBy — pure
+    per-row array expressions, legal inside an append-mode stream.
+
+    Batch twin: operators/dedup.py minhash_bands (which prefers the
+    explode+groupBy form for map-side combining on corpus-wide scans).
+    Shared _MH_PARAMS constants keep all three implementations (batch,
+    row-wise, DuckDB oracle) bit-identical."""
+    from compass_query_optimizer_spark.functions.hashing import (
+        spark_cw_hash,
+        spark_portable_hash,
+    )
+    from compass_query_optimizer_spark.operators.dedup import (
+        _MH_PARAMS,
+        MINHASH_R,
+        SHINGLE_W,
+    )
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    shingles = F.when(
+        F.size(toks) >= SHINGLE_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SHINGLE_W - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(
+        F.array_distinct(shingles), lambda s: spark_portable_hash(s)
+    )
+    minhs = [
+        F.array_min(F.transform(grams, lambda g: spark_cw_hash(g, a, b)))
+        for (a, b) in _MH_PARAMS
+    ]
+    n_bands = len(_MH_PARAMS) // MINHASH_R
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).cast("int").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        minhs[band * MINHASH_R + r].cast("string")
+                        for r in range(MINHASH_R)
+                    ],
+                ).alias("band_key"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    return (
+        docs.filter(F.size(F.array_distinct(shingles)) >= 1)
+        .select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    )
+
+
+def _stream_minhash_oracle() -> str:
+    from compass_query_optimizer_spark.operators.dedup import (
+        _MH_PARAMS,
+        _duck_minhash_bands,
+    )
+
+    params = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    return f"""
+    WITH params(i, a, b) AS (VALUES {params}),
+    {_duck_minhash_bands("documents", "")},
+    idx AS (
+      SELECT band, band_key, MIN(doc_id) AS min_doc
+      FROM bands GROUP BY band, band_key
+    )
+    SELECT b.doc_id, CAST(MIN(i.min_doc) AS BIGINT) AS first_seen,
+           (MIN(i.min_doc) < b.doc_id) AS is_dup
+    FROM bands b JOIN idx i USING (band, band_key)
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """
+
+
+@query(
+    "stream_minhash_dedup",
+    None,  # generated below (needs the bands CTE builder)
+    doc="streaming NEAR-dup dedup: per-row MinHash banding (stateless "
+    "array expressions — no explode+groupBy, so it runs inside the "
+    "append stream), then ONE stateful streaming aggregate min(doc_id) "
+    "per (band, band_key) whose standing state is the persistable "
+    "near-dup index; after the availableNow drain, documents flag as "
+    "near-dups when any of their buckets was first claimed by a lower "
+    "id. The oracle is the batch MinHash pipeline with the shared "
+    "Carter-Wegman constants — stream/batch consistency proven for "
+    "near-dup semantics. State scales as the distinct band-key count "
+    "(hash-partitioned across executors), never corpus-quadratic",
+    tags=("streaming", "dedup", "minhash"),
+)
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    raw_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src = spark.readStream.schema(raw_schema).parquet(
+        table_path(sf_dir, "documents").replace(
+            "documents.parquet", "*documents.parquet"
+        )
+    )
+    idx = _row_minhash_bands(src).groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("min_doc")
+    )
+    sink = f"mh_idx_{uuid.uuid4().hex[:12]}"
+    q = (
+        idx.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from compass_query_optimizer_spark.catalog import load_tables
+    from compass_query_optimizer_spark.operators.dedup import minhash_bands
+
+    bands = minhash_bands(load_tables(spark, sf_dir)["documents"])
+    settled = spark.table(sink)
+    return (
+        bands.join(settled, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("min_doc").alias("first_seen"))
+        .select(
+            "doc_id",
+            F.col("first_seen").cast("long"),
+            (F.col("first_seen") < F.col("doc_id")).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+from compass_query_optimizer_spark import registry as _registry  # noqa: E402
+
+_registry._REGISTRY["stream_minhash_dedup"].oracle = _stream_minhash_oracle

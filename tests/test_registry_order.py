@@ -47,6 +47,7 @@ CHANGED_THIS_ROUND = {
     "dedup_containment",              # new: asymmetric containment dedup
     "emb_knn_graph",                  # new: LSH-bucketed k-NN graph
     "q47_unpivot",                    # new: UNPIVOT surface
+    "stream_minhash_dedup",           # new: streaming near-dup dedup
 }
 
 # Changed entries that do NOT get a prefix slot this round: the second
