@@ -1602,3 +1602,142 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR 2009) of
+# the lexical BM25 more-like-this list and the embedding cosine list for
+# the same seed document — the standard two-leg retrieval a RAG/curation
+# stack runs (lexical catches exact phrasing, dense catches paraphrase).
+# RRF(d) = Σ_legs 1/(k + rank_leg(d)) with k = 60; computed in fixed-point
+# integers (1e9 // (60 + rank)) so fusion scores are exact int64 and the
+# final cut is total-order deterministic. Each leg is TakeOrdered(50) —
+# the global rank window runs AFTER the limit bounds its input, the
+# text_zipf_coverage pattern.
+# ---------------------------------------------------------------------------
+RRF_K = 60
+RRF_SCALE = 10**9
+HYBRID_LIST = 50  # per-leg candidate list depth
+HYBRID_TOP = 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    from compass_query_optimizer_spark.operators.text import BM25_CTES
+
+    return f"""
+    WITH {BM25_CTES},
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rl
+      FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id LIMIT {HYBRID_LIST})
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
+    ),
+    seed AS (
+      SELECT * FROM nv WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    cosb AS (
+      SELECT b.vec_id,
+             list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
+               / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos_raw
+      FROM nv b, seed a WHERE b.vec_id <> a.vec_id
+    ),
+    emb AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_raw DESC, vec_id) AS re
+      FROM (SELECT * FROM cosb ORDER BY cos_raw DESC, vec_id LIMIT {HYBRID_LIST})
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, e.vec_id) AS doc_id, l.rl, e.re,
+             COALESCE({RRF_SCALE} // ({RRF_K} + l.rl), 0)
+               + COALESCE({RRF_SCALE} // ({RRF_K} + e.re), 0) AS rrf
+      FROM lex l FULL OUTER JOIN emb e ON l.doc_id = e.vec_id
+    )
+    SELECT doc_id, CAST(rl AS INTEGER) AS lex_rank,
+           CAST(re AS INTEGER) AS emb_rank, CAST(rrf AS BIGINT) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOP}
+    """
+
+
+@query(
+    "sim_hybrid_rrf",
+    None,  # generated below (imports the shared BM25 CTE chain)
+    doc=f"hybrid retrieval via reciprocal-rank fusion: the BM25 "
+    f"more-like-this leg and the exact-cosine embedding leg (same seed "
+    f"id) each produce a TakeOrdered({HYBRID_LIST}) candidate list, fused "
+    f"by RRF = Σ 1e9//({RRF_K}+rank) in exact int64 — a document ranked "
+    "by either phrasing or meaning surfaces, one ranked by both wins. "
+    "Per-leg rank windows run AFTER the limit bounds their input "
+    "(never a corpus-wide sort); the fusion join is {HYBRID_LIST}×2 rows",
+    tags=("similarity", "ir", "hybrid"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compass_query_optimizer_spark.operators.text import bm25_mlt_scores
+
+    t = load_tables(spark, sf_dir)
+    lex_top = (
+        bm25_mlt_scores(t["documents"])
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(HYBRID_LIST)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rl"),
+    )
+    nv = _quantized_with_norm(t["embeddings"])
+    seed = nv.orderBy("vec_id").limit(1).select(
+        F.col("qv").alias("qa"), F.col("nrm2").alias("na"),
+        F.col("vec_id").alias("seed_id"),
+    )
+    cosb = (
+        nv.crossJoin(F.broadcast(seed))
+        .filter(F.col("vec_id") != F.col("seed_id"))
+        .select(
+            "vec_id",
+            _cos(F.col("qa"), F.col("qv"), F.col("na"), F.col("nrm2")).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    emb_top = cosb.orderBy(F.desc("cos_raw"), "vec_id").limit(HYBRID_LIST)
+    emb = emb_top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_raw"), "vec_id"))
+        .alias("re"),
+    )
+    fused = (
+        lex.join(emb, lex["doc_id"] == emb["vec_id"], "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            "rl",
+            "re",
+            (
+                F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + rl)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + re)"), F.lit(0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rl").cast("int").alias("lex_rank"),
+            F.col("re").cast("int").alias("emb_rank"),
+            F.col("rrf").cast("long"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(HYBRID_TOP)
+    )
+
+
+_registry._REGISTRY["sim_hybrid_rrf"].oracle = _hybrid_rrf_oracle

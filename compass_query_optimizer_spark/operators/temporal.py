@@ -1611,3 +1611,118 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.select(F.col("u").alias("user_id"), F.col("r").alias("rank_int")).orderBy(
         "user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment analysis: two-proportion z-test between hash-assigned
+# variants — the readout an events pipeline runs for every A/B test.
+# Variant assignment is the deterministic bucket hash real experiment
+# frameworks use (user_id % 2 here; any stable hash slots into the same
+# plan); the metric is user-level conversion (≥14 purchases — around the
+# fixture median, so neither arm saturates; ≥1 converts EVERY user on
+# this corpus and the pooled variance collapses to zero — that degenerate
+# case is guarded to a NULL z on both engines, the readout a real
+# framework emits). Everything reduces to FOUR integers (n_A, x_A, n_B,
+# x_B) from
+# one user-keyed combiner aggregate, so the z statistic's float math runs
+# on identical exact inputs in both engines and needs only an output
+# rounding. z = (p_A−p_B)/√(p̄(1−p̄)(1/n_A+1/n_B)), |z| > 1.96 ⇒
+# significant at α = 0.05 (two-sided).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ab_test",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       >= 14 THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+      FROM per_user
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           ROUND(x_a * 1.0 / n_a, 6) AS rate_a,
+           ROUND(x_b * 1.0 / n_b, 6) AS rate_b,
+           ROUND(CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+                 ELSE (x_a * 1.0 / n_a - x_b * 1.0 / n_b)
+                 / sqrt(((x_a + x_b) * 1.0 / (n_a + n_b))
+                        * (1 - (x_a + x_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) END, 4) AS z,
+           COALESCE(ABS(CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+                 ELSE (x_a * 1.0 / n_a - x_b * 1.0 / n_b)
+                 / sqrt(((x_a + x_b) * 1.0 / (n_a + n_b))
+                        * (1 - (x_a + x_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) END) > 1.96,
+                 FALSE) AS significant
+    FROM arms
+    """,
+    doc="A/B-test readout: deterministic bucket assignment (user_id % 2), "
+    "user-level conversion (≥14 purchases, near the fixture median), "
+    "two-proportion z-test with the pooled variance, degenerate arms "
+    "(0%/100% pooled) guarded to NULL z. ONE user-keyed combiner "
+    "aggregate reduces any event volume to four integers; the z "
+    "statistic computes from those exact ints identically in both "
+    "engines. |z| > 1.96 flags significance at two-sided α=0.05",
+    tags=("temporal", "experiment", "stats"),
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "conv",
+    )
+    arms = per_user.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    pa = F.col("x_a") * 1.0 / F.col("n_a")
+    pb = F.col("x_b") * 1.0 / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    # degenerate arms (0% or 100% pooled conversion) have zero pooled
+    # variance: z is undefined — NULL, not a DIVIDE_BY_ZERO (ANSI mode)
+    degenerate = (F.col("x_a") + F.col("x_b") == 0) | (
+        F.col("x_a") + F.col("x_b") == F.col("n_a") + F.col("n_b")
+    )
+    z = F.when(
+        ~degenerate,
+        (pa - pb)
+        / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    )
+    return arms.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+    )

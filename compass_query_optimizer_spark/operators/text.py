@@ -2414,10 +2414,10 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_bm25_mlt",
-    f"""
-    WITH toks AS (
+# shared CTE chain: fixed-point BM25 of every document vs the minimum-id
+# seed; ends with a `bm25 (doc_id, n_hits, score)` CTE. Reused by the
+# text_bm25_mlt oracle and sim_hybrid_rrf's lexical leg.
+BM25_CTES = f"""toks AS (
       SELECT doc_id,
              unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS term
       FROM documents
@@ -2456,11 +2456,20 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                        + ({_BM25_B_M} * dl * n_docs) // sum_dl)) // 1000)
                  AS s
       FROM hits
-    )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-           CAST(SUM(s) AS BIGINT) AS score
-    FROM term_scores GROUP BY doc_id
-    ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    bm25 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(SUM(s) AS BIGINT) AS score
+      FROM term_scores GROUP BY doc_id
+    )"""
+
+
+@query(
+    "text_bm25_mlt",
+    f"""
+    WITH {BM25_CTES}
+    SELECT doc_id, n_hits, score
+    FROM bm25 ORDER BY score DESC, doc_id LIMIT 20
     """,
     doc="BM25 more-like-this: the corpus's minimum-id document is the "
     "query; every other document scores Σ over shared terms of "
@@ -2476,7 +2485,17 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "ir", "bm25"),
 )
 def text_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        bm25_mlt_scores(load_tables(spark, sf_dir)["documents"])
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+def bm25_mlt_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_hits, score) — fixed-point BM25 of every document against
+    the corpus's minimum-id seed document. Shared by text_bm25_mlt (top-20
+    entry) and sim_hybrid_rrf (lexical leg of the rank fusion)."""
     toks = docs.select(
         "doc_id", F.explode(_re_tokens(F.col("text"))).alias("term")
     )
@@ -2516,9 +2535,6 @@ def text_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"            + ({_BM25_B_M} * dl * n_docs) div sum_dl)) div 1000)"
         ).alias("s"),
     )
-    return (
-        term_scores.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"), F.sum("s").alias("score"))
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(20)
+    return term_scores.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.sum("s").alias("score")
     )

