@@ -213,3 +213,114 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) — completes the
+# release-gate trio with k-anonymity and l-diversity: a QI class can be
+# large (k-anonymous) AND diverse (l-diverse) yet still leak if its
+# sensitive-value DISTRIBUTION deviates from the corpus's (e.g. a class
+# that is 90% one language in a 20%-uniform corpus). For a categorical
+# sensitive attribute the earth-mover distance reduces to total variation:
+# TVD = ½ Σ_v |p_class(v) − p_global(v)|. Computed EXACTLY: the numerator
+# Σ_v |cnt_cl(v)·n_g − cnt_g(v)·n_cl| is int64 (order-independent sum),
+# the threshold test cross-multiplies the rational t = p/q (q·num >
+# 2·p·n_cl·n_g) so no float ever decides a flag, and the reported tvd is
+# one exact division rounded for display. Work: one (class, lang) combiner
+# aggregate, then classes × |langs| rows — corpus-sized data never reaches
+# the distance computation.
+# ---------------------------------------------------------------------------
+
+_T_CLOSENESS = [(1, 5), (7, 20)]  # thresholds t = 0.2, 0.35 as rationals
+
+
+@query(
+    "privacy_t_closeness",
+    f"""
+    WITH cl AS (
+      SELECT source, n_chars // 500 AS len_bucket, lang, COUNT(*) AS cnt
+      FROM documents GROUP BY source, n_chars // 500, lang
+    ),
+    sizes AS (
+      SELECT source, len_bucket, SUM(cnt) AS n_cl FROM cl
+      GROUP BY source, len_bucket
+    ),
+    gdist AS (SELECT lang, COUNT(*) AS cnt_g FROM documents GROUP BY lang),
+    tot AS (SELECT COUNT(*) AS n_g FROM documents),
+    cells AS (
+      SELECT s.source, s.len_bucket, s.n_cl, g.lang, g.cnt_g, t.n_g,
+             COALESCE(c.cnt, 0) AS cnt_cl
+      FROM sizes s CROSS JOIN gdist g CROSS JOIN tot t
+      LEFT JOIN cl c ON c.source = s.source AND c.len_bucket = s.len_bucket
+                    AND c.lang = g.lang
+    ),
+    tvd AS (
+      SELECT source, len_bucket, MAX(n_cl) AS n_cl, MAX(n_g) AS n_g,
+             SUM(ABS(cnt_cl * n_g - cnt_g * n_cl)) AS num
+      FROM cells GROUP BY source, len_bucket
+    )
+    SELECT t.p * 1.0 / t.q AS t,
+           CAST(COUNT(*) FILTER (q * num > 2 * p * n_cl * n_g) AS BIGINT)
+               AS classes_above_t,
+           CAST(COALESCE(SUM(n_cl) FILTER (q * num > 2 * p * n_cl * n_g), 0)
+                AS BIGINT) AS rows_at_risk,
+           ROUND(MAX(num * 1.0 / (2 * n_cl * n_g)), 6) AS worst_tvd
+    FROM tvd CROSS JOIN (
+      VALUES {", ".join(f"({p}, {q})" for p, q in _T_CLOSENESS)}
+    ) t(p, q)
+    GROUP BY t.p, t.q ORDER BY t
+    """,
+    doc="t-closeness release gate (Li et al., ICDE 2007) — the third leg "
+    "of the privacy trio: flags QI classes whose sensitive-value "
+    "distribution deviates from the corpus by total-variation distance "
+    "> t. The TVD numerator is an exact int64 cross-multiplication and "
+    "the threshold test is rational (q·num > 2·p·n_cl·n_g) — no float "
+    "decides a flag; one (class, lang) combiner aggregate, distance work "
+    "on classes × |langs| rows only",
+    tags=("privacy", "governance"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    cl = docs.groupBy(
+        "source", F.expr("n_chars div 500").alias("len_bucket"), "lang"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    sizes = cl.groupBy("source", "len_bucket").agg(
+        F.sum("cnt").alias("n_cl")
+    )
+    glob = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt_g"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_g"))
+    cells = (
+        sizes.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cl, ["source", "len_bucket", "lang"], "left")
+        .withColumn("cnt_cl", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    tvd = cells.groupBy("source", "len_bucket").agg(
+        F.max("n_cl").alias("n_cl"),
+        F.max("n_g").alias("n_g"),
+        F.sum(
+            F.abs(
+                F.col("cnt_cl") * F.col("n_g") - F.col("cnt_g") * F.col("n_cl")
+            )
+        ).alias("num"),
+    )
+    ts = tvd.crossJoin(
+        spark.createDataFrame(_T_CLOSENESS, "p int, q int")
+    )
+    above = F.col("q") * F.col("num") > 2 * F.col("p") * F.col("n_cl") * F.col("n_g")
+    return (
+        ts.groupBy((F.col("p") * 1.0 / F.col("q")).alias("t"))
+        .agg(
+            F.sum(F.when(above, 1).otherwise(0)).cast("long").alias(
+                "classes_above_t"
+            ),
+            F.coalesce(F.sum(F.when(above, F.col("n_cl"))), F.lit(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.round(
+                F.max(F.col("num") * 1.0 / (2 * F.col("n_cl") * F.col("n_g"))),
+                6,
+            ).alias("worst_tvd"),
+        )
+        .orderBy("t")
+    )

@@ -1741,3 +1741,164 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _registry._REGISTRY["sim_hybrid_rrf"].oracle = _hybrid_rrf_oracle
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN against a STANDING IVF index — the serving-side shape of
+# the ANN family (the batch analog of dedup_incremental_minhash's standing
+# MinHash index): the corpus (vec_id % 10 != 0) folds ONCE into the index
+# artifact — a K-row centroid table plus a (cell → member) assignment
+# table, both parquet-persistable — and each arrival batch (vec_id % 10
+# == 0) probes it without touching the standing side again: assign each
+# arrival to its IVF_NPROBE nearest centroids (broadcast K-row model),
+# exact-rerank only the probed cells' members. Index build cost amortizes
+# across arrival batches exactly like a real vector-serving deployment;
+# per-arrival work is O(K + corpus·nprobe/K), never O(corpus).
+# ---------------------------------------------------------------------------
+
+
+def _ann_incremental_oracle() -> str:
+    stride = (
+        f"GREATEST(1, (SELECT CAST(ceil(COUNT(*) / {IVF_K}.0) AS BIGINT) "
+        f"FROM embeddings WHERE vec_id % 10 <> 0))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
+    ),
+    standing AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+    arrivals AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+    cents AS (
+      SELECT vec_id AS cid, qv AS cv FROM standing
+      WHERE vec_id % {stride} = 0
+    ),
+    sd AS (
+      SELECT s.vec_id, s.qv, s.nrm2, c.cid,
+             list_sum(list_transform(range(1, len(s.qv) + 1),
+                      i -> (s.qv[i] - c.cv[i]) * (s.qv[i] - c.cv[i]))) AS d2
+      FROM standing s CROSS JOIN cents c
+    ),
+    sc AS (
+      SELECT vec_id, qv, nrm2, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
+      FROM sd
+    ),
+    index_members AS (
+      SELECT cid, vec_id AS neighbor_id, qv AS qb, nrm2 AS nb
+      FROM sc WHERE crk = 1
+    ),
+    ad AS (
+      SELECT a.vec_id, a.qv, a.nrm2, c.cid,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+                      i -> (a.qv[i] - c.cv[i]) * (a.qv[i] - c.cv[i]))) AS d2
+      FROM arrivals a CROSS JOIN cents c
+    ),
+    ac AS (
+      SELECT vec_id, qv, nrm2, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
+      FROM ad
+    ),
+    probes AS (
+      SELECT vec_id AS arrival_id, qv AS qa, nrm2 AS na, cid
+      FROM ac WHERE crk <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.arrival_id, m.neighbor_id,
+             list_sum(list_transform(range(1, len(p.qa) + 1), i -> p.qa[i] * m.qb[i]))
+               / (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(m.nb AS DOUBLE))) AS cos_raw
+      FROM probes p JOIN index_members m USING (cid)
+    ),
+    ranked AS (
+      SELECT arrival_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY arrival_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT arrival_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+           ROUND(cos_raw, 6) AS cos
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY arrival_id, rnk
+    """
+
+
+@query(
+    "sim_ann_incremental",
+    _ann_incremental_oracle(),
+    doc="incremental ANN against a standing IVF index (the vector-serving "
+    "shape, batch analog of dedup_incremental_minhash): the standing "
+    "corpus folds ONCE into a K-row centroid table + (cell → member) "
+    "assignment table — the parquet-persistable index artifact — and "
+    f"arrival batches probe {IVF_NPROBE} nearest cells with exact "
+    "rerank on probed members only. Per-arrival work is "
+    "O(K + corpus·nprobe/K); the standing side is never rescanned. "
+    "Same deterministic stride quantizer and oracle-mirrored formulas "
+    "as sim_ann_ivf",
+    tags=("similarity", "ivf", "incremental"),
+)
+def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    t = load_tables(spark, sf_dir)
+    n = _quantized_with_norm(t["embeddings"])
+    standing = n.filter(F.col("vec_id") % 10 != 0)
+    arrivals = n.filter(F.col("vec_id") % 10 == 0)
+    cnt = standing.count()
+    stride = max(1, math.ceil(cnt / IVF_K))
+    cents = standing.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(side: DataFrame) -> DataFrame:
+        dists = side.join(F.broadcast(cents), how="cross").select(
+            "vec_id", "qv", "nrm2", "cid", d2.alias("d2")
+        )
+        w_cell = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return dists.withColumn("crk", F.row_number().over(w_cell))
+
+    # the standing index: one fold, persistable as (cents, index_members)
+    index_members = (
+        assign(standing)
+        .filter(F.col("crk") == 1)
+        .select(
+            "cid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qv").alias("qb"),
+            F.col("nrm2").alias("nb"),
+        )
+        .localCheckpoint(eager=True)  # the standing artifact, built once
+    )
+    probes = (
+        assign(arrivals)
+        .filter(F.col("crk") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("arrival_id"),
+            F.col("qv").alias("qa"),
+            F.col("nrm2").alias("na"),
+            "cid",
+        )
+    )
+    scored = probes.join(index_members, "cid").withColumn(
+        "cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
+    )
+    w = Window.partitionBy("arrival_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "arrival_id", "rnk", "neighbor_id",
+            F.round("cos_raw", 6).alias("cos"),
+        )
+        .orderBy("arrival_id", "rnk")
+    )

@@ -101,19 +101,21 @@ _SAMPLE_PRIORITY = [
     "events_triangle_count",          # degree-oriented triangle counting
     "events_pagerank",                # exact fixed-point integer PageRank
     "emb_davies_bouldin",             # cluster-validity index, exact moments
-    "q45_window_distinct_count",      # COUNT(DISTINCT) window re-expression
     # -- new in round 8, third batch: first driver exposure --
     "dedup_containment",              # asymmetric shingle containment
     "emb_knn_graph",                  # LSH-bucketed k-NN graph artifact
-    "q47_unpivot",                    # wide->long UNPIVOT surface
     "stream_minhash_dedup",           # streaming near-dup via banded state
     "sim_hybrid_rrf",                 # BM25 x cosine reciprocal-rank fusion
     "events_ab_test",                 # two-proportion z-test readout
-    # -- the 51st never-sampled entry queues for round 9 (the driver
-    # samples a 50-entry prefix; q46 is the lowest-risk holdback: a
-    # pass-through window surface whose twin q45 IS sampled, and the
-    # local differential covers it) --
+    "privacy_t_closeness",            # distributional release gate (trio)
+    "sim_ann_incremental",            # standing-IVF-index arrival probe
+    # -- never-sampled entries 51-53 queue for round 9 (the driver samples
+    # a 50-entry prefix): the three thin SQL-surface entries, each a
+    # single-scan window/Expand plan the local differential covers every
+    # run, are the lowest-risk holdbacks --
+    "q45_window_distinct_count",      # COUNT(DISTINCT) window re-expression
     "q46_ignore_nulls_fill",          # IGNORE NULLS forward-fill surface
+    "q47_unpivot",                    # wide->long UNPIVOT surface
     # -- round-8 rotation: the never-sampled entries above consumed every
     # prefix slot (never-sampled beats stale-refresh: a first driver row
     # is evidence that doesn't exist yet, an r4 row is old but green).

@@ -597,3 +597,22 @@ def test_ab_test_is_one_combiner_rollup(spark):
     assert "partial_" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t_closeness_distance_work_is_class_sized(spark):
+    """The only corpus-sized work is the (class, lang) combiner aggregate;
+    the distribution tables ship as broadcasts and the TVD computation
+    touches classes × |langs| rows."""
+    plan = formatted_plan(spark, "privacy_t_closeness")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_incremental_probes_checkpointed_index(spark):
+    """Arrival probes must consume the checkpointed standing index, not
+    rebuild it inside their own plan; probing stays an equi-join on the
+    cell id."""
+    plan = formatted_plan(spark, "sim_ann_incremental")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

@@ -50,15 +50,19 @@ CHANGED_THIS_ROUND = {
     "stream_minhash_dedup",           # new: streaming near-dup dedup
     "sim_hybrid_rrf",                 # new: hybrid RRF retrieval
     "events_ab_test",                 # new: A/B z-test readout
+    "privacy_t_closeness",            # new: t-closeness release gate
+    "sim_ann_incremental",            # new: standing-IVF arrival probe
 }
 
 # Never-sampled entries deliberately queued for the round-9 prefix: the
-# driver samples 50 entries per round and round 8 registered 51 new ones.
-# Queue policy: hold back the lowest-risk surface entry (q46 is a
-# pass-through IGNORE NULLS window whose twin q45 IS sampled; the local
-# differential covers it every run).
+# driver samples 50 entries per round and round 8 registered 53 new ones.
+# Queue policy: hold back the thin SQL-surface entries (single-scan
+# window/Expand plans the local differential covers every run); every
+# operator with new machinery keeps a sampled slot.
 NEXT_ROUND_QUEUE = {
+    "q45_window_distinct_count",
     "q46_ignore_nulls_fill",
+    "q47_unpivot",
 }
 
 # Changed entries that do NOT get a prefix slot this round: the second
