@@ -305,7 +305,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("num"),
     )
     ts = tvd.crossJoin(
-        spark.createDataFrame(_T_CLOSENESS, "p int, q int")
+        F.broadcast(spark.createDataFrame(_T_CLOSENESS, "p int, q int"))
     )
     above = F.col("q") * F.col("num") > 2 * F.col("p") * F.col("n_cl") * F.col("n_g")
     return (
