@@ -58,6 +58,7 @@ def decode_payload(kind: str, payload: bytes):
     - ``text/utf-8``  → str
     - ``image/ppm``   → uint8 ndarray (h, w, 3)  [netpbm P6, maxval 255]
     - ``image/pgm``   → uint8 ndarray (h, w)     [netpbm P5, maxval 255]
+    - ``image/bmp``   → uint8 ndarray (h, w, 3)  [BMP 24-bit, BI_RGB]
     - ``audio/wav``   → (sample_rate, int16 ndarray (n, channels)) [PCM16]
     - ``video/y4m``   → (w, h, uint8 ndarray (frames, 3, h, w)) [C444]
 
@@ -68,6 +69,8 @@ def decode_payload(kind: str, payload: bytes):
         return payload.decode("utf-8")
     if kind in ("image/ppm", "image/pgm"):
         return _decode_netpbm(payload)
+    if kind == "image/bmp":
+        return _decode_bmp(payload)
     if kind == "audio/wav":
         return _decode_wav_pcm16(payload)
     if kind == "video/y4m":
@@ -107,6 +110,37 @@ def _decode_netpbm(payload: bytes):
     n = w * h * (3 if rgb else 1)
     arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return arr.reshape((h, w, 3) if rgb else (h, w))
+
+
+def _decode_bmp(payload: bytes):
+    """BMP 24-bit uncompressed parser (Windows BITMAPINFOHEADER, BI_RGB).
+
+    The three classic BMP decode bugs are all load-bearing here and all
+    oracle-visible: pixel rows are stored BOTTOM-UP (positive height),
+    per-pixel byte order is BGR (not RGB), and every row pads to a
+    4-byte boundary. Returns uint8 (h, w, 3) in top-down RGB — the same
+    orientation/channel contract as the netpbm decoder."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError(f"not a BMP payload: {payload[:2]!r}")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<IiI", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMPs supported (bpp={bpp}, comp={compression})"
+        )
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=pixel_offset
+    ).reshape(h, stride)[:, : w * 3]
+    bgr = rows.reshape(h, w, 3)[::-1]  # bottom-up → top-down
+    return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR → RGB
 
 
 def _decode_wav_pcm16(payload: bytes):
@@ -1059,3 +1093,78 @@ def pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# BMP twin of mm_image_decode: the third native image format. Unlike
+# netpbm (where decode is the identity on the sample bytes), BMP decode
+# is a PERMUTATION — bottom-up row order, per-pixel BGR, 4-byte row
+# padding — so the payload is constructed by applying the inverse
+# permutation to known RGB content string-side, and only a decoder that
+# gets all three quirks exactly right reproduces the content md5 the
+# oracle computes directly. Width 8 ⇒ 24-byte rows ⇒ zero padding, so
+# the constructed payload needs no filler bytes (the parser still
+# computes the stride, and a stride bug breaks any other width in the
+# unit tests).
+BMP_W, BMP_H = 8, 6
+_BMP_CONTENT_LEN = BMP_W * BMP_H * 3  # 144 content bytes
+
+
+def _bmp_header() -> bytes:
+    import struct
+
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + _BMP_CONTENT_LEN, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, BMP_W, BMP_H, 1, 24, 0, _BMP_CONTENT_LEN, 2835, 2835, 0, 0,
+        )
+    )
+
+
+@query(
+    "mm_bmp_decode",
+    f"""
+    SELECT doc_id,
+           {BMP_W} AS width, {BMP_H} AS height, 3 AS channels,
+           md5(substr(repeat(md5(text), 5), 1, {_BMP_CONTENT_LEN}))
+               AS pixel_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="REAL BMP decode: docs become 24-bit BI_RGB BMP payloads whose "
+    "pixel array is the known RGB content run through BMP's storage "
+    "permutation (bottom-up rows, BGR byte order) string-side; the "
+    "native numpy parser must invert the permutation exactly — flip, "
+    "swizzle, or stride bugs all change pixel_md5 and fail the oracle, "
+    "which computes the content hash directly. Third native image "
+    "format next to P6/P5; payload bytes never shuffle",
+    tags=("multimodal", "pandas-udf", "image"),
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    content = F.substring(
+        F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 5),
+        1,
+        _BMP_CONTENT_LEN,
+    )
+    # inverse permutation: BMP row r holds content row (H-1-r); each
+    # pixel's 3 bytes reverse to B,G,R — generated as explicit substrings
+    parts = []
+    for bmp_row in range(BMP_H):
+        src_row = BMP_H - 1 - bmp_row
+        for px in range(BMP_W):
+            base = src_row * BMP_W * 3 + px * 3 + 1  # 1-indexed
+            parts.append(F.substring(content, base + 2, 1))
+            parts.append(F.substring(content, base + 1, 1))
+            parts.append(F.substring(content, base, 1))
+    payloads = docs.select(
+        "doc_id",
+        F.lit("image/bmp").alias("kind"),
+        F.concat(
+            F.lit(_bmp_header()), F.encode(F.concat(*parts), "UTF-8")
+        ).alias("payload"),
+    )
+    return payloads.mapInPandas(
+        decode_image_features, schema=IMG_DECODE_SCHEMA
+    ).orderBy("doc_id")

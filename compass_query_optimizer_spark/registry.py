@@ -109,13 +109,15 @@ _SAMPLE_PRIORITY = [
     "events_ab_test",                 # two-proportion z-test readout
     "privacy_t_closeness",            # distributional release gate (trio)
     "sim_ann_incremental",            # standing-IVF-index arrival probe
-    # -- never-sampled entries 51-53 queue for round 9 (the driver samples
-    # a 50-entry prefix): the three thin SQL-surface entries, each a
-    # single-scan window/Expand plan the local differential covers every
-    # run, are the lowest-risk holdbacks --
+    # -- never-sampled entries 51-54 queue for round 9 (the driver samples
+    # a 50-entry prefix): the three thin SQL-surface entries (single-scan
+    # window/Expand plans) plus the fourth native decoder (its three
+    # siblings ARE sampled and the permutation roundtrip is unit-tested);
+    # the local differential covers all four every run --
     "q45_window_distinct_count",      # COUNT(DISTINCT) window re-expression
     "q46_ignore_nulls_fill",          # IGNORE NULLS forward-fill surface
     "q47_unpivot",                    # wide->long UNPIVOT surface
+    "mm_bmp_decode",                  # BMP 24-bit native decode
     # -- round-8 rotation: the never-sampled entries above consumed every
     # prefix slot (never-sampled beats stale-refresh: a first driver row
     # is evidence that doesn't exist yet, an r4 row is old but green).

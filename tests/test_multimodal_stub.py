@@ -150,3 +150,54 @@ def test_y4m_decode_frames_and_gate():
 
     with pytest.raises(NotImplementedError, match="C420"):
         decode_payload("video/y4m", b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + bytes(6))
+
+
+def test_bmp_roundtrip_inverts_storage_permutation():
+    """The BMP parser must invert bottom-up row order, BGR byte order, and
+    4-byte row padding — including widths that actually need pad bytes
+    (the registered entry uses a pad-free width, so the stride logic is
+    pinned here)."""
+    import struct
+
+    import numpy as np
+
+    from compass_query_optimizer_spark.operators.multimodal import _decode_bmp
+
+    def encode(img):
+        h, w, _ = img.shape
+        stride = ((w * 3 + 3) // 4) * 4
+        rows = []
+        for r in range(h - 1, -1, -1):
+            row = img[r][:, ::-1].tobytes()
+            rows.append(row + b"\0" * (stride - len(row)))
+        content = b"".join(rows)
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(content), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 24, 0, len(content), 2835, 2835, 0, 0,
+            )
+            + content
+        )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(8, 6), (5, 4), (7, 3), (1, 1)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (_decode_bmp(encode(img)) == img).all(), (w, h)
+
+
+def test_bmp_gates_stay_honest():
+    """Non-24-bit / compressed BMP variants raise the explicit gate."""
+    import struct
+
+    import pytest
+
+    from compass_query_optimizer_spark.operators.multimodal import _decode_bmp
+
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError):
+        _decode_bmp(hdr + b"\0" * 4)

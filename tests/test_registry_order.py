@@ -52,6 +52,7 @@ CHANGED_THIS_ROUND = {
     "events_ab_test",                 # new: A/B z-test readout
     "privacy_t_closeness",            # new: t-closeness release gate
     "sim_ann_incremental",            # new: standing-IVF arrival probe
+    "mm_bmp_decode",                  # new: BMP native decode
 }
 
 # Never-sampled entries deliberately queued for the round-9 prefix: the
@@ -63,6 +64,10 @@ NEXT_ROUND_QUEUE = {
     "q45_window_distinct_count",
     "q46_ignore_nulls_fill",
     "q47_unpivot",
+    # the fourth native decoder: siblings mm_image_decode/mm_audio_decode/
+    # mm_scene_change are sampled, the BMP permutation roundtrip is
+    # unit-tested incl. padded widths (test_multimodal_stub)
+    "mm_bmp_decode",
 }
 
 # Changed entries that do NOT get a prefix slot this round: the second
