@@ -2538,3 +2538,162 @@ def bm25_mlt_scores(docs: DataFrame) -> DataFrame:
     return term_scores.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hits"), F.sum("s").alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINING (Sennrich et al., ACL 2016) — the actual merge loop, not
+# just one round of pair counting (text_bpe_top_pairs): BPE_TRAIN_ITERS
+# iterations of [count adjacent symbol pairs over the word-frequency
+# table] → [merge the argmax pair everywhere] → repeat. Classic BPE
+# trains on the DISTINCT-word table (corpus compresses to vocabulary-
+# sized state before any iteration — the property that makes tokenizer
+# training feasible at 100 TB: 10^11 documents reduce to a few 10^6
+# (word, count) rows in ONE combiner aggregate, and every iteration
+# thereafter touches only that table).
+#
+# Determinism across engines: word segmentations are marker-framed
+# strings ('·a·b·c·'), a merge is ONE literal replace of '·pa·pb·' with
+# '·papb·' — Spark's replace() and DuckDB's replace() share the standard
+# left-to-right non-overlapping scan, so runs of a repeated pair merge
+# identically in both engines (alternate occurrences, Python-str.replace
+# semantics), and the marker framing prevents the 'xa b' ~ 'a b' suffix
+# false-match. Argmax pair ties break on (pa, pb) lexicographic order.
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ITERS = 3
+
+
+def _bpe_train_oracle() -> str:
+    sql = """
+    WITH words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    s0 AS (
+      SELECT word, cnt,
+             '\u00b7' || regexp_replace(word, '(.)', '\\1\u00b7', 'g') AS seg
+      FROM words
+    )"""
+    prev = "s0"
+    selects = []
+    for it in range(1, BPE_TRAIN_ITERS + 1):
+        sql += f""",
+    p{it} AS (
+      SELECT l[g.i] AS pa, l[g.i + 1] AS pb, SUM(cnt) AS pcnt
+      FROM (
+        SELECT cnt,
+               list_filter(string_split(seg, '\u00b7'), x -> x <> '') AS l
+        FROM {prev}
+      ), unnest(range(1, GREATEST(len(l), 1))) AS g(i)
+      GROUP BY pa, pb
+    ),
+    b{it} AS (
+      SELECT pa, pb, pcnt FROM p{it}
+      ORDER BY pcnt DESC, pa, pb LIMIT 1
+    ),
+    s{it} AS (
+      SELECT word, cnt,
+             replace(seg, '\u00b7' || b.pa || '\u00b7' || b.pb || '\u00b7',
+                     '\u00b7' || b.pa || b.pb || '\u00b7') AS seg
+      FROM {prev} CROSS JOIN b{it} b
+    ),
+    n{it} AS (
+      SELECT SUM(cnt * len(list_filter(string_split(seg, '\u00b7'),
+                                       x -> x <> ''))) AS n_tokens
+      FROM s{it}
+    )"""
+        selects.append(
+            f"SELECT {it} AS it, b.pa || ' ' || b.pb AS pair,"
+            f" CAST(b.pcnt AS BIGINT) AS cnt,"
+            f" CAST(n.n_tokens AS BIGINT) AS n_tokens_after"
+            f" FROM b{it} b CROSS JOIN n{it} n"
+        )
+        prev = f"s{it}"
+    sql += "\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY it"
+    return sql
+
+
+@query(
+    "text_bpe_train",
+    _bpe_train_oracle(),
+    doc=f"REAL BPE training loop ({BPE_TRAIN_ITERS} merge iterations, "
+    "Sennrich ACL'16): the corpus compresses to the (word, count) "
+    "vocabulary table in one combiner aggregate — the property that "
+    "makes tokenizer training feasible at 100 TB — then each iteration "
+    "counts adjacent symbol pairs weighted by word frequency, merges "
+    "the argmax pair everywhere (marker-framed literal replace, "
+    "identical left-to-right non-overlap semantics in both engines), "
+    "and reports the shrinking corpus token count. Ties break "
+    "lexicographically; every iteration's state is vocabulary-sized",
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = (
+        spread(docs)
+        .select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = words.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.lit("\u00b7"),
+            F.regexp_replace(F.col("word"), "(.)", "$1\u00b7"),
+        ).alias("seg"),
+    ).localCheckpoint(eager=True)
+    out_rows = []
+    toks_arr = F.filter(F.split(F.col("seg"), "\u00b7"), lambda x: x != "")
+    for it in range(1, BPE_TRAIN_ITERS + 1):
+        with_l = state.select("cnt", toks_arr.alias("l"))
+        pairs = with_l.select(
+            "cnt",
+            F.explode(
+                F.when(
+                    F.size(F.col("l")) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(F.col("l")) - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("l"), i).alias("pa"),
+                            F.element_at(F.col("l"), i + 1).alias("pb"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<pa:string,pb:string>>")
+                )
+            ).alias("p"),
+        )
+        counted = pairs.groupBy("p.pa", "p.pb").agg(
+            F.sum("cnt").alias("pcnt")
+        )
+        best = counted.orderBy(F.desc("pcnt"), "pa", "pb").limit(1)
+        state = (
+            state.crossJoin(F.broadcast(best))
+            .withColumn(
+                "seg",
+                F.expr(
+                    "replace(seg, '\u00b7' || pa || '\u00b7' || pb || "
+                    "'\u00b7', '\u00b7' || pa || pb || '\u00b7')"
+                ),
+            )
+            .drop("pa", "pb", "pcnt")
+            .localCheckpoint(eager=True)
+        )
+        n_after = state.select(
+            F.sum(F.col("cnt") * F.size(toks_arr)).alias("n_tokens")
+        )
+        out_rows.append(
+            best.crossJoin(n_after).select(
+                F.lit(it).cast("int").alias("it"),
+                F.concat_ws(" ", "pa", "pb").alias("pair"),
+                F.col("pcnt").cast("long").alias("cnt"),
+                F.col("n_tokens").cast("long").alias("n_tokens_after"),
+            )
+        )
+    res = out_rows[0]
+    for r in out_rows[1:]:
+        res = res.unionByName(r)
+    return res.orderBy("it")

@@ -106,17 +106,19 @@ _SAMPLE_PRIORITY = [
     "emb_knn_graph",                  # LSH-bucketed k-NN graph artifact
     "stream_minhash_dedup",           # streaming near-dup via banded state
     "sim_hybrid_rrf",                 # BM25 x cosine reciprocal-rank fusion
-    "events_ab_test",                 # two-proportion z-test readout
     "privacy_t_closeness",            # distributional release gate (trio)
     "sim_ann_incremental",            # standing-IVF-index arrival probe
-    # -- never-sampled entries 51-54 queue for round 9 (the driver samples
+    "text_bpe_train",                 # real BPE merge loop, vocab-sized state
+    # -- never-sampled entries 51-55 queue for round 9 (the driver samples
     # a 50-entry prefix): the three thin SQL-surface entries (single-scan
-    # window/Expand plans) plus the fourth native decoder (its three
-    # siblings ARE sampled and the permutation roundtrip is unit-tested);
-    # the local differential covers all four every run --
+    # window/Expand plans), the single-rollup z-test readout, and the
+    # fourth native decoder (its three siblings ARE sampled and the
+    # permutation roundtrip is unit-tested); the local differential
+    # covers all five every run --
     "q45_window_distinct_count",      # COUNT(DISTINCT) window re-expression
     "q46_ignore_nulls_fill",          # IGNORE NULLS forward-fill surface
     "q47_unpivot",                    # wide->long UNPIVOT surface
+    "events_ab_test",                 # two-proportion z-test readout
     "mm_bmp_decode",                  # BMP 24-bit native decode
     # -- round-8 rotation: the never-sampled entries above consumed every
     # prefix slot (never-sampled beats stale-refresh: a first driver row

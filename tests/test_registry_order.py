@@ -53,6 +53,7 @@ CHANGED_THIS_ROUND = {
     "privacy_t_closeness",            # new: t-closeness release gate
     "sim_ann_incremental",            # new: standing-IVF arrival probe
     "mm_bmp_decode",                  # new: BMP native decode
+    "text_bpe_train",                 # new: iterative BPE merge loop
 }
 
 # Never-sampled entries deliberately queued for the round-9 prefix: the
@@ -64,6 +65,9 @@ NEXT_ROUND_QUEUE = {
     "q45_window_distinct_count",
     "q46_ignore_nulls_fill",
     "q47_unpivot",
+    # single-rollup arithmetic readout; its degenerate-arm guard is
+    # exercised by the local differential at every SF
+    "events_ab_test",
     # the fourth native decoder: siblings mm_image_decode/mm_audio_decode/
     # mm_scene_change are sampled, the BMP permutation roundtrip is
     # unit-tested incl. padded widths (test_multimodal_stub)
