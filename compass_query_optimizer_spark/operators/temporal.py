@@ -1726,3 +1726,84 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: events_funnel counts WHO converts; this measures HOW
+# FAST — per converting user, the first-view → first-qualifying-purchase
+# delay, summarized as exact PERCENTILE_DISC quantiles. Discrete
+# percentiles over exact integer microseconds keep both engines
+# bit-identical (PERCENTILE_CONT interpolates in float and DISC does
+# not); the reduction is the funnel's own (one MIN per user per stage),
+# so the quantile input is user-cardinality, never event-cardinality.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_latency",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT p.user_id,
+             CAST(date_diff('microsecond', v.t1, p.t2) AS BIGINT) AS us
+      FROM p JOIN v ON v.user_id = p.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY us) AS BIGINT)
+               AS p50_us,
+           CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY us) AS BIGINT)
+               AS p90_us,
+           CAST(MAX(us) AS BIGINT) AS max_us
+    FROM d
+    """,
+    doc="funnel conversion latency: first view → first subsequent "
+    "purchase per user, exact integer microseconds, PERCENTILE_DISC "
+    "p50/p90 (discrete, so no float interpolation can diverge between "
+    "engines). Same user-keyed MIN reduction as events_funnel — the "
+    "quantile input is user-cardinality; at extreme user counts swap "
+    "PERCENTILE_DISC for approx_percentile without touching the "
+    "reduction",
+    tags=("temporal", "funnel", "percentile"),
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    from pyspark.sql import types as T
+
+    # explicit LTZ type: the session pins timestampType=TIMESTAMP_NTZ and
+    # unix_micros rejects NTZ; session timezone is UTC so the instant is
+    # unchanged (the q44_session_window note)
+    d = p.join(v, "user_id").select(
+        (F.unix_micros(F.col("t2").cast(T.TimestampType()))
+         - F.unix_micros(F.col("t1").cast(T.TimestampType()))).alias("us")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY us)")
+        .cast("long")
+        .alias("p50_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY us)")
+        .cast("long")
+        .alias("p90_us"),
+        F.max("us").cast("long").alias("max_us"),
+    )

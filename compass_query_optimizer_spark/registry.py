@@ -109,12 +109,14 @@ _SAMPLE_PRIORITY = [
     "privacy_t_closeness",            # distributional release gate (trio)
     "sim_ann_incremental",            # standing-IVF-index arrival probe
     "text_bpe_train",                 # real BPE merge loop, vocab-sized state
-    # -- never-sampled entries 51-55 queue for round 9 (the driver samples
-    # a 50-entry prefix): the three thin SQL-surface entries (single-scan
+    # -- never-sampled entries 51-56 queue for round 9 (the driver samples
+    # a 50-entry prefix): the percentile readout over the already-sampled
+    # funnel reduction, the three thin SQL-surface entries (single-scan
     # window/Expand plans), the single-rollup z-test readout, and the
     # fourth native decoder (its three siblings ARE sampled and the
     # permutation roundtrip is unit-tested); the local differential
-    # covers all five every run --
+    # covers all six every run --
+    "events_funnel_latency",          # conversion-delay PERCENTILE_DISC
     "q45_window_distinct_count",      # COUNT(DISTINCT) window re-expression
     "q46_ignore_nulls_fill",          # IGNORE NULLS forward-fill surface
     "q47_unpivot",                    # wide->long UNPIVOT surface

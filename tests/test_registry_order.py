@@ -54,6 +54,7 @@ CHANGED_THIS_ROUND = {
     "sim_ann_incremental",            # new: standing-IVF arrival probe
     "mm_bmp_decode",                  # new: BMP native decode
     "text_bpe_train",                 # new: iterative BPE merge loop
+    "events_funnel_latency",          # new: conversion-delay percentiles
 }
 
 # Never-sampled entries deliberately queued for the round-9 prefix: the
@@ -63,6 +64,9 @@ CHANGED_THIS_ROUND = {
 # operator with new machinery keeps a sampled slot.
 NEXT_ROUND_QUEUE = {
     "q45_window_distinct_count",
+    # percentile-over-user-reduction readout; exact PERCENTILE_DISC is
+    # already sampled via q40, and the funnel reduction via events_funnel
+    "events_funnel_latency",
     "q46_ignore_nulls_fill",
     "q47_unpivot",
     # single-rollup arithmetic readout; its degenerate-arm guard is
