@@ -1757,10 +1757,33 @@ _registry._REGISTRY["sim_hybrid_rrf"].oracle = _hybrid_rrf_oracle
 # ---------------------------------------------------------------------------
 
 
+IVF_INCR_MAX_K = 4096  # coarse-codebook cap for the incremental index
+
+
+def ivf_incremental_k(n_standing: int) -> int:
+    """K = ceil(sqrt(N)) clamped to [IVF_K, IVF_INCR_MAX_K]: the standing
+    index serves EVERY arrival (not 5 probe queries like sim_ann_ivf), so
+    per-arrival candidate volume is corpus*nprobe/K — a FIXED K makes it
+    linear in the corpus and the whole arrival batch quadratic. The
+    round-8 scale sweep measured exactly that (867 s, 85.6x over 50x
+    rows, at K=16); K tracking sqrt(N) pins cells at ~sqrt(N) members and
+    per-arrival work at O(sqrt(N)*nprobe). IEEE sqrt is correctly
+    rounded, so the SQL twin computes the identical K from COUNT(*)."""
+    import math
+
+    return max(
+        IVF_K, min(IVF_INCR_MAX_K, math.ceil(math.sqrt(max(n_standing, 1))))
+    )
+
+
 def _ann_incremental_oracle() -> str:
+    k = (
+        f"GREATEST({IVF_K}, LEAST({IVF_INCR_MAX_K}, "
+        f"CAST(ceil(sqrt(cnt)) AS BIGINT)))"
+    )
     stride = (
-        f"GREATEST(1, (SELECT CAST(ceil(COUNT(*) / {IVF_K}.0) AS BIGINT) "
-        f"FROM embeddings WHERE vec_id % 10 <> 0))"
+        f"(SELECT GREATEST(1, (cnt + {k} - 1) // {k}) FROM "
+        f"(SELECT COUNT(*) AS cnt FROM embeddings WHERE vec_id % 10 <> 0))"
     )
     return f"""
     WITH q AS (
@@ -1834,10 +1857,11 @@ def _ann_incremental_oracle() -> str:
     "corpus folds ONCE into a K-row centroid table + (cell → member) "
     "assignment table — the parquet-persistable index artifact — and "
     f"arrival batches probe {IVF_NPROBE} nearest cells with exact "
-    "rerank on probed members only. Per-arrival work is "
-    "O(K + corpus·nprobe/K); the standing side is never rescanned. "
-    "Same deterministic stride quantizer and oracle-mirrored formulas "
-    "as sim_ann_ivf",
+    "rerank on probed members only. K AUTO-SIZES to ceil(sqrt(N)) from "
+    "the plan-time standing count (oracle-mirrored), so per-arrival work "
+    "is O(sqrt(N)·nprobe) — the round-8 sweep measured the fixed-K=16 "
+    "version quadratic (867 s at 250k) and this is the fix; the standing "
+    "side is never rescanned",
     tags=("similarity", "ivf", "incremental"),
 )
 def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1848,7 +1872,8 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = n.filter(F.col("vec_id") % 10 != 0)
     arrivals = n.filter(F.col("vec_id") % 10 == 0)
     cnt = standing.count()
-    stride = max(1, math.ceil(cnt / IVF_K))
+    k = ivf_incremental_k(cnt)
+    stride = max(1, (cnt + k - 1) // k)
     cents = standing.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
