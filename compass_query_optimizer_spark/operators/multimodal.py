@@ -127,9 +127,14 @@ def _decode_bmp(payload: bytes):
     if payload[:2] != b"BM":
         raise ValueError(f"not a BMP payload: {payload[:2]!r}")
     pixel_offset = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size, w, h = struct.unpack_from("<IiI", payload, 14)
+    # BITMAPINFOHEADER height is SIGNED: negative means a top-down pixel
+    # order. Unpacking it unsigned would misread such a file as a
+    # ~4-billion-row image and die in numpy instead of gating cleanly.
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
     if hdr_size < 40:
         raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    if h < 0:
+        raise NotImplementedError("top-down (negative-height) BMPs not supported")
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(
@@ -1167,4 +1172,87 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return payloads.mapInPandas(
         decode_image_features, schema=IMG_DECODE_SCHEMA
+    ).orderBy("doc_id")
+
+
+# Resize roundtrip: the registered gate for resize_image. The source is
+# the same 24x16 P6 construction as mm_image_decode; nearest-neighbor
+# downsample to 12x8 picks source pixel (2r, 2c) for output cell (r, c)
+# — ys = (arange(8)*16)//8 and xs = (arange(12)*24)//12 are exactly the
+# even indices — so the oracle can rebuild the resized pixel bytes
+# string-side with substr arithmetic and md5-compare. The output payload
+# is re-DECODED through the netpbm parser before hashing, so the
+# re-encode header (magic, dims, maxval) is part of the proof.
+RS_W, RS_H = 12, 8
+
+
+def _resize_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: resize_image → re-decode → (dims, pixel md5)."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "channels": [], "pixel_md5": []}
+        for doc_id, kind, payload in zip(pdf["doc_id"], pdf["kind"], pdf["payload"]):
+            resized = resize_image(kind, bytes(payload), RS_W, RS_H)
+            img = _decode_netpbm(resized)
+            out["doc_id"].append(doc_id)
+            out["height"].append(img.shape[0])
+            out["width"].append(img.shape[1])
+            out["channels"].append(img.shape[2] if img.ndim == 3 else 1)
+            out["pixel_md5"].append(hashlib.md5(img.tobytes()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "width": pd.array(out["width"], dtype="int32"),
+                "height": pd.array(out["height"], dtype="int32"),
+                "channels": pd.array(out["channels"], dtype="int32"),
+                "pixel_md5": out["pixel_md5"],
+            }
+        )
+
+
+@query(
+    "mm_resize_roundtrip",
+    f"""
+    WITH p AS (
+      SELECT doc_id, repeat(md5(text), 36) AS s FROM documents
+    ),
+    cells AS (
+      SELECT doc_id,
+             string_agg(
+               substr(s, CAST((2 * r.y) * {IMG_W * 3} + (2 * c.x) * 3 + 1 AS BIGINT), 3),
+               '' ORDER BY r.y, c.x
+             ) AS rbytes
+      FROM p,
+           UNNEST(range(0, {RS_H})) AS r(y),
+           UNNEST(range(0, {RS_W})) AS c(x)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, {RS_W} AS width, {RS_H} AS height, 3 AS channels,
+           md5(rbytes) AS pixel_md5
+    FROM cells ORDER BY doc_id
+    """,
+    doc="REAL image resize in the pipeline: 24x16 P6 payloads run "
+    "through nearest-neighbor resize_image to 12x8, the output payload "
+    "is re-decoded by the native netpbm parser (so the re-encoded "
+    "header is verified, not just the sample bytes), and the oracle "
+    "rebuilds the expected resized pixels string-side from the "
+    "(2r, 2c) source-index arithmetic — md5 parity pins the index "
+    "mapping, channel order, and re-encode exactly. Payload bytes stay "
+    "inside mapInPandas; only 32-char hashes cross the exchange",
+    tags=("multimodal", "pandas-udf", "image", "resize"),
+)
+def mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    header = f"P6\n{IMG_W} {IMG_H}\n255\n"
+    payloads = docs.select(
+        "doc_id",
+        F.lit("image/ppm").alias("kind"),
+        F.encode(
+            F.concat(F.lit(header), F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 36)),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return payloads.mapInPandas(
+        _resize_roundtrip, schema=IMG_DECODE_SCHEMA
     ).orderBy("doc_id")

@@ -1672,7 +1672,7 @@ def _hybrid_rrf_oracle() -> str:
     f"by RRF = Σ 1e9//({RRF_K}+rank) in exact int64 — a document ranked "
     "by either phrasing or meaning surfaces, one ranked by both wins. "
     "Per-leg rank windows run AFTER the limit bounds their input "
-    "(never a corpus-wide sort); the fusion join is {HYBRID_LIST}×2 rows",
+    f"(never a corpus-wide sort); the fusion join is {HYBRID_LIST}×2 rows",
     tags=("similarity", "ir", "hybrid"),
 )
 def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:

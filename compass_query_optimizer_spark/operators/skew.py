@@ -86,3 +86,62 @@ def capped_topn(
         .filter(F.col("__rn") <= n)
         .drop(SALT_COL, "__rn1", "__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered correctness gate: salted join is row-identical to a plain join
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+WITH d AS (
+  SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS cnt,
+       ROUND(SUM(e.value), 2) AS sum_value,
+       MAX(d.type_total) AS type_total
+FROM events e JOIN d USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+def _register():
+    # local import: skew.py is also used by operators that load before the
+    # registry (avoids a cycle at package-import time)
+    from pyspark.sql import SparkSession
+
+    from compass_query_optimizer_spark.catalog import load_tables
+    from compass_query_optimizer_spark.registry import query
+
+    @query(
+        "skew_salted_join",
+        _SALTED_ORACLE,
+        doc="skew-mitigation salted join, oracle-gated: events (every "
+        "event_type is a hot key — 5 keys over the whole table) join a "
+        "tiny per-type dim through salted_join, which spreads each hot "
+        "key across 16 (key, salt) sub-keys and explodes the dim side "
+        "16x; the oracle is the PLAIN join + aggregate, so the gate "
+        "proves the salt/replicate/drop dance is row-exact. The "
+        "deterministic xxhash64 row salt keeps reruns shuffle-identical; "
+        "at 100 TB this is the fallback when one key defeats even AQE "
+        "skew splitting",
+        tags=("skew", "join"),
+    )
+    def skew_salted_join(spark: SparkSession, sf_dir: str):
+        t = load_tables(spark, sf_dir)
+        ev = t["events"]
+        dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+        joined = salted_join(ev, dim, on="event_type", n_salt=16)
+        return (
+            joined.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+                F.max("type_total").alias("type_total"),
+            )
+            .orderBy("event_type")
+        )
+
+
+_register()

@@ -56,92 +56,46 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # registration order — so adding a query without touching this list still
 # works, it just lands in the unsampled tail until promoted.
 _SAMPLE_PRIORITY = [
-    # -- new in round 8: first driver exposure --
-    "compass_count_left_outer",      # eager algebra below LEFT OUTER join
-    "compass_grouped_count_left_outer",  # grouped form of the outer chain
-    "dedup_substring_spans",          # Lee et al. ACL'22 duplicate spans
-    "q42_recursive_cte",              # WITH RECURSIVE fixpoint closure
-    "q41_pivot",                      # long->wide PIVOT surface
-    "events_rfm_segments",            # RFM quartile segmentation grid
-    "mm_phash_dedup",                 # 64-bit aHash image dedup, real decoder
-    "privacy_k_anonymity",            # QI class-size release gate
-    "dedup_keep_best",                # quality-aware canonical selection
-    "sim_ann_recall",                 # in-engine IVF recall@k eval gate
-    "dedup_span_removal",             # token-level span cleanup accounting
-    "privacy_l_diversity",            # sensitive-value diversity gate
-    "pipeline_multimodal",            # decode→phash dedup→QC funnel
-    "compass_multi_measure",          # SUM+MIN+MAX+COUNT in one chain pass
-    "compass_cross_table_measures",   # measures from different aliases
-    "compass_avg_left_outer",         # AVG below outer via COUNT(col) rider
-    "stream_stream_left_join",        # outer stream join, watermark-pinned
-    "dedup_incremental_spans",        # standing span index probe
-    "q43_grouping_sets",              # explicit GROUPING SETS lattice
-    "events_graph_distances",         # hop-capped BFS over behavior graph
-    "q44_session_window",             # NATIVE session_window vs lag oracle
-    "emb_pq_distortion",              # PQ reconstruction-MSE audit
-    "compass_count_distinct_auto",   # plan-time exact<->bitmap<->HLL routing
-    "compass_count_distinct_bitmap",  # packed-bitmap distinct carrier
-    "dedup_clusters_hardened",       # flood guard + star CC composed
-    "compass_grouped_distinct_auto",  # grouped bitmap-routed distinct
-    "compass_sum_distinct",           # set-valued SUM(DISTINCT) measure
-    "events_attribution",             # first/last-touch conversion credit
-    "q38_qualify",                    # QUALIFY (top-1-per-group) surface
-    "emb_random_projection",          # JL ±1 projection, lemma audited
-    "q39_range_frames",               # value-based RANGE window frames
-    "q40_percentile_within_group",    # ordered-set exact percentiles
-    "stream_late_data_drop",          # watermark late-drop semantics proof
-    "text_gopher_rules",              # full Gopher filter rule battery
-    "docs_dataset_fingerprint",       # partitioning-invariant corpus hash
-    "mm_scene_change",                # keyframe cut detection on decoded frames
-    "mm_audio_energy",                # windowed RMS / silence on decoded PCM16
-    "events_forecast_baseline",       # seasonal-naive backtest with MAE
-    # -- new in round 8, second batch: first driver exposure --
-    "text_tfidf_keywords",            # integer-exact tf-idf top-3 keywords
-    "text_bm25_mlt",                  # BM25 more-like-this, fixed-point
-    "events_triangle_count",          # degree-oriented triangle counting
-    "events_pagerank",                # exact fixed-point integer PageRank
-    "emb_davies_bouldin",             # cluster-validity index, exact moments
-    # -- new in round 8, third batch: first driver exposure --
-    "dedup_containment",              # asymmetric shingle containment
-    "emb_knn_graph",                  # LSH-bucketed k-NN graph artifact
-    "stream_minhash_dedup",           # streaming near-dup via banded state
-    "sim_hybrid_rrf",                 # BM25 x cosine reciprocal-rank fusion
-    "privacy_t_closeness",            # distributional release gate (trio)
-    "sim_ann_incremental",            # standing-IVF-index arrival probe
-    "text_bpe_train",                 # real BPE merge loop, vocab-sized state
-    # -- never-sampled entries 51-56 queue for round 9 (the driver samples
-    # a 50-entry prefix): the percentile readout over the already-sampled
-    # funnel reduction, the three thin SQL-surface entries (single-scan
-    # window/Expand plans), the single-rollup z-test readout, and the
-    # fourth native decoder (its three siblings ARE sampled and the
-    # permutation roundtrip is unit-tested); the local differential
-    # covers all six every run --
+    # ================= round-9 prefix: evidence-rotation round ==========
+    # The verdict's top directive: two rounds of rotation debt. Order:
+    # (1) the six round-8 entries the 50-slot prefix never reached,
+    # (2) entries new in round 9 (first driver exposure),
+    # (3) entries whose PLAN changed in round 9 (re-proof after rewrite),
+    # (4) the r3/r4 stale tail, (5) as much of the r5-evidence tail as
+    # fits. The r6+ blocks stay green under the local differential.
+    # -- never driver-sampled (added round 8 past the prefix) --
     "events_funnel_latency",          # conversion-delay PERCENTILE_DISC
     "q45_window_distinct_count",      # COUNT(DISTINCT) window re-expression
     "q46_ignore_nulls_fill",          # IGNORE NULLS forward-fill surface
     "q47_unpivot",                    # wide->long UNPIVOT surface
     "events_ab_test",                 # two-proportion z-test readout
     "mm_bmp_decode",                  # BMP 24-bit native decode
-    # -- round-8 rotation: the never-sampled entries above consumed every
-    # prefix slot (never-sampled beats stale-refresh: a first driver row
-    # is evidence that doesn't exist yet, an r4 row is old but green).
-    # The r4 tail leads the round-9 refresh queue; all four stay green
-    # under the local differential meanwhile --
+    # -- new in round 9: first driver exposure --
+    "skew_salted_join",               # salted hot-key join, row-parity gate
+    "bucket_clustered_scan",          # clustered write + skipping read-back
+    "mm_resize_roundtrip",            # nearest-neighbor resize, exact oracle
+    # -- plan changed in round 9 (standing-fold argmin rewrite) --
+    "sim_ann_incremental",            # standing-IVF-index arrival probe
+    # -- r4-evidence tail (oldest driver rows still registered; the r3
+    # row dedup_embedding_cosine was deliberately unregistered in r5 —
+    # all-pairs cosine is the test-only recall baseline of
+    # dedup_embedding_lsh, not a scale-path entry) --
     "events_retention",
     "temporal_asof_forward",
     "events_windowed_topk",
     "temporal_range_join",
-    # -- changed in round 8 (advice fixes): prefix slots exhausted; each is
-    # re-proven by tests/test_advice_r8.py and the local differential and
-    # keeps its r7 green driver row --
-    "sim_ann_ivfpq",
-    "text_kl_drift",
-    "text_hash_classifier",
-    "text_curriculum_stages",
-    "text_epoch_budget",
-    "emb_label_centroid_sim",
-    # -- then the r5-green tail (unsampled since round 5): streaming
-    # family, temporal tail, embeddings tail, text tail --
+    # -- r5-evidence tail (36 of 45 fit this round; the deferred 9 are
+    # single-scan text profiles, all green under the local differential,
+    # queued first for round 10) --
+    "compass_count_multijoin",        # the flagship — on r5 evidence!
+    "compass_grouped_count",
+    "compass_residual_filter",
+    "compass_self_join",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "sim_ann_lsh",
+    "sim_topk_bruteforce",
     "stream_dedup_events",
     "stream_enrich_join",
     "stream_session_window",
@@ -154,43 +108,48 @@ _SAMPLE_PRIORITY = [
     "emb_standardize",
     "events_cohort_matrix",
     "events_ohlc",
+    "events_sessionize",
     "events_transitions",
     "events_variant_extract",
+    "pipeline_curate",
     "text_bpe_top_pairs",
     "text_contamination",
     "text_heavy_hitters_cms",
     "text_langid",
-    "text_ngram_profile",
+    "text_mixture_sample",
     "text_pack_sequences",
-    "text_percentile_approx",
+    "text_pii_redact",
     "text_repetition",
-    "dedup_exact",
-    "sim_ann_lsh",
-    "dedup_simhash",
-    "compass_count_multijoin",
-    "compass_grouped_count",
-    "compass_residual_filter",
-    "compass_self_join",
-    "dedup_embedding_lsh",
-    "sim_topk_bruteforce",
-    "pipeline_curate",
-    "events_sessionize",
+    "text_segment_dedup",
+    "text_stratified_sample",
+    "text_train_split",
+    # ---- the 50-entry driver prefix ends here ----
+    # -- r5 remainder (deferred to round 10, leads next rotation) --
     "text_chunk",
     "text_langid_confusion",
     "text_length_histogram",
-    "text_mixture_sample",
-    # ---- the 50-entry driver prefix ends around here; the remaining
-    # r5/r6 tail rotates forward next round ----
-    "text_pii_redact",
+    "text_ngram_profile",
+    "text_percentile_approx",
     "text_quality_percentile",
-    "text_segment_dedup",
     "text_source_cap",
-    "text_stratified_sample",
-    "text_train_split",
     "text_vocabulary",
     "text_zipf_coverage",
-    # -- r6/r7-green block (fresh evidence last round; covered by the
-    # local differential suite this round) --
+    # -- r6-green block --
+    "compass_grouped_sum",
+    "compass_minmax_multijoin",
+    "compass_sum_multijoin",
+    "dedup_minhash_lsh",
+    "emb_pca_power",
+    "emb_prefix_norm",
+    "events_gap_fill",
+    "mm_audio_decode",
+    "mm_image_decode",
+    "mm_video_frames",
+    "temporal_asof_join",
+    "text_dsir_weights",
+    "text_lm_perplexity",
+    "text_winnowing",
+    # -- r7-green block --
     "dedup_bloom",
     "dedup_semantic",
     "compass_avg_multijoin",
@@ -199,11 +158,17 @@ _SAMPLE_PRIORITY = [
     "compass_count_distinct_hll",
     "dedup_incremental_minhash",
     "sim_ann_pq",
+    "sim_ann_ivfpq",
     "stream_approx_distinct",
     "stream_sliding_count",
     "pipeline_pretrain",
     "text_weighted_sample",
     "text_ngram_novelty",
+    "text_kl_drift",
+    "text_hash_classifier",
+    "text_curriculum_stages",
+    "text_epoch_budget",
+    "emb_label_centroid_sim",
     "dedup_edit_distance",
     "q34_not_in_null_trap",
     "dedup_clusters_twostage",
@@ -267,6 +232,8 @@ def all_queries() -> dict[str, QuerySpec]:
     import compass_query_optimizer_spark.operators.curation  # noqa: F401
     import compass_query_optimizer_spark.operators.embeddings  # noqa: F401
     import compass_query_optimizer_spark.operators.multimodal  # noqa: F401
+    import compass_query_optimizer_spark.operators.skew  # noqa: F401
+    import compass_query_optimizer_spark.sources.bucketing  # noqa: F401
     import compass_query_optimizer_spark.plans.queries  # noqa: F401
     import compass_query_optimizer_spark.plans.job_corpus  # noqa: F401
     import compass_query_optimizer_spark.functions.queries  # noqa: F401

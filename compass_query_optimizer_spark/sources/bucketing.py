@@ -118,3 +118,68 @@ def write_clustered_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered correctness gate: clustered write + range-filtered read-back
+# ---------------------------------------------------------------------------
+
+_CLUSTER_LO, _CLUSTER_HI = 100, 500
+
+_CLUSTERED_ORACLE = f"""
+SELECT COUNT(*) AS cnt,
+       MIN(l_orderkey) AS min_ok,
+       MAX(l_orderkey) AS max_ok,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_orderkey BETWEEN {_CLUSTER_LO} AND {_CLUSTER_HI}
+"""
+
+
+def _register():
+    from pyspark.sql import functions as F
+
+    from compass_query_optimizer_spark.catalog import load_tables
+    from compass_query_optimizer_spark.registry import query
+
+    @query(
+        "bucket_clustered_scan",
+        _CLUSTERED_ORACLE,
+        doc="write-time clustering round-trip, oracle-gated: lineitem is "
+        "rewritten through write_clustered (repartitionByRange + "
+        "sortWithinPartitions on l_orderkey → disjoint per-file min/max "
+        "footer stats), read back with a range predicate, and aggregated; "
+        "the oracle runs the same range aggregate on the ORIGINAL table, "
+        "so the gate proves the clustered layout is lossless and the "
+        "range filter lands on the pushed parquet stats path. At 100 TB "
+        "the same declaration makes range scans read O(selectivity) "
+        "files instead of all of them (file-skipping is asserted "
+        "separately in tests/test_bucketing.py)",
+        tags=("layout", "clustering", "pushdown"),
+    )
+    def bucket_clustered_scan(spark, sf_dir: str):
+        import os
+        import tempfile
+        import uuid
+
+        li = load_tables(spark, sf_dir)["lineitem"].select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        path = os.path.join(
+            tempfile.gettempdir(), f"clustered_{uuid.uuid4().hex[:12]}"
+        )
+        write_clustered(li, path, "l_orderkey", n_files=8)
+        back = spark.read.parquet(path).filter(
+            F.col("l_orderkey").between(_CLUSTER_LO, _CLUSTER_HI)
+        )
+        return back.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+
+
+_register()

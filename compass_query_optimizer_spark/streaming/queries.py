@@ -20,6 +20,22 @@ from pyspark.sql import types as T
 from compass_query_optimizer_spark.catalog import table_path
 from compass_query_optimizer_spark.registry import query
 
+
+def _drain(q, timeout: int = 300) -> None:
+    """Block until an availableNow query settles; fail LOUDLY on timeout.
+
+    ``awaitTermination(t)`` returns False when the clock, not the drain,
+    ended the wait — proceeding then would read a partially-settled sink
+    and return silently wrong rows. Every streaming entry routes its
+    drain through here so a timeout is an exception, never bad data.
+    """
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not settle within {timeout}s "
+            f"(query {q.name or q.id})"
+        )
+
 _ORACLE = """
 SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws,
        event_type,
@@ -116,7 +132,7 @@ def stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(sink).orderBy("ws", "event_type")
 
 
@@ -173,7 +189,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     # single-batch drain: the last update per user IS the total; dedup by
     # keeping the max n_events per user to stay correct under multi-batch
     # replays too
@@ -229,7 +245,7 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(sink).orderBy("nation")
 
 
@@ -269,7 +285,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return (
         spark.table(sink)
         .groupBy("event_type")
@@ -330,7 +346,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return (
         spark.table(sink)
         .groupBy(F.col("p_user").alias("user_id"))
@@ -383,7 +399,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return (
         spark.table(sink)
         .groupBy("user_id")
@@ -438,7 +454,7 @@ def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     exact = (
         load_tables(spark, sf_dir)["events"]
         .groupBy(
@@ -498,7 +514,7 @@ def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(sink).orderBy("ws")
 
 
@@ -615,7 +631,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
 
     def stage(df, name: str) -> None:
         # the file stream source lists FLAT files under the path — a
@@ -763,7 +779,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
 
     def stage(df, name: str) -> None:
         scratch = os.path.join(root, f"scratch_{name}")
@@ -934,7 +950,7 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     from compass_query_optimizer_spark.catalog import load_tables
     from compass_query_optimizer_spark.operators.dedup import minhash_bands
 

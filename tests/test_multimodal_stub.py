@@ -201,3 +201,12 @@ def test_bmp_gates_stay_honest():
     )
     with pytest.raises(NotImplementedError):
         _decode_bmp(hdr + b"\0" * 4)
+
+    # top-down BMPs carry a NEGATIVE height (BITMAPINFOHEADER is signed);
+    # the parser must gate cleanly instead of misreading h as ~4 billion
+    topdown = (
+        b"BM" + struct.pack("<IHHI", 54 + 4, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, -1, 1, 24, 0, 4, 0, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError, match="top-down"):
+        _decode_bmp(topdown + b"\0" * 4)
