@@ -916,6 +916,30 @@ class CompassOptimizer:
                     keep.add(f"{al}__{col}")
             keep &= set(joined.columns)
             all_chans = {nm for chans in channels for nm in chans}
+            # Structural re-agg deferral (the dual of the seed-collapse
+            # skip, and unlike round 5's estimate gate it needs no sketch
+            # estimate): when the JUST-joined alias entered the chain raw
+            # (collapse skipped because its key combinations are ≥90%
+            # distinct) and ALL of its key columns survive in `keep`, the
+            # groupBy(keep) output cardinality is at least the alias's
+            # matched-row count — a full-prefix exchange that provably
+            # shrinks ~nothing (JOB 17a at fixture scale 160: a 5.76M-row
+            # re-agg onto (person_id, movie_id) where cast_info is 94-99%
+            # distinct on exactly that pair). Defer to the step where one of
+            # those keys is finally dropped; still project dead columns so
+            # the deferred prefix stays narrow.
+            skipped_info = plan.extras.get("collapse_skipped", {}).get(alias)
+            if skipped_info and skipped_info.get("skip"):
+                akeys = {
+                    f"{alias}__{c}" for c in needed[alias]
+                } & set(joined.columns)
+                if akeys and akeys <= keep:
+                    proj = sorted(
+                        keep | {"__cnt"} | (all_chans & set(joined.columns))
+                    )
+                    joined = joined.select(*proj)
+                    plan.extras.setdefault("reagg_deferred", []).append(alias)
+                    continue
             if set(joined.columns) - keep - {"__cnt"} - all_chans:
                 aggs = [F.sum("__cnt").alias("__cnt")]
                 for i, (_, _, mop) in enumerate(measures):

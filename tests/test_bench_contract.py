@@ -69,7 +69,17 @@ def _worst_case_out():
         job_ab[f"{mode}_dnf_ids"] = qids[:16]
     job_ab["compass_dnf_subset_of_sparksql"] = True
     job_ab["count_mismatches"] = []
+    job_ab40 = {
+        "scale": 40, "n_queries": 113, "per_query_timeout": 45.0,
+        "per_query_concurrency": 6, "template_warm_sec": 61.2,
+        "compass_sec": 110.5, "compass_dnf": 3,
+        "compass_dnf_ids": qids[:3],
+        "plan_cost_wins": 113, "plan_cost_compared": 113,
+        "plan_cost_ratio_geomean": 3.6e-07,
+        "max_count": 10**15 + 7,
+    }
     return {
+        "job_ab40": job_ab40,
         "metric": "headline_queries_total_wall", "value": 33.7,
         "unit": "sec",
         "queries": {n: 1.234 for n in bench.HEADLINE},
@@ -100,6 +110,10 @@ def test_stdout_line_fits_driver_tail():
     for mode in ("compass", "compass_raw", "fallback", "sparksql"):
         assert ja[f"{mode}_sec"] == 123.4 and ja[f"{mode}_dnf"] == 16
     assert ja["per_query_concurrency"] == 6
+    ja40 = parsed["job_ab40"]
+    assert "compass_dnf_ids" not in ja40
+    assert ja40["compass_sec"] == 110.5 and ja40["compass_dnf"] == 3
+    assert ja40["scale"] == 40
     # the per-query headline map is the judge's round-over-round evidence:
     # at the CURRENT headline width it must survive compaction (round 7's
     # 44-entry set silently overflowed it out of the line before the

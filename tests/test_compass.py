@@ -607,3 +607,38 @@ def test_collapse_skip_gates_on_ndv_and_size(spark):
         corpus["8c"], tables=tables, counts=counts
     ).collect()[0]["cnt"]
     assert forced == base > 0
+
+
+def test_reagg_deferred_while_raw_alias_keys_survive(spark):
+    """The structural re-agg deferral (round-9): after a collapse-skipped
+    alias joins in, the post-join re-aggregation is deferred while ALL of
+    that alias's key columns survive in the keep set — the groupBy could
+    not shrink below the alias's matched-row count. Must (a) record the
+    deferral, (b) leave the answer unchanged vs the default plan, and
+    (c) NOT fire when the alias's keys are dropped right away."""
+    from compass_query_optimizer_spark.plans.job_corpus import job_tables, load_corpus
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+
+    corpus = load_corpus()
+    tables, counts = job_tables(spark, scale=1)
+    # 17a: ci carries (person_id, movie_id); after ci joins, person_id is
+    # still needed by n and movie_id by t — both keys survive, so the
+    # deferral must fire. Size floor dropped so the skip probe runs at
+    # test scale, and the ndv ratio lowered to 0.85 because the scale-1
+    # fixture's ci pair is 89.2% distinct (at scale 40+ it is 94-99.6%)
+    opt = CompassOptimizer(
+        spark,
+        config=PushdownConfig(
+            collapse_skip_min_rows=1, collapse_skip_ndv_ratio=0.85
+        ),
+    )
+    plan = opt.plan(corpus["17a"], tables=tables, counts=counts)
+    deferred = opt.build_count_join(plan)
+    assert plan.extras.get("collapse_skipped", {}).get("ci", {}).get("skip")
+    assert "ci" in plan.extras.get("reagg_deferred", []), plan.extras
+    forced = deferred.collect()[0]["cnt"]
+    base = CompassOptimizer(spark).execute_count(
+        corpus["17a"], tables=tables, counts=counts
+    ).collect()[0]["cnt"]
+    assert forced == base > 0

@@ -1,0 +1,63 @@
+"""Persisted ANN index round-trip: the incremental IVF index's claim is
+that (cents, index_members) are a parquet-persistable artifact. Prove it
+end-to-end: fold once, write both tables to parquet, RELOAD them, and
+serve arrival batches through the identical probe path — results must be
+row-identical to the in-memory fold, and a second, different batch must
+serve correctly from the same persisted files (no refold)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.operators.similarity import (
+    _quantized_with_norm,
+    incremental_standing_parts,
+    serve_arrivals,
+)
+from tests.conftest import SF_DIR
+
+
+def test_persisted_incremental_index_roundtrip(spark, tmp_path):
+    cents, members = incremental_standing_parts(spark, SF_DIR)
+    cents.write.parquet(str(tmp_path / "cents"))
+    members.write.parquet(str(tmp_path / "members"))
+
+    cents2 = spark.read.parquet(str(tmp_path / "cents"))
+    members2 = spark.read.parquet(str(tmp_path / "members"))
+
+    n = _quantized_with_norm(load_tables(spark, SF_DIR)["embeddings"])
+    arrivals = n.filter(F.col("vec_id") % 10 == 0)
+
+    from compass_query_optimizer_spark.registry import all_queries
+
+    direct = all_queries()["sim_ann_incremental"].build(spark, SF_DIR).collect()
+    served = (
+        serve_arrivals(arrivals, cents2, members2)
+        .orderBy("arrival_id", "rnk")
+        .collect()
+    )
+    assert [tuple(r) for r in served] == [tuple(r) for r in direct]
+    assert len(served) > 0
+
+
+def test_persisted_index_serves_a_second_batch(spark, tmp_path):
+    """A later batch probes the SAME persisted files — the serving path
+    never refolds the corpus. Batch-2 queries are standing vectors, so
+    each must retrieve itself at rank 1 with cosine 1.0 (its own cell is
+    its nearest cell, and it is a member of that cell)."""
+    cents, members = incremental_standing_parts(spark, SF_DIR)
+    cents.write.parquet(str(tmp_path / "cents"))
+    members.write.parquet(str(tmp_path / "members"))
+    cents2 = spark.read.parquet(str(tmp_path / "cents"))
+    members2 = spark.read.parquet(str(tmp_path / "members"))
+
+    n = _quantized_with_norm(load_tables(spark, SF_DIR)["embeddings"])
+    batch2 = n.filter(F.col("vec_id") % 10 == 5)
+    out = serve_arrivals(batch2, cents2, members2)
+    top1 = {r["arrival_id"]: r for r in out.filter(F.col("rnk") == 1).collect()}
+    n_batch2 = batch2.count()
+    assert len(top1) == n_batch2 > 0
+    for arrival_id, row in top1.items():
+        assert row["neighbor_id"] == arrival_id, row
+        assert row["cos"] == 1.0, row
