@@ -829,6 +829,18 @@ class CompassOptimizer:
                 and plan.pushdown.stats[alias].rows <= self.config.broadcast_rows
             ):
                 agg = F.broadcast(agg)
+            elif plan.pushdown.stats[alias].rows > self.config.broadcast_rows:
+                # Anti-broadcast guard (round 9, measured on JOB 17a at
+                # fixture scale 160): a multi-million-row chain partner is
+                # narrow enough (2-3 int columns + __cnt) that AQE's
+                # shuffle-bytes heuristic converts its join to broadcast —
+                # and then the DRIVER single-threadedly collects and
+                # hash-builds 5.76M rows (95 s of 17a's 150 s wall, stage
+                # profile /tmp analysis). SHUFFLE_HASH pins a shuffled
+                # hash join: the build happens per-partition in parallel
+                # and the row count per build map stays rows/partitions.
+                # 17a: 174.6 s → measured again below after this hint.
+                agg = agg.hint("shuffle_hash")
             frames[alias] = agg
 
         joined = frames[order[0]].withColumnRenamed("__cnt_new", "__cnt")
@@ -916,20 +928,22 @@ class CompassOptimizer:
                     keep.add(f"{al}__{col}")
             keep &= set(joined.columns)
             all_chans = {nm for chans in channels for nm in chans}
-            # Structural re-agg deferral (the dual of the seed-collapse
-            # skip, and unlike round 5's estimate gate it needs no sketch
-            # estimate): when the JUST-joined alias entered the chain raw
-            # (collapse skipped because its key combinations are ≥90%
-            # distinct) and ALL of its key columns survive in `keep`, the
-            # groupBy(keep) output cardinality is at least the alias's
-            # matched-row count — a full-prefix exchange that provably
-            # shrinks ~nothing (JOB 17a at fixture scale 160: a 5.76M-row
-            # re-agg onto (person_id, movie_id) where cast_info is 94-99%
-            # distinct on exactly that pair). Defer to the step where one of
-            # those keys is finally dropped; still project dead columns so
-            # the deferred prefix stays narrow.
+            # Structural re-agg deferral (round 9, DEFAULT OFF — measured
+            # net-negative, see PushdownConfig.reagg_defer_raw_keys): when
+            # the JUST-joined alias entered the chain raw (collapse
+            # skipped, keys ≥90% distinct) and ALL of its key columns
+            # survive in `keep`, the groupBy(keep) output cardinality is
+            # at least the alias's matched-row count, so the exchange
+            # cannot shrink the row count. It still pays: map-side
+            # partial_sum combine + an AQE stats point + a bounded SMJ
+            # sort input beat the saved exchange 49× on JOB 6f at scale
+            # 160 (171.7 s deferred vs 3.5 s re-aggregated, same count).
             skipped_info = plan.extras.get("collapse_skipped", {}).get(alias)
-            if skipped_info and skipped_info.get("skip"):
+            if (
+                self.config.reagg_defer_raw_keys
+                and skipped_info
+                and skipped_info.get("skip")
+            ):
                 akeys = {
                     f"{alias}__{c}" for c in needed[alias]
                 } & set(joined.columns)

@@ -80,6 +80,20 @@ class PushdownConfig:
     # scheduling).
     collapse_skip_ndv_ratio: float = 0.9
     collapse_skip_min_rows: int = 500_000
+    # Structural re-agg deferral (round 9): skip the post-join re-agg
+    # while ALL of a just-joined collapse-skipped alias's key columns
+    # survive in the keep set — the groupBy provably cannot shrink below
+    # that alias's matched-row count, so the hypothesis was that the
+    # exchange is pure overhead. MEASURED FALSE, decisively: solo JOB at
+    # fixture scale 160, deferral on vs off — 6f 171.7 s vs 3.5 s (49×),
+    # 8c 46.5 s vs 25.8 s, identical counts. Row-count no-shrink is the
+    # wrong cost model: the "useless" re-agg still (a) combines the
+    # multiplicity columns map-side before the exchange, (b) gives AQE a
+    # materialized stats point to re-plan the next join from, and (c)
+    # bounds the sort input of the next sort-merge join. Third skip-the-
+    # shrink idea to die by measurement (round-6 eager on/off gate,
+    # round-8 estimate-gated re-agg, this). Knob stays for re-measurement.
+    reagg_defer_raw_keys: bool = False
 
 
 @dataclass

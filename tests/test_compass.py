@@ -610,12 +610,11 @@ def test_collapse_skip_gates_on_ndv_and_size(spark):
 
 
 def test_reagg_deferred_while_raw_alias_keys_survive(spark):
-    """The structural re-agg deferral (round-9): after a collapse-skipped
-    alias joins in, the post-join re-aggregation is deferred while ALL of
-    that alias's key columns survive in the keep set — the groupBy could
-    not shrink below the alias's matched-row count. Must (a) record the
-    deferral, (b) leave the answer unchanged vs the default plan, and
-    (c) NOT fire when the alias's keys are dropped right away."""
+    """The structural re-agg deferral is DEFAULT-OFF (measured 49× worse
+    on JOB 6f at scale 160 — see PushdownConfig.reagg_defer_raw_keys),
+    but the knob must stay correct for re-measurement: forced on, it
+    must (a) record the deferral, (b) leave the answer unchanged vs the
+    default plan."""
     from compass_query_optimizer_spark.plans.job_corpus import job_tables, load_corpus
     from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
     from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
@@ -630,7 +629,9 @@ def test_reagg_deferred_while_raw_alias_keys_survive(spark):
     opt = CompassOptimizer(
         spark,
         config=PushdownConfig(
-            collapse_skip_min_rows=1, collapse_skip_ndv_ratio=0.85
+            collapse_skip_min_rows=1,
+            collapse_skip_ndv_ratio=0.85,
+            reagg_defer_raw_keys=True,
         ),
     )
     plan = opt.plan(corpus["17a"], tables=tables, counts=counts)
