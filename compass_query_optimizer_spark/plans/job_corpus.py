@@ -125,6 +125,21 @@ def run_corpus(
             return int(spark.sql(corpus[qid]).collect()[0][0])
 
     elif mode in ("compass", "compass_raw", "fallback"):
+        # SPARK_GRAFT_CORPUS_BROADCAST_CAP (bytes; default 0 = session
+        # default) caps AUTO broadcasts for planner modes. Measured both
+        # ways before defaulting OFF: an 8 MB cap is −21-27% on the
+        # scale-160 tail (2a 28.9→21.0 s — the driver's single-threaded
+        # HashedRelation build of 400-720k-row sides serializes the join)
+        # but +92% on the full scale-10 corpus (63.8→122.4 s — the same
+        # cap kills broadcasts that are the right call when the other
+        # side is larger). A static byte threshold cannot be right at
+        # both scales; the targeted fix for the pathological case lives
+        # in build_count_join (raw-alias prefix SHUFFLE_HASH hint).
+        cap = int(os.environ.get("SPARK_GRAFT_CORPUS_BROADCAST_CAP", "0"))
+        if cap > 0:
+            for _k in ("spark.sql.autoBroadcastJoinThreshold",
+                       "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+                spark.conf.set(_k, str(cap))
         opt = CompassOptimizer(spark)
 
         def run_one(qid: str) -> int:

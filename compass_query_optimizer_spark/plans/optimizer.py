@@ -850,6 +850,31 @@ class CompassOptimizer:
                     joined = joined.withColumnRenamed(f"{nm}_new", nm)
         in_chain = {order[0]}
         remaining = set(order[1:])
+        # raw-alias prefix liveness: aliases that entered the chain raw
+        # (collapse skipped) and whose FULL key set still rides the
+        # prefix. While any is live, the prefix row count is at least
+        # that alias's matched-row count — millions of rows that look
+        # like a few narrow MB to AQE's shuffle-bytes heuristic, which
+        # then converts the NEXT join to broadcast and single-threads a
+        # multi-million-row HashedRelation build on the driver (JOB 8c
+        # at fixture scale 160). A SHUFFLE_HASH hint on the prefix side
+        # pins those joins to parallel per-partition builds; explicit
+        # F.broadcast hints on tiny partners still win the hint
+        # resolution, so dim tables keep shipping.
+        def _alias_keys(a: str) -> set:
+            return {f"{a}__{c}" for c in needed[a]}
+
+        raw_live: set = set()
+
+        def _refresh_raw_live() -> None:
+            cols = set(joined.columns)
+            for a in list(raw_live):
+                if not _alias_keys(a) <= cols:
+                    raw_live.discard(a)
+
+        seed_info = plan.extras.get("collapse_skipped", {}).get(order[0])
+        if seed_info and seed_info.get("skip"):
+            raw_live.add(order[0])
         for alias in order[1:]:
             conds = []
             for a, ca, b, cb in spec.join_preds:
@@ -858,17 +883,24 @@ class CompassOptimizer:
                 elif b == alias and a in in_chain:
                     conds.append(F.col(f"{a}__{ca}") == F.col(f"{alias}__{cb}"))
             is_outer = alias in spec.outer
+            left = joined.hint("shuffle_hash") if raw_live else joined
+            plan.extras.setdefault("raw_live_trace", []).append(
+                (alias, sorted(raw_live))
+            )
             if not conds:  # disconnected fallback only
                 if is_outer:
                     raise ValueError(f"outer alias {alias} has no join edge")
-                joined = joined.crossJoin(frames[alias])
+                joined = left.crossJoin(frames[alias])
             else:
                 cond = conds[0]
                 for c in conds[1:]:
                     cond = cond & c
-                joined = joined.join(
+                joined = left.join(
                     frames[alias], cond, "left" if is_outer else "inner"
                 )
+            info = plan.extras.get("collapse_skipped", {}).get(alias)
+            if info and info.get("skip"):
+                raw_live.add(alias)
             # null-extension multiplicity (Yan & Larson VLDB'95 §5, outer
             # joins): an unmatched prefix row survives a LEFT OUTER join
             # exactly once, so the partner multiplicity is
@@ -964,6 +996,7 @@ class CompassOptimizer:
                     joined = joined.groupBy(*sorted(keep)).agg(*aggs)
                 elif remaining:
                     joined = joined.agg(*aggs)
+            _refresh_raw_live()
 
         for residual in spec.post_filters:
             joined = joined.filter(_rewrite_residual(residual, spec))

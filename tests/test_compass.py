@@ -643,3 +643,37 @@ def test_reagg_deferred_while_raw_alias_keys_survive(spark):
         corpus["17a"], tables=tables, counts=counts
     ).collect()[0]["cnt"]
     assert forced == base > 0
+
+
+def test_raw_alias_prefix_pins_shuffle_hash_joins(spark):
+    """While a collapse-skipped alias's full key set still rides the
+    prefix, the chain hints SHUFFLE_HASH on the prefix side — AQE's
+    shuffle-bytes heuristic otherwise converts the next join to broadcast
+    and single-threads a multi-million-row HashedRelation build on the
+    driver (JOB 8c at fixture scale 160: 27.3 s → 6.4 s solo). At test
+    scale the floor is dropped so the skip fires; the trace must show the
+    raw alias live exactly until its keys drop out of keep, and the
+    answer must match the default plan."""
+    from compass_query_optimizer_spark.plans.job_corpus import job_tables, load_corpus
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+
+    corpus = load_corpus()
+    tables, counts = job_tables(spark, scale=1)
+    opt = CompassOptimizer(
+        spark, config=PushdownConfig(collapse_skip_min_rows=1)
+    )
+    plan = opt.plan(corpus["8c"], tables=tables, counts=counts)
+    df = opt.build_count_join(plan)
+    skips = {
+        a: i["skip"] for a, i in plan.extras.get("collapse_skipped", {}).items()
+    }
+    assert any(skips.values()), skips  # at least one raw alias in 8c
+    trace = dict(plan.extras.get("raw_live_trace", []))
+    raw = {a for a, s in skips.items() if s}
+    assert any(set(live) & raw for live in trace.values()), trace
+    forced = df.collect()[0]["cnt"]
+    base = CompassOptimizer(spark).execute_count(
+        corpus["8c"], tables=tables, counts=counts
+    ).collect()[0]["cnt"]
+    assert forced == base > 0
