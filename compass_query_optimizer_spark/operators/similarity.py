@@ -1893,7 +1893,16 @@ def incremental_standing_parts(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
     cent_ids = sorted(r["cid"] for r in cents.select("cid").collect())
-    assert len(cent_ids) <= _ARGMIN_CAP, len(cent_ids)
+    if len(cent_ids) > _ARGMIN_CAP:
+        # packing invariant: min(d2*CAP + cidx) is exact only while
+        # cidx < CAP. The count here is the stride-multiple count (not
+        # ivf_incremental_k's clamp), so it is NOT structurally bounded —
+        # and a bare assert would vanish under `python -O`.
+        raise ValueError(
+            f"{len(cent_ids)} centroids exceed the argmin packing cap "
+            f"{_ARGMIN_CAP}; raise _ARGMIN_CAP (and re-audit the double "
+            "mantissa headroom: d2*CAP must stay exactly representable)"
+        )
     idx = spark.createDataFrame(
         [(cid, i) for i, cid in enumerate(cent_ids)], "cid long, cidx long"
     )

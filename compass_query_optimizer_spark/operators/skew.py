@@ -98,7 +98,8 @@ WITH d AS (
 )
 SELECT e.event_type,
        COUNT(*) AS cnt,
-       ROUND(SUM(e.value), 2) AS sum_value,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
        MAX(d.type_total) AS type_total
 FROM events e JOIN d USING (event_type)
 GROUP BY e.event_type
@@ -137,7 +138,14 @@ def _register():
             joined.groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                F.round(F.sum("value"), 2).alias("sum_value"),
+                # integer cents, not ROUND(SUM(double),2): value is DOUBLE
+                # and every event_type group spans the whole table, so the
+                # 16-way salted join's accumulation order vs DuckDB's plain
+                # join could flake a 2-decimal round near a .005 boundary;
+                # summing int64 cents is order-independent and exact
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "sum_value_cents"
+                ),
                 F.max("type_total").alias("type_total"),
             )
             .orderBy("event_type")

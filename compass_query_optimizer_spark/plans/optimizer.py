@@ -985,6 +985,11 @@ class CompassOptimizer:
                     )
                     joined = joined.select(*proj)
                     plan.extras.setdefault("reagg_deferred", []).append(alias)
+                    # the select(proj) can project out ANOTHER live raw
+                    # alias's key columns; without the refresh, raw_live
+                    # stays stale and later joins keep a shuffle_hash hint
+                    # they no longer need (round-9 advice)
+                    _refresh_raw_live()
                     continue
             if set(joined.columns) - keep - {"__cnt"} - all_chans:
                 aggs = [F.sum("__cnt").alias("__cnt")]

@@ -159,16 +159,18 @@ def _register():
         tags=("layout", "clustering", "pushdown"),
     )
     def bucket_clustered_scan(spark, sf_dir: str):
+        import hashlib
         import os
         import tempfile
-        import uuid
 
         li = load_tables(spark, sf_dir)["lineitem"].select(
             "l_orderkey", "l_quantity", "l_extendedprice"
         )
-        path = os.path.join(
-            tempfile.gettempdir(), f"clustered_{uuid.uuid4().hex[:12]}"
-        )
+        # deterministic per-sf_dir path + mode=overwrite: a fresh
+        # uuid-named copy per invocation leaked one orphaned temp dir per
+        # gate/differential run (round-9 advice)
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(tempfile.gettempdir(), f"clustered_{tag}")
         write_clustered(li, path, "l_orderkey", n_files=8)
         back = spark.read.parquet(path).filter(
             F.col("l_orderkey").between(_CLUSTER_LO, _CLUSTER_HI)
