@@ -120,7 +120,8 @@ def compact_line(out: dict) -> str:
             slim[blk] = {
                 k: v
                 for k, v in slim[blk].items()
-                if k != "per_query" and not k.endswith("_dnf_ids")
+                if k not in ("per_query", "loadavg_per_mode")
+                and not k.endswith("_dnf_ids")
             }
     # compact separators + 2-decimal timings: a 44-entry headline set
     # overflowed the budget under the default formatting and silently
@@ -161,6 +162,7 @@ def compact_line(out: dict) -> str:
             if isinstance(slim.get(blk), dict):
                 slim[blk].pop("template_warm_sec", None)
                 slim[blk].pop("per_query_timeout", None)
+                slim[blk].pop("loadavg_start", None)
         for k in ("loadavg_start", "loadavg_end", "load_waited_sec"):
             slim.pop(k, None)
         line = json.dumps(slim, separators=(",", ":"))
@@ -203,8 +205,13 @@ def main() -> None:
     # LOAD_GATE when the bench starts, wait for the box to drain (bounded
     # by SPARK_GRAFT_BENCH_LOAD_WAIT seconds, default 300) and, if it
     # never does, stamp an explicit contended-run marker into the line.
-    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "8"))
-    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+    # gate tightened 8 → 4 after round 9: a start at loadavg 7.78 (barely
+    # under the old gate) regressed the identical 54-query headline 6.8%
+    # with no code cause — the gate must reject a warm box, not just a
+    # slammed one. The wait doubles to compensate (a draining box crosses
+    # 4 later than it crosses 8).
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "4"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
     try:
         deadline = time.monotonic() + load_wait
         waited = 0.0
@@ -352,29 +359,115 @@ def _run(out: dict, sf_dir: str) -> None:
     # driver-side timeout would hit before the remaining modes finish,
     # stop and report the modes that ran (marked "deadline_truncated")
     # instead of dying JSON-less.
+    #
+    # BUDGET ORDER (round-10 restructure — r9's job_ab40 was deadline-
+    # starved because the four scale-10 modes ran first and the three
+    # LOSING modes burned ~900 s re-measuring known walls):
+    #   1. scale-10 compass + sparksql   (the headline ratio)
+    #   2. scale-40 compass-only         (the paper-shaped 0-DNF claim)
+    #   3. scale-10 fallback + compass_raw (stable known numbers —
+    #      deferred; they absorb whatever budget remains)
     bench_deadline = time.monotonic() + float(
         os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1500")
     )
+
+    def _loadavg():
+        try:
+            return [round(v, 2) for v in os.getloadavg()]
+        except OSError:
+            return None
+
+    def _plan_quality_fields(plan_rows, math):
+        compared = [(c, fb) for _, c, fb in plan_rows if fb]
+        return {
+            "plan_cost_wins": sum(c <= fb for c, fb in compared),
+            "plan_cost_compared": len(compared),
+            "plan_cost_ratio_geomean": round(math.exp(
+                sum(math.log(max(c, 1e-9) / fb) for c, fb in compared)
+                / max(len(compared), 1)), 8),
+        }
+
+    results: dict = {}  # scale-10 per-mode {qid: count} across both batches
+
+    def _run_modes(job_ab, modes, job_scale, job_timeout):
+        """Run scale-10 corpus modes into job_ab; returns False on a
+        deadline truncation. Shared `results` accumulates counts so the
+        cross-mode mismatch/subset fields can be recomputed after each
+        batch."""
+        nonlocal spark
+        from compass_query_optimizer_spark.plans.job_corpus import run_corpus
+        from compass_query_optimizer_spark.session import get_spark
+
+        for mode in modes:
+            # worst case for a mode ≈ DNF tail at ~max_workers-wide
+            # concurrency; budget conservatively at half the corpus
+            # hitting the timeout serially across the worker pool
+            est_mode_s = job_timeout * 113 / MAX_WORKERS / 2
+            if time.monotonic() + est_mode_s > bench_deadline:
+                job_ab["deadline_truncated"] = mode
+                print(f"  job_ab: deadline before {mode}", file=sys.stderr)
+                return False
+            # fresh JVM per mode: a cancelled query's codegen loop can
+            # run on as an uninterruptible zombie task, and letting it
+            # steal cores from the NEXT mode would skew the A/B
+            spark.stop()
+            spark = get_spark(app_name=f"compass-bench-{mode}")
+            job_ab.setdefault("loadavg_per_mode", {})[mode] = _loadavg()
+            t0 = time.perf_counter()
+            rows = run_corpus(spark, mode=mode, scale=job_scale,
+                              max_workers=MAX_WORKERS,
+                              per_query_timeout=job_timeout,
+                              with_timing=True)
+            results[mode] = {q: c for q, c, _ in rows}
+            job_ab[f"{mode}_sec"] = round(time.perf_counter() - t0, 1)
+            dnf = sorted(q for q, c, _ in rows if c is None)
+            job_ab[f"{mode}_dnf"] = len(dnf)
+            if dnf:
+                job_ab[f"{mode}_dnf_ids"] = dnf
+            # per-query wall rows make mode regressions attributable
+            # query-by-query, not just via totals; null sec == DNF
+            pq = job_ab.setdefault("per_query", {})
+            for q, c, s in rows:
+                pq.setdefault(q, {})[mode] = s if c is not None else None
+            print(f"  job_ab {mode}: {job_ab[f'{mode}_sec']}s "
+                  f"(dnf: {len(dnf)})", file=sys.stderr)
+        return True
+
+    def _cross_mode_fields(job_ab):
+        """Recompute the DNF-subset and count-mismatch claims over every
+        mode run so far (called after each mode batch)."""
+        # the planner claim is ordered DNF sets: everything COMPASS
+        # fails to finish, plain Catalyst also fails to finish
+        dnf_sets = {m: {q for q, c in r.items() if c is None}
+                    for m, r in results.items()}
+        if "compass" in dnf_sets and "sparksql" in dnf_sets:
+            job_ab["compass_dnf_subset_of_sparksql"] = (
+                dnf_sets["compass"] <= dnf_sets["sparksql"])
+        # every planner that finished a query must agree on its COUNT
+        mismatches = []
+        for qid in next(iter(results.values()), {}):
+            vals = {results[m][qid] for m in results} - {None}
+            if len(vals) > 1:
+                mismatches.append(qid)
+        job_ab["count_mismatches"] = sorted(mismatches)
+
+    job_ab = None
+    job_scale = int(os.environ.get("SPARK_GRAFT_JOB_SCALE", "10"))
+    job_timeout = float(os.environ.get("SPARK_GRAFT_JOB_TIMEOUT", "45"))
     if os.environ.get("SPARK_GRAFT_JOB_AB", "1") != "0":
         try:
+            import math
+
             from compass_query_optimizer_spark.plans.job_corpus import (
-                run_corpus,
                 warm_corpus_templates,
             )
 
-            import math
-
-            from compass_query_optimizer_spark.session import get_spark
-
-            job_scale = int(os.environ.get("SPARK_GRAFT_JOB_SCALE", "10"))
-            job_timeout = float(os.environ.get("SPARK_GRAFT_JOB_TIMEOUT", "45"))
             t0 = time.perf_counter()
             plan_rows = warm_corpus_templates(spark, scale=job_scale)
             warm_s = time.perf_counter() - t0
             # corpus-wide plan quality, free from the warm pass: how often
             # does the sketch-chosen order beat the size-descending one,
             # and by how much (geomean of cost ratios over compared plans)
-            compared = [(c, fb) for _, c, fb in plan_rows if fb]
             job_ab = out["job_ab"] = {"scale": job_scale, "n_queries": 113,
                       "per_query_timeout": job_timeout,
                       # per_query walls are N-way-concurrent walls: they
@@ -382,64 +475,13 @@ def _run(out: dict, sf_dir: str) -> None:
                       # valid for cross-mode ratios, never for adding up
                       "per_query_concurrency": MAX_WORKERS,
                       "template_warm_sec": round(warm_s, 1),
-                      "plan_cost_wins": sum(c <= fb for c, fb in compared),
-                      "plan_cost_compared": len(compared),
-                      "plan_cost_ratio_geomean": round(math.exp(
-                          sum(math.log(max(c, 1e-9) / fb) for c, fb in compared)
-                          / max(len(compared), 1)), 8)}
-            results = {}
-            # compass first: if the deadline truncates the A/B, the
-            # engine's own mode is the one guaranteed to have run.
-            # compass_raw (same join order, eager-count algebra OFF) last:
-            # it exists to attribute compass's win between join order and
-            # the multiplicity algebra, and is the least-bad one to lose
-            # to the deadline
-            for mode in ("compass", "fallback", "sparksql", "compass_raw"):
-                # worst case for a mode ≈ DNF tail at ~max_workers-wide
-                # concurrency; budget conservatively at half the corpus
-                # hitting the timeout serially across the worker pool
-                est_mode_s = job_timeout * 113 / MAX_WORKERS / 2
-                if time.monotonic() + est_mode_s > bench_deadline:
-                    job_ab["deadline_truncated"] = mode
-                    print(f"  job_ab: deadline before {mode}", file=sys.stderr)
-                    break
-                # fresh JVM per mode: a cancelled query's codegen loop can
-                # run on as an uninterruptible zombie task, and letting it
-                # steal cores from the NEXT mode would skew the A/B
-                spark.stop()
-                spark = get_spark(app_name=f"compass-bench-{mode}")
-                t0 = time.perf_counter()
-                rows = run_corpus(spark, mode=mode, scale=job_scale,
-                                  max_workers=MAX_WORKERS,
-                                  per_query_timeout=job_timeout,
-                                  with_timing=True)
-                results[mode] = {q: c for q, c, _ in rows}
-                job_ab[f"{mode}_sec"] = round(time.perf_counter() - t0, 1)
-                dnf = sorted(q for q, c, _ in rows if c is None)
-                job_ab[f"{mode}_dnf"] = len(dnf)
-                if dnf:
-                    job_ab[f"{mode}_dnf_ids"] = dnf
-                # per-query wall rows make mode regressions attributable
-                # query-by-query, not just via totals; null sec == DNF
-                pq = job_ab.setdefault("per_query", {})
-                for q, c, s in rows:
-                    pq.setdefault(q, {})[mode] = s if c is not None else None
-                print(f"  job_ab {mode}: {job_ab[f'{mode}_sec']}s "
-                      f"(dnf: {len(dnf)})", file=sys.stderr)
-            # the planner claim is ordered DNF sets: everything COMPASS
-            # fails to finish, plain Catalyst also fails to finish
-            dnf_sets = {m: {q for q, c in r.items() if c is None}
-                        for m, r in results.items()}
-            if "compass" in dnf_sets and "sparksql" in dnf_sets:
-                job_ab["compass_dnf_subset_of_sparksql"] = (
-                    dnf_sets["compass"] <= dnf_sets["sparksql"])
-            # every planner that finished a query must agree on its COUNT
-            mismatches = []
-            for qid in next(iter(results.values()), {}):
-                vals = {results[m][qid] for m in results} - {None}
-                if len(vals) > 1:
-                    mismatches.append(qid)
-            job_ab["count_mismatches"] = sorted(mismatches)
+                      **_plan_quality_fields(plan_rows, math)}
+            # compass first (the engine's own mode is the one guaranteed
+            # to run), then plain Catalyst — the one comparison the
+            # headline ratio needs. fallback/compass_raw are deferred
+            # below the scale-40 block.
+            _run_modes(job_ab, ("compass", "sparksql"), job_scale, job_timeout)
+            _cross_mode_fields(job_ab)
         except Exception as e:  # bench must still emit its line
             print(f"  job_ab skipped: {e}", file=sys.stderr)
 
@@ -473,7 +515,7 @@ def _run(out: dict, sf_dir: str) -> None:
                 t0 = time.perf_counter()
                 plan_rows = warm_corpus_templates(spark, scale=scale40)
                 warm_s = time.perf_counter() - t0
-                compared = [(c, fb) for _, c, fb in plan_rows if fb]
+                la40 = _loadavg()
                 t0 = time.perf_counter()
                 rows = run_corpus(spark, mode="compass", scale=scale40,
                                   max_workers=MAX_WORKERS,
@@ -485,13 +527,10 @@ def _run(out: dict, sf_dir: str) -> None:
                     "per_query_timeout": timeout40,
                     "per_query_concurrency": MAX_WORKERS,
                     "template_warm_sec": round(warm_s, 1),
+                    "loadavg_start": la40,
                     "compass_sec": round(time.perf_counter() - t0, 1),
                     "compass_dnf": len(dnf),
-                    "plan_cost_wins": sum(c <= fb for c, fb in compared),
-                    "plan_cost_compared": len(compared),
-                    "plan_cost_ratio_geomean": round(math.exp(
-                        sum(math.log(max(c, 1e-9) / fb) for c, fb in compared)
-                        / max(len(compared), 1)), 8),
+                    **_plan_quality_fields(plan_rows, math),
                     "max_count": max((c for _, c, _ in rows if c is not None),
                                      default=0),
                 }
@@ -501,6 +540,25 @@ def _run(out: dict, sf_dir: str) -> None:
                       f"(dnf: {len(dnf)})", file=sys.stderr)
         except Exception as e:  # bench must still emit its line
             print(f"  job_ab40 skipped: {e}", file=sys.stderr)
+
+    # Deferred scale-10 modes: fallback (MapD's size-descending heuristic)
+    # and compass_raw (COMPASS order, eager-count algebra OFF) attribute
+    # compass's win between join order and the multiplicity algebra, but
+    # their walls are stable known numbers (~900 s combined) — they soak
+    # up whatever deadline budget remains AFTER the claims above landed,
+    # and truncate first when the box is slow. Disable explicitly with
+    # SPARK_GRAFT_JOB_AB_DEFERRED=0.
+    if (
+        job_ab is not None
+        and "deadline_truncated" not in job_ab
+        and os.environ.get("SPARK_GRAFT_JOB_AB_DEFERRED", "1") != "0"
+    ):
+        try:
+            _run_modes(job_ab, ("fallback", "compass_raw"),
+                       job_scale, job_timeout)
+            _cross_mode_fields(job_ab)
+        except Exception as e:  # bench must still emit its line
+            print(f"  job_ab deferred modes skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1776,7 +1776,7 @@ def ivf_incremental_k(n_standing: int) -> int:
     )
 
 
-def _ann_incremental_oracle() -> str:
+def _ann_incremental_oracle(arrival_pred: str = "vec_id % 10 = 0") -> str:
     k = (
         f"GREATEST({IVF_K}, LEAST({IVF_INCR_MAX_K}, "
         f"CAST(ceil(sqrt(cnt)) AS BIGINT)))"
@@ -1795,7 +1795,7 @@ def _ann_incremental_oracle() -> str:
       SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
     ),
     standing AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
-    arrivals AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+    arrivals AS (SELECT * FROM n WHERE {arrival_pred}),
     cents AS (
       SELECT vec_id AS cid, qv AS cv FROM standing
       WHERE vec_id % {stride} = 0
@@ -1949,6 +1949,43 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the standing index: one fold, persistable as (cents, index_members)
     index_members = members.localCheckpoint(eager=True)
     return serve_arrivals(arrivals, cents, index_members)
+
+
+@query(
+    "sim_ann_persisted",
+    _ann_incremental_oracle(arrival_pred="vec_id % 10 = 5"),
+    doc="persisted-index serving round-trip, oracle-gated: the standing "
+    "incremental-IVF index folds once, is WRITTEN to parquet (cents + "
+    "cell-member assignment — the artifact a real vector-serving "
+    "deployment ships between jobs), RELOADED with spark.read.parquet, "
+    "and a second, different arrival batch (vec_id % 10 = 5) is served "
+    "entirely from the reloaded tables through the same probe path — "
+    "the standing corpus is never rescanned. The oracle recomputes the "
+    "identical fold+probe in SQL, so the gate proves the parquet "
+    "round-trip is lossless (int64 qv / nrm2 survive exactly) and the "
+    "serving path has no hidden dependency on in-session state. At "
+    "100 TB this is the shape that matters: index build is a nightly "
+    "job, serving reads only the persisted artifact",
+    tags=("similarity", "ivf", "incremental", "persistence"),
+)
+def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    n = _quantized_with_norm(t["embeddings"])
+    batch2 = n.filter(F.col("vec_id") % 10 == 5)
+    cents, members = incremental_standing_parts(spark, sf_dir)
+    # deterministic per-sf_dir path + overwrite (no temp-dir leak across
+    # repeated gate runs — same discipline as bucket_clustered_scan)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"annindex_{tag}")
+    cents.write.mode("overwrite").parquet(os.path.join(base, "cents"))
+    members.write.mode("overwrite").parquet(os.path.join(base, "members"))
+    cents2 = spark.read.parquet(os.path.join(base, "cents"))
+    members2 = spark.read.parquet(os.path.join(base, "members"))
+    return serve_arrivals(batch2, cents2, members2)
 
 
 def serve_arrivals(

@@ -621,6 +621,43 @@ class CompassOptimizer:
         }
         return skip
 
+    def _frame_size_estimate(self, plan: CompassPlan, alias: str) -> float:
+        """Plan-time row estimate of an alias's collapsed chain frame: the
+        cached key-NDV when the collapse probe measured one (a collapsed
+        frame has exactly ndv rows), else the filtered row count (an upper
+        bound — collapse can only shrink)."""
+        info = plan.extras.get("collapse_skipped", {}).get(alias)
+        if info and not info.get("skip"):
+            return info["ndv"]
+        return plan.pushdown.stats[alias].rows
+
+    def _comparable_sides(
+        self, plan: CompassPlan, order: list[str], pos: int, alias: str
+    ) -> bool:
+        """True when the chain partner at ``order[pos]`` and the prefix it
+        joins into have plan-time size estimates within
+        ``broadcast_relative_factor`` of each other — the band where
+        broadcasting EITHER side is wrong (the build is comparable to the
+        probe, so AQE's byte-based broadcast conversion serializes a
+        driver-side build for no scan savings). Outside the band the guard
+        stays silent: a tiny partner should broadcast (dim table), and a
+        tiny prefix should be broadcast BY AQE against a huge partner."""
+        factor = self.config.broadcast_relative_factor
+        if not factor or pos == 0:
+            return False
+        partner = self._frame_size_estimate(plan, alias)
+        if partner < self.config.broadcast_floor_rows:
+            return False  # both-sides-tiny joins stay on the fast path
+        if pos == 1:
+            prefix_est = self._frame_size_estimate(plan, order[0])
+        else:
+            prefix_est = plan.search.prefix_estimates.get(
+                frozenset(order[:pos])
+            )
+        if not prefix_est or prefix_est <= 0:
+            return False
+        return prefix_est / factor <= partner <= prefix_est * factor
+
     def build_count_join(
         self,
         plan: CompassPlan,
@@ -771,7 +808,7 @@ class CompassOptimizer:
                         needed[al].add(col)
 
         frames = {}
-        for alias in order:
+        for pos, alias in enumerate(order):
             f = plan.pushdown.frames[alias]
             keys = [
                 F.col(c).alias(f"{alias}__{c}")
@@ -841,6 +878,23 @@ class CompassOptimizer:
                 # and the row count per build map stays rows/partitions.
                 # 17a: 174.6 s → measured again below after this hint.
                 agg = agg.hint("shuffle_hash")
+            elif self._comparable_sides(plan, order, pos, alias):
+                # Relative anti-broadcast band (round 10): the 2-family
+                # scale-160 tail is AQE broadcast-converting MID-SIZE
+                # collapsed frames (below broadcast_rows, so the absolute
+                # guard is silent) and serializing 400-720k-row
+                # HashedRelation builds on the driver. When the partner's
+                # plan-time size estimate is within
+                # broadcast_relative_factor of the prefix's sketch
+                # estimate, neither side is small enough for broadcast to
+                # be right — pin the parallel per-partition build. The
+                # ratio test is scale-free where the measured static byte
+                # cap was not (−21-27% at 160 but +92% at 10; see
+                # job_corpus.py SPARK_GRAFT_CORPUS_BROADCAST_CAP).
+                agg = agg.hint("shuffle_hash")
+                plan.extras.setdefault("relative_antibroadcast", []).append(
+                    alias
+                )
             frames[alias] = agg
 
         joined = frames[order[0]].withColumnRenamed("__cnt_new", "__cnt")

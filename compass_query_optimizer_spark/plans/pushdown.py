@@ -21,6 +21,7 @@ Thresholds mirror COMPASS_init_variables.txt:3-5 (200 rows / 5% / 10,000).
 
 from __future__ import annotations
 
+import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -43,6 +44,24 @@ class PushdownConfig:
     max_selectivity: float = 0.05  # PUSH_DOWN_MAX_SELECTIVITY_SK
     max_size: int = 10_000  # PUSH_DOWN_MAX_SIZE
     broadcast_rows: int = 1_000_000  # selective sides below this get a hint
+    # Relative anti-broadcast band (round 10): pin SHUFFLE_HASH on a chain
+    # partner whose estimated collapsed size is COMPARABLE to the prefix's
+    # sketch estimate (within this factor either way). When the two sides
+    # are within 4× of each other, neither broadcast direction is right —
+    # AQE's shuffle-bytes heuristic still converts the narrow (2-3 int
+    # cols) side to a broadcast and single-threads a driver-side
+    # HashedRelation build of 400-720k rows (the JOB 2-family tail at
+    # fixture scale 160, ~24 s/query). Unlike the static byte cap that was
+    # measured −21-27% at scale 160 but +92% at scale 10 (job_corpus.py),
+    # a ratio of plan-time estimates is scale-free: the same query fires
+    # the same way at every fixture scale. 0 disables. A floor keeps
+    # genuinely small joins (both sides tiny) on the broadcast fast path.
+    broadcast_relative_factor: float = field(
+        default_factory=lambda: float(
+            os.environ.get("SPARK_GRAFT_BROADCAST_REL_FACTOR", "4")
+        )
+    )
+    broadcast_floor_rows: int = 100_000
     arrow_build: bool = True  # mapInPandas sketch build (vs JVM groupBy)
     parallel_tables: int = 8  # concurrent per-table sketch passes
     # eager COUNT(*) aggregation (optimizer.build_count_join): re-aggregate

@@ -56,75 +56,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # registration order — so adding a query without touching this list still
 # works, it just lands in the unsampled tail until promoted.
 _SAMPLE_PRIORITY = [
-    # ================= round-9 prefix: evidence-rotation round ==========
-    # The verdict's top directive: two rounds of rotation debt. Order:
-    # (1) the six round-8 entries the 50-slot prefix never reached,
-    # (2) entries new in round 9 (first driver exposure),
-    # (3) entries whose PLAN changed in round 9 (re-proof after rewrite),
-    # (4) the r3/r4 stale tail, (5) as much of the r5-evidence tail as
-    # fits. The r6+ blocks stay green under the local differential.
-    # -- never driver-sampled (added round 8 past the prefix) --
-    "events_funnel_latency",          # conversion-delay PERCENTILE_DISC
-    "q45_window_distinct_count",      # COUNT(DISTINCT) window re-expression
-    "q46_ignore_nulls_fill",          # IGNORE NULLS forward-fill surface
-    "q47_unpivot",                    # wide->long UNPIVOT surface
-    "events_ab_test",                 # two-proportion z-test readout
-    "mm_bmp_decode",                  # BMP 24-bit native decode
-    # -- new in round 9: first driver exposure --
-    "skew_salted_join",               # salted hot-key join, row-parity gate
-    "bucket_clustered_scan",          # clustered write + skipping read-back
-    "mm_resize_roundtrip",            # nearest-neighbor resize, exact oracle
-    # -- plan changed in round 9 (standing-fold argmin rewrite) --
-    "sim_ann_incremental",            # standing-IVF-index arrival probe
-    # -- r4-evidence tail (oldest driver rows still registered; the r3
-    # row dedup_embedding_cosine was deliberately unregistered in r5 —
-    # all-pairs cosine is the test-only recall baseline of
-    # dedup_embedding_lsh, not a scale-path entry) --
-    "events_retention",
-    "temporal_asof_forward",
-    "events_windowed_topk",
-    "temporal_range_join",
-    # -- r5-evidence tail (36 of 45 fit this round; the deferred 9 are
-    # single-scan text profiles, all green under the local differential,
-    # queued first for round 10) --
-    "compass_count_multijoin",        # the flagship — on r5 evidence!
-    "compass_grouped_count",
-    "compass_residual_filter",
-    "compass_self_join",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "sim_ann_lsh",
-    "sim_topk_bruteforce",
-    "stream_dedup_events",
-    "stream_enrich_join",
-    "stream_session_window",
-    "stream_stateful_user_totals",
-    "stream_stream_join",
-    "stream_window_rollup",
-    "docs_scd2",
-    "emb_kmeans_iter",
-    "emb_quantize_int8",
-    "emb_standardize",
-    "events_cohort_matrix",
-    "events_ohlc",
-    "events_sessionize",
-    "events_transitions",
-    "events_variant_extract",
-    "pipeline_curate",
-    "text_bpe_top_pairs",
-    "text_contamination",
-    "text_heavy_hitters_cms",
-    "text_langid",
-    "text_mixture_sample",
-    "text_pack_sequences",
-    "text_pii_redact",
-    "text_repetition",
-    "text_segment_dedup",
-    "text_stratified_sample",
-    "text_train_split",
-    # ---- the 50-entry driver prefix ends here ----
-    # -- r5 remainder (deferred to round 10, leads next rotation) --
+    # ================ round-10 prefix: rotation completion round ========
+    # Order: (1) the nine r5-evidence text profiles explicitly queued by
+    # the round-9 rotation (the last pre-r6 driver evidence anywhere in
+    # the registry), (2) entries whose oracle/impl/plan changed in round
+    # 10 plus the one NEW entry (first driver exposure), (3) as much of
+    # the r6-evidence tail as fits — job_corpus closes the block as the
+    # re-proof of the round-10 relative anti-broadcast guard (it is also
+    # the most expensive single entry). The 13 deferred r6 entries
+    # (q21..q33, all re-proven by the local differential every pytest
+    # run) sit directly after the prefix as the round-11 queue.
+    # -- (1) the queued r5-evidence tail: rotation debt retired --
     "text_chunk",
     "text_langid_confusion",
     "text_length_histogram",
@@ -134,7 +76,14 @@ _SAMPLE_PRIORITY = [
     "text_source_cap",
     "text_vocabulary",
     "text_zipf_coverage",
-    # -- r6-green block --
+    # -- (2) changed in round 10 --
+    "skew_salted_join",               # oracle switched to exact int cents
+    "bucket_clustered_scan",          # deterministic temp path + overwrite
+    "events_funnel",                  # explicit broadcast on scalar joins
+    "sim_ann_persisted",              # NEW: persisted-index serving gate
+    "compass_count_multijoin",        # chain plan: relative guard landed
+    "compass_grouped_count",          # chain plan: relative guard landed
+    # -- (3) r6-evidence tail (34 of 47 fit; q21..q33 deferred) --
     "compass_grouped_sum",
     "compass_minmax_multijoin",
     "compass_sum_multijoin",
@@ -145,61 +94,46 @@ _SAMPLE_PRIORITY = [
     "mm_audio_decode",
     "mm_image_decode",
     "mm_video_frames",
+    "q01_pricing_summary",
+    "q02_topk_parts",
+    "q03_shipping_priority",
+    "q04_semi_join_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_count_star_multijoin",
+    "q08_group_having",
+    "q09_distinct",
+    "q10_agg_kinds",
+    "q11_approx_count_distinct",
+    "q12_case_cast_in",
+    "q13_date_functions",
+    "q14_string_functions",
+    "q15_left_outer_join",
+    "q16_scalar_subquery",
+    "q17_limit_offset",
+    "q18_array_ops",
+    "q19_in_integer_set",
+    "q20_null_semantics",
     "temporal_asof_join",
     "text_dsir_weights",
     "text_lm_perplexity",
     "text_winnowing",
-    # -- r7-green block --
-    "dedup_bloom",
-    "dedup_semantic",
-    "compass_avg_multijoin",
-    "compass_count_distinct_multijoin",
-    "compass_grouped_count_distinct",
-    "compass_count_distinct_hll",
-    "dedup_incremental_minhash",
-    "sim_ann_pq",
-    "sim_ann_ivfpq",
-    "stream_approx_distinct",
-    "stream_sliding_count",
-    "pipeline_pretrain",
-    "text_weighted_sample",
-    "text_ngram_novelty",
-    "text_kl_drift",
-    "text_hash_classifier",
-    "text_curriculum_stages",
-    "text_epoch_budget",
-    "emb_label_centroid_sim",
-    "dedup_edit_distance",
-    "q34_not_in_null_trap",
-    "dedup_clusters_twostage",
-    "compass_grouped_minmax",
-    "q35_grouping_cube",
-    "q36_multiset_ops",
-    "dedup_clusters_star",
-    "text_source_lang_entropy",
-    "emb_norm_outliers",
-    "events_burst_detection",
-    "events_pareto_concentration",
-    "docs_version_churn",
-    "events_active_users",
-    "emb_dim_variance",
-    "q37_listagg",
-    "dialect_shim",
-    "geo_functions",
-    "mm_frame_sample",
-    "mm_payload_features",
-    "sim_ann_ivf",
-    "text_fingerprint",
-    "text_quality",
-    "text_tokens",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "docs_snapshot_diff",
-    "events_anomaly",
-    "events_funnel",
-    "events_json_extract",
-    "job_corpus",
+    "job_corpus",                     # 113-count differential: guard gate
+    # ---- the 50-entry driver prefix ends here ----
+    # -- r6 remainder (deferred to round 11, leads next rotation) --
+    "q21_cross_join_small",
+    "q22_math_functions",
+    "q23_events_rollup",
+    "q24_sessionization",
+    "q25_window_functions",
+    "q26_set_operations",
+    "q27_grouping_rollup",
+    "q28_not_exists_anti_join",
+    "q29_full_outer_join",
+    "q30_pivot",
+    "q31_market_basket",
+    "q32_correlated_agg_subquery",
+    "q33_lateral_topn",
 ]
 
 

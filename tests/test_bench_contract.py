@@ -69,6 +69,10 @@ def _worst_case_out():
         job_ab[f"{mode}_dnf_ids"] = qids[:16]
     job_ab["compass_dnf_subset_of_sparksql"] = True
     job_ab["count_mismatches"] = []
+    job_ab["loadavg_per_mode"] = {
+        m: [1.23, 4.56, 7.89]
+        for m in ("compass", "compass_raw", "fallback", "sparksql")
+    }
     job_ab40 = {
         "scale": 40, "n_queries": 113, "per_query_timeout": 45.0,
         "per_query_concurrency": 6, "template_warm_sec": 61.2,
@@ -131,6 +135,39 @@ def test_compact_line_drops_timings_before_overflowing():
     line = bench.compact_line(out)
     assert len(line) <= bench.STDOUT_TAIL_BUDGET
     assert "queries" not in json.loads(line)
+
+
+def test_budget_order_lands_job_ab40_before_the_losing_modes():
+    """Round 9 lost the scale-40 artifact because the three losing scale-10
+    modes (~900 s of known walls) ran first and starved the deadline. Pin
+    the round-10 budget order structurally in the source: the first
+    _run_modes batch is (compass, sparksql), the job_ab40 block comes next,
+    and the deferred (fallback, compass_raw) batch comes last."""
+    src = open(os.path.join(os.path.dirname(__file__), "..", "bench.py")).read()
+    first_batch = src.index('_run_modes(job_ab, ("compass", "sparksql")')
+    ab40_block = src.index('app_name="compass-bench-job40"')
+    deferred = src.index('_run_modes(job_ab, ("fallback", "compass_raw")')
+    assert first_batch < ab40_block < deferred
+    # the deferred batch must be skippable and deadline-guarded
+    assert "SPARK_GRAFT_JOB_AB_DEFERRED" in src
+
+
+def test_load_gate_default_rejects_a_warm_box():
+    """r9 started at loadavg 7.78 under the old gate of 8 and regressed the
+    identical headline set 6.8% — the default gate must be ≤ 4."""
+    src = open(os.path.join(os.path.dirname(__file__), "..", "bench.py")).read()
+    import re
+
+    m = re.search(r'SPARK_GRAFT_BENCH_LOAD_GATE", "(\d+(?:\.\d+)?)"', src)
+    assert m and float(m.group(1)) <= 4, m
+
+
+def test_compact_line_drops_per_mode_loadavg_from_stdout():
+    """loadavg_per_mode is sidecar-only diagnostics — it must never spend
+    stdout-tail budget."""
+    bench = _load_bench()
+    line = bench.compact_line(_worst_case_out())
+    assert "loadavg_per_mode" not in json.loads(line).get("job_ab", {})
 
 
 def test_compact_line_keeps_sidecar_full(tmp_path, monkeypatch):

@@ -677,3 +677,101 @@ def test_raw_alias_prefix_pins_shuffle_hash_joins(spark):
         corpus["8c"], tables=tables, counts=counts
     ).collect()[0]["cnt"]
     assert forced == base > 0
+
+
+def test_comparable_sides_band_logic():
+    """The round-10 relative anti-broadcast guard fires ONLY inside the
+    band where the partner's plan-time estimate is within
+    broadcast_relative_factor of the prefix's: a tiny partner must stay
+    broadcastable (dim table), and a partner vastly larger than the prefix
+    must stay silent too (AQE broadcasting the tiny PREFIX is the right
+    call there — the static byte cap that ignored this direction was
+    measured +92% at scale 10). Pure decision-logic test, no JVM."""
+    from types import SimpleNamespace
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+
+    cfg = PushdownConfig(
+        broadcast_relative_factor=4.0, broadcast_floor_rows=100_000
+    )
+    self = SimpleNamespace(
+        config=cfg,
+        _frame_size_estimate=lambda plan, alias: plan.pushdown.stats[
+            alias
+        ].rows,
+    )
+    decide = CompassOptimizer._comparable_sides
+
+    def plan(rows_by_alias, prefix_estimates):
+        return SimpleNamespace(
+            extras={},
+            pushdown=SimpleNamespace(
+                stats={
+                    a: SimpleNamespace(rows=r)
+                    for a, r in rows_by_alias.items()
+                }
+            ),
+            search=SimpleNamespace(prefix_estimates=prefix_estimates),
+        )
+
+    order = ["a", "b", "c"]
+    est_ab = {frozenset(["a", "b"]): 500_000.0}
+    # comparable sides (500k prefix est vs 400k partner): fire
+    p = plan({"a": 10, "b": 10, "c": 400_000}, est_ab)
+    assert decide(self, p, order, 2, "c") is True
+    # tiny partner below the floor: never fire, broadcast is right
+    p = plan({"a": 10, "b": 10, "c": 50_000}, est_ab)
+    assert decide(self, p, order, 2, "c") is False
+    # partner far above the band (tiny prefix should broadcast INTO it)
+    p = plan({"a": 10, "b": 10, "c": 900_000}, {frozenset(["a", "b"]): 1e3})
+    assert decide(self, p, order, 2, "c") is False
+    # partner far below the band relative to a huge prefix: broadcast
+    p = plan({"a": 10, "b": 10, "c": 200_000}, {frozenset(["a", "b"]): 1e8})
+    assert decide(self, p, order, 2, "c") is False
+    # factor 0 disables outright
+    self0 = SimpleNamespace(
+        config=PushdownConfig(broadcast_relative_factor=0.0),
+        _frame_size_estimate=self._frame_size_estimate,
+    )
+    p = plan({"a": 10, "b": 10, "c": 400_000}, est_ab)
+    assert decide(self0, p, order, 2, "c") is False
+    # position 1: the singleton seed frame is the prefix estimate
+    p = plan({"a": 300_000, "b": 400_000, "c": 10}, {})
+    assert decide(self, p, ["a", "b", "c"], 1, "b") is True
+    # missing prefix estimate: stay silent rather than guess
+    p = plan({"a": 10, "b": 10, "c": 400_000}, {})
+    assert decide(self, p, order, 2, "c") is False
+
+
+def test_relative_antibroadcast_count_parity(spark):
+    """With the floor dropped so the band guard fires at test scale, the
+    count must be identical to the default plan — the hint changes the
+    physical join strategy, never the answer — and the plan trace must
+    record which aliases were pinned."""
+    from compass_query_optimizer_spark.plans.job_corpus import (
+        job_tables,
+        load_corpus,
+    )
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+
+    corpus = load_corpus()
+    tables, counts = job_tables(spark, scale=1)
+    opt = CompassOptimizer(
+        spark,
+        config=PushdownConfig(
+            broadcast_relative_factor=4.0, broadcast_floor_rows=1
+        ),
+    )
+    plan = opt.plan(corpus["2a"], tables=tables, counts=counts)
+    df = opt.build_count_join(plan)
+    forced = df.collect()[0]["cnt"]
+    assert plan.extras.get("relative_antibroadcast"), (
+        "floor=1 at scale 1 must put at least one 2a chain partner "
+        "inside the band"
+    )
+    base = CompassOptimizer(spark).execute_count(
+        corpus["2a"], tables=tables, counts=counts
+    ).collect()[0]["cnt"]
+    assert forced == base > 0

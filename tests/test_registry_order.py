@@ -1,13 +1,14 @@
 """The correctness driver samples a PREFIX of queries() dict order (50
-entries in round 4), so the registry's ordering is part of the driver
+entries since round 4), so the registry's ordering is part of the driver
 contract: operators that still lack driver evidence must sit in the prefix,
 and the ordering must stay a clean permutation of the registry.
 
-Round 9 is the evidence-rotation round the last two verdicts asked for:
-the prefix spends its slots on (a) the six round-8 entries the driver
-never reached, (b) entries new or plan-changed in round 9, (c) the entire
-r4-evidence tail, (d) 35 of the 45 r5-evidence entries. The 10 deferred
-r5 entries are single-scan text profiles queued first for round 10.
+Round 10 completes the evidence rotation the r8/r9 verdicts asked for: the
+prefix spends its slots on (a) the nine r5-evidence text profiles queued by
+round 9 (the last pre-r6 driver evidence in the registry), (b) everything
+new or changed in round 10, (c) 34 of the 47 r6-evidence entries, closing
+with job_corpus as the re-proof of the relative anti-broadcast guard. The
+13 deferred r6 entries (q21..q33) are the round-11 queue.
 """
 
 from __future__ import annotations
@@ -18,30 +19,20 @@ import os
 
 from compass_query_optimizer_spark.registry import _SAMPLE_PRIORITY, all_queries
 
-# entries new or plan-changed in round 9 — each needs a fresh driver row
+# entries new or changed in round 10 — each needs a fresh driver row
 CHANGED_THIS_ROUND = {
-    "skew_salted_join",               # new: salted hot-key join gate
-    "bucket_clustered_scan",          # new: clustered-write round-trip
-    "mm_resize_roundtrip",            # new: nearest-neighbor resize gate
-    "sim_ann_incremental",            # standing-fold argmin rewrite
+    "skew_salted_join",               # oracle switched to exact int cents
+    "bucket_clustered_scan",          # deterministic temp path + overwrite
+    "events_funnel",                  # explicit broadcast on scalar joins
+    "sim_ann_persisted",              # new: persisted-index serving gate
+    "compass_count_multijoin",        # chain plan: relative guard landed
+    "compass_grouped_count",          # chain plan: relative guard landed
+    "job_corpus",                     # 113-count differential: guard gate
 }
 
-# round-8 entries that never got a driver row (the 50-slot prefix ended
-# before them) — they lead the round-9 prefix unconditionally
-NEVER_SAMPLED = {
-    "events_funnel_latency",
-    "q45_window_distinct_count",
-    "q46_ignore_nulls_fill",
-    "q47_unpivot",
-    "events_ab_test",
-    "mm_bmp_decode",
-}
-
-# r5-evidence entries deferred to round 10 (the 50 slots ran out): all are
-# single-scan text profiles with 4-rounds-green history, re-proven by the
-# local differential (tests/test_oracle.py) every run. They sit directly
-# after the prefix so the round-10 rotation reaches them first.
-NEXT_ROUND_QUEUE = {
+# the round-9 rotation's explicit queue: nine r5-evidence text profiles
+# that MUST lead the round-10 prefix (they are the stalest evidence left)
+R5_QUEUE = {
     "text_chunk",
     "text_langid_confusion",
     "text_length_histogram",
@@ -51,6 +42,26 @@ NEXT_ROUND_QUEUE = {
     "text_source_cap",
     "text_vocabulary",
     "text_zipf_coverage",
+}
+
+# r6-evidence entries deferred to round 11 (the 50 slots ran out): 13
+# TPC-H-ish workload queries, all re-proven by the local differential
+# (tests/test_oracle.py) every pytest run. They sit directly after the
+# prefix so the round-11 rotation reaches them first.
+NEXT_ROUND_QUEUE = {
+    "q21_cross_join_small",
+    "q22_math_functions",
+    "q23_events_rollup",
+    "q24_sessionization",
+    "q25_window_functions",
+    "q26_set_operations",
+    "q27_grouping_rollup",
+    "q28_not_exists_anti_join",
+    "q29_full_outer_join",
+    "q30_pivot",
+    "q31_market_basket",
+    "q32_correlated_agg_subquery",
+    "q33_lateral_topn",
 }
 
 
@@ -63,6 +74,17 @@ def _driver_sampled() -> set:
     return names
 
 
+def _latest_evidence() -> dict:
+    """name -> most recent round with a driver row."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        for name in json.load(open(path)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def test_priority_names_all_registered():
     names = set(all_queries())
     unknown = [n for n in _SAMPLE_PRIORITY if n not in names]
@@ -71,18 +93,19 @@ def test_priority_names_all_registered():
 
 
 def test_prefix_serves_the_evidence_gap():
-    """The 50-entry prefix must (a) lead with the never-sampled round-8
-    entries and everything new/changed in round 9, (b) spend every other
-    slot on the stalest driver evidence — nothing already green in the
-    latest recorded round (r8) may consume a slot."""
+    """The 50-entry prefix must (a) lead with the queued r5 tail, (b)
+    contain everything new/changed in round 10, (c) spend every other slot
+    on the stalest driver evidence — nothing already green in the latest
+    recorded round (r9) may consume a slot unless round 10 changed it."""
     prefix = list(all_queries())[:50]
-    missing = (NEVER_SAMPLED | CHANGED_THIS_ROUND) - set(prefix)
-    assert not missing, f"round-9 must-sample entries outside the prefix: {missing}"
+    missing = (R5_QUEUE | CHANGED_THIS_ROUND) - set(prefix)
+    assert not missing, f"round-10 must-sample entries outside the prefix: {missing}"
+    assert set(prefix[:9]) == R5_QUEUE, prefix[:9]
 
     # pinned to the round this rotation was designed against (re-pin when
     # re-rotating the priority list next round)
     root = os.path.join(os.path.dirname(__file__), "..")
-    latest = set(json.load(open(os.path.join(root, "CORRECTNESS_r08.json"))))
+    latest = set(json.load(open(os.path.join(root, "CORRECTNESS_r09.json"))))
     rotated = [n for n in prefix if n not in CHANGED_THIS_ROUND]
     stale = [n for n in rotated if n in latest]
     assert not stale, (
@@ -90,22 +113,17 @@ def test_prefix_serves_the_evidence_gap():
     )
 
 
-def test_prefix_retires_the_pre_r6_tail():
-    """After this round no registered entry may sit on pre-r6 driver
-    evidence except the explicitly queued round-10 text profiles: the
-    prefix must contain every r4-evidence entry and every r5-evidence
-    entry outside NEXT_ROUND_QUEUE."""
-    root = os.path.join(os.path.dirname(__file__), "..")
-    latest: dict = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
-        for name in json.load(open(path)):
-            latest[name] = max(latest.get(name, 0), rnd)
+def test_prefix_retires_the_pre_r7_tail():
+    """After this round no registered entry may sit on pre-r7 driver
+    evidence except the explicitly queued round-11 block: the prefix must
+    contain every r5-evidence entry and every r6-evidence entry outside
+    NEXT_ROUND_QUEUE."""
+    latest = _latest_evidence()
     registered = set(all_queries())
-    stale = {n for n, r in latest.items() if r < 6 and n in registered}
+    stale = {n for n, r in latest.items() if r < 7 and n in registered}
     prefix = set(list(all_queries())[:50])
     left_out = stale - prefix - NEXT_ROUND_QUEUE
-    assert not left_out, f"pre-r6-evidence entries missing from the prefix: {left_out}"
+    assert not left_out, f"pre-r7-evidence entries missing from the prefix: {left_out}"
 
 
 def test_every_registered_query_has_driver_evidence_or_prefix_slot():
@@ -119,13 +137,23 @@ def test_every_registered_query_has_driver_evidence_or_prefix_slot():
 
 
 def test_deferred_queue_sits_directly_after_the_prefix():
-    """The round-10 queue must occupy slots 51-59 so the next rotation
-    reaches it before anything with fresher evidence."""
+    """The round-11 queue (13 deferred r6 entries) must occupy slots 51-63
+    so the next rotation reaches it before anything with fresher
+    evidence."""
     names = list(all_queries())
-    assert set(names[50:59]) == NEXT_ROUND_QUEUE, (
-        "round-10 queue not immediately after the prefix: "
-        f"{names[50:59]}"
+    assert set(names[50:63]) == NEXT_ROUND_QUEUE, (
+        "round-11 queue not immediately after the prefix: "
+        f"{names[50:63]}"
     )
+
+
+def test_job_corpus_closes_the_prefix():
+    """job_corpus is the most expensive single entry (113-query count
+    differential) AND the re-proof of the round-10 relative anti-broadcast
+    guard — it must be in the prefix, last, so the cheaper entries are
+    never starved by it."""
+    names = list(all_queries())
+    assert names[49] == "job_corpus", names[45:50]
 
 
 def test_order_is_a_permutation_of_the_registry():
