@@ -866,7 +866,10 @@ class CompassOptimizer:
                 and plan.pushdown.stats[alias].rows <= self.config.broadcast_rows
             ):
                 agg = F.broadcast(agg)
-            elif plan.pushdown.stats[alias].rows > self.config.broadcast_rows:
+            elif (
+                self._frame_size_estimate(plan, alias)
+                > self.config.antibroadcast_rows
+            ):
                 # Anti-broadcast guard (round 9, measured on JOB 17a at
                 # fixture scale 160): a multi-million-row chain partner is
                 # narrow enough (2-3 int columns + __cnt) that AQE's
@@ -876,7 +879,12 @@ class CompassOptimizer:
                 # profile /tmp analysis). SHUFFLE_HASH pins a shuffled
                 # hash join: the build happens per-partition in parallel
                 # and the row count per build map stays rows/partitions.
-                # 17a: 174.6 s → measured again below after this hint.
+                # 17a: 174.6 → 3.9 s. Round 10 re-keyed the bar on the
+                # COLLAPSED estimate (a 5M-row table collapsing to 50k
+                # keys SHOULD broadcast) and lowered it 1M → 300k, which
+                # converts the 2-family tail (2a 29.7 → 7.7 s solo at
+                # scale 160) with the scale-10 corpus unregressed — see
+                # PushdownConfig.antibroadcast_rows for both measurements.
                 agg = agg.hint("shuffle_hash")
             elif self._comparable_sides(plan, order, pos, alias):
                 # Relative anti-broadcast band (round 10): the 2-family

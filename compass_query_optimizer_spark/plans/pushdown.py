@@ -44,6 +44,29 @@ class PushdownConfig:
     max_selectivity: float = 0.05  # PUSH_DOWN_MAX_SELECTIVITY_SK
     max_size: int = 10_000  # PUSH_DOWN_MAX_SIZE
     broadcast_rows: int = 1_000_000  # selective sides below this get a hint
+    # Absolute anti-broadcast bar (round 9 at 1M raw rows; round 10
+    # re-keyed on the COLLAPSED frame estimate — the cached key-NDV when
+    # the collapse probe measured one, else the filtered row count — and
+    # lowered to 300k by interleaved A/B): chain partners whose collapsed
+    # estimate exceeds this carry a SHUFFLE_HASH pin, because AQE's
+    # shuffle-bytes heuristic otherwise broadcast-converts the narrow
+    # frame and the driver single-threadedly hash-builds it (~16.5 µs/row
+    # measured: 5.76M rows = 95 s on JOB 17a at fixture scale 160; the
+    # 400-720k frames of the 2-family = 20-30 s/query). Measured at 300k:
+    # 2-family solo at scale 160 falls 76.9 → 22.5 s (2a 29.7→7.7) with
+    # identical counts, and the full scale-10 corpus is unregressed
+    # (79.2 s default vs 80.6 s, interleaved fresh-process pairs; the
+    # contended pair favored 300k outright, 127.5 vs 103.8 s). In the
+    # eager chain the prefix is already hash-partitioned by the previous
+    # re-agg exchange, so a shuffled-hash join costs one ≤~1M-row partner
+    # shuffle (often AQE-reusable) against a serial driver build that
+    # scales with rows — past ~300k the trade never favors broadcast.
+    # Env-overridable for A/B (SPARK_GRAFT_ANTIBROADCAST_ROWS).
+    antibroadcast_rows: int = field(
+        default_factory=lambda: int(
+            os.environ.get("SPARK_GRAFT_ANTIBROADCAST_ROWS", "300000")
+        )
+    )
     # Relative anti-broadcast band (round 10): pin SHUFFLE_HASH on a chain
     # partner whose estimated collapsed size is COMPARABLE to the prefix's
     # sketch estimate (within this factor either way). When the two sides

@@ -775,3 +775,36 @@ def test_relative_antibroadcast_count_parity(spark):
         corpus["2a"], tables=tables, counts=counts
     ).collect()[0]["cnt"]
     assert forced == base > 0
+
+
+def test_antibroadcast_bar_keys_on_collapsed_estimate():
+    """The absolute anti-broadcast bar must consult the COLLAPSED frame
+    estimate: a 2M-row table whose referenced keys collapse to 50k rows
+    SHOULD broadcast (the driver build is of the collapsed frame), while
+    a collapse-skipped table enters raw and counts at full size."""
+    from types import SimpleNamespace
+
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+
+    est = CompassOptimizer._frame_size_estimate
+    self = SimpleNamespace()
+
+    def plan(rows, collapse_info):
+        return SimpleNamespace(
+            extras=(
+                {"collapse_skipped": {"x": collapse_info}}
+                if collapse_info
+                else {}
+            ),
+            pushdown=SimpleNamespace(stats={"x": SimpleNamespace(rows=rows)}),
+        )
+
+    # collapsed: estimate is the measured key-NDV
+    p = plan(2_000_000, {"skip": False, "ndv": 50_000, "rows": 2_000_000})
+    assert est(self, p, "x") == 50_000
+    # collapse skipped: the frame enters raw at full row count
+    p = plan(2_000_000, {"skip": True, "ndv": 1_990_000, "rows": 2_000_000})
+    assert est(self, p, "x") == 2_000_000
+    # no probe ran: filtered row count is the (upper-bound) estimate
+    p = plan(416_136, None)
+    assert est(self, p, "x") == 416_136

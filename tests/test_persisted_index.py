@@ -61,3 +61,28 @@ def test_persisted_index_serves_a_second_batch(spark, tmp_path):
     for arrival_id, row in top1.items():
         assert row["neighbor_id"] == arrival_id, row
         assert row["cos"] == 1.0, row
+
+
+def test_registered_persisted_entry_matches_in_session_fold(spark):
+    """The registered sim_ann_persisted entry (write → reload → serve
+    batch vec_id%10==5) must be row-identical to serving the same batch
+    from the in-session fold — the parquet round-trip adds nothing and
+    loses nothing."""
+    from compass_query_optimizer_spark.registry import all_queries
+
+    cents, members = incremental_standing_parts(spark, SF_DIR)
+    n = _quantized_with_norm(load_tables(spark, SF_DIR)["embeddings"])
+    batch5 = n.filter(F.col("vec_id") % 10 == 5)
+    in_session = (
+        serve_arrivals(batch5, cents, members.localCheckpoint(eager=True))
+        .orderBy("arrival_id", "rnk")
+        .collect()
+    )
+    via_entry = (
+        all_queries()["sim_ann_persisted"]
+        .build(spark, SF_DIR)
+        .orderBy("arrival_id", "rnk")
+        .collect()
+    )
+    assert [tuple(r) for r in via_entry] == [tuple(r) for r in in_session]
+    assert len(via_entry) > 0
