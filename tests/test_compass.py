@@ -808,3 +808,21 @@ def test_antibroadcast_bar_keys_on_collapsed_estimate():
     # no probe ran: filtered row count is the (upper-bound) estimate
     p = plan(416_136, None)
     assert est(self, p, "x") == 416_136
+
+
+def test_antibroadcast_env_knobs(monkeypatch):
+    """The A/B measurement knobs must reach a freshly-constructed config
+    (they are read at instantiation, not import, so in-process tests and
+    fresh subprocesses both see them)."""
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+
+    monkeypatch.setenv("SPARK_GRAFT_ANTIBROADCAST_ROWS", "123456")
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_REL_FACTOR", "2.5")
+    cfg = PushdownConfig()
+    assert cfg.antibroadcast_rows == 123456
+    assert cfg.broadcast_relative_factor == 2.5
+    monkeypatch.delenv("SPARK_GRAFT_ANTIBROADCAST_ROWS")
+    monkeypatch.delenv("SPARK_GRAFT_BROADCAST_REL_FACTOR")
+    cfg = PushdownConfig()
+    assert cfg.antibroadcast_rows == 300_000
+    assert cfg.broadcast_relative_factor == 4.0
