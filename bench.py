@@ -215,13 +215,26 @@ def main() -> None:
     try:
         deadline = time.monotonic() + load_wait
         waited = 0.0
-        while os.getloadavg()[0] > load_gate and time.monotonic() < deadline:
+        # gate the 5-MIN average too (at 2× the 1-min gate): a box that
+        # just finished a 30-wide job shows 1-min ≈ 0 within a minute
+        # while executor memory/page-cache state is still churned — a
+        # round-10 validation run started at loadavg [0.15, 6.4, 17.9]
+        # and smeared the identical headline set +28% with no mover
+        # exceeding +1.5 s. The 5-min average is the cheapest observable
+        # proxy for "recently slammed".
+        while (
+            os.getloadavg()[0] > load_gate
+            or os.getloadavg()[1] > 2 * load_gate
+        ) and time.monotonic() < deadline:
             time.sleep(15.0)
             waited += 15.0
         if waited:
             out["load_waited_sec"] = round(waited, 0)
         out["loadavg_start"] = [round(v, 2) for v in os.getloadavg()]
-        if out["loadavg_start"][0] > load_gate:
+        if (
+            out["loadavg_start"][0] > load_gate
+            or out["loadavg_start"][1] > 2 * load_gate
+        ):
             out["contended"] = True  # ran hot anyway; walls are suspect
     except OSError:
         pass
