@@ -574,6 +574,40 @@ class CompassOptimizer:
         }
         return route, params
 
+    def _key_ndv(
+        self, plan: CompassPlan, alias: str, key_cols: list[str]
+    ) -> int | None:
+        """Cached approx_count_distinct(struct(keys)) of an alias's
+        referenced-key combinations, or None when the probe doesn't apply
+        (table at/below ``collapse_skip_min_rows``, no keys, or a FILTERED
+        alias — an unfiltered table's key-NDV is a per-catalog constant,
+        one cached job per (table, keys) for the whole corpus, while
+        filtered variants would key the cache per predicate and multiply
+        planning jobs across a 113-query workload)."""
+        rows = plan.pushdown.stats[alias].rows
+        if rows <= self.config.collapse_skip_min_rows or not key_cols:
+            return None
+        if plan.spec.filters.get(alias):
+            return None
+        tag = plan.extras.get("dataset_tag")
+        key = (
+            tag,
+            plan.spec.tables[alias],
+            plan.spec.filters.get(alias),
+            tuple(key_cols),
+        )
+        if tag is not None and key in _KEY_NDV_CACHE:
+            return _KEY_NDV_CACHE[key]
+        f = plan.pushdown.frames[alias]
+        ndv = int(
+            f.agg(
+                F.approx_count_distinct(F.struct(*key_cols)).alias("k")
+            ).collect()[0]["k"]
+        )
+        if tag is not None:
+            _KEY_NDV_CACHE[key] = ndv
+        return ndv
+
     def _should_skip_collapse(
         self, plan: CompassPlan, alias: str, key_cols: list[str]
     ) -> bool:
@@ -586,33 +620,10 @@ class CompassOptimizer:
         approx_count_distinct(struct(keys)) job decides; correctness is
         unaffected either way — the collapse is idempotent and the first
         post-join re-aggregation shrinks the prefix regardless."""
+        ndv = self._key_ndv(plan, alias, key_cols)
+        if ndv is None:
+            return False
         rows = plan.pushdown.stats[alias].rows
-        if rows <= self.config.collapse_skip_min_rows or not key_cols:
-            return False
-        # only probe UNFILTERED tables: their NDV is a per-catalog constant
-        # (one cached job per (table, keys) for the whole corpus), while
-        # filtered variants would key the cache per predicate and multiply
-        # planning jobs across a 113-query workload
-        if plan.spec.filters.get(alias):
-            return False
-        tag = plan.extras.get("dataset_tag")
-        key = (
-            tag,
-            plan.spec.tables[alias],
-            plan.spec.filters.get(alias),
-            tuple(key_cols),
-        )
-        if tag is not None and key in _KEY_NDV_CACHE:
-            ndv = _KEY_NDV_CACHE[key]
-        else:
-            f = plan.pushdown.frames[alias]
-            ndv = int(
-                f.agg(
-                    F.approx_count_distinct(F.struct(*key_cols)).alias("k")
-                ).collect()[0]["k"]
-            )
-            if tag is not None:
-                _KEY_NDV_CACHE[key] = ndv
         skip = ndv >= self.config.collapse_skip_ndv_ratio * rows
         plan.extras.setdefault("collapse_skipped", {})[alias] = {
             "skip": skip,
@@ -620,6 +631,27 @@ class CompassOptimizer:
             "rows": rows,
         }
         return skip
+
+    def _probe_collapsed_size(
+        self, plan: CompassPlan, alias: str, key_cols: list[str]
+    ) -> None:
+        """Record the collapsed-frame size of a MEASURE-carrying alias
+        (round-11 advice fix): the own-measures branch always collapses
+        (the groupBy seeds the measure channels), so its output has
+        exactly key-NDV rows — but it never called the skip probe, so
+        ``_frame_size_estimate`` fell back to raw filtered rows and the
+        300k anti-broadcast bar could pin SHUFFLE_HASH on a frame that
+        collapses far below the bar and should broadcast. One cached NDV
+        probe records skip=False (truthful: the frame DID collapse), which
+        both fixes the estimate and leaves raw-alias prefix liveness
+        untouched."""
+        ndv = self._key_ndv(plan, alias, key_cols)
+        if ndv is not None:
+            plan.extras.setdefault("collapse_skipped", {})[alias] = {
+                "skip": False,
+                "ndv": ndv,
+                "rows": plan.pushdown.stats[alias].rows,
+            }
 
     def _frame_size_estimate(self, plan: CompassPlan, alias: str) -> float:
         """Plan-time row estimate of an alias's collapsed chain frame: the
@@ -846,6 +878,12 @@ class CompassOptimizer:
                 g = f.select(*keys)
                 gb = [c for c in g.columns if not c.startswith("__mval")]
                 agg = g.groupBy(*gb).agg(*aggs) if gb else g.agg(*aggs)
+                if gb:
+                    self._probe_collapsed_size(
+                        plan,
+                        alias,
+                        sorted(c for c in needed[alias] if c in f.columns),
+                    )
             else:
                 g = f.select(*keys) if keys else f
                 if keys and self._should_skip_collapse(

@@ -67,21 +67,24 @@ class PushdownConfig:
             os.environ.get("SPARK_GRAFT_ANTIBROADCAST_ROWS", "300000")
         )
     )
-    # Relative anti-broadcast band (round 10): pin SHUFFLE_HASH on a chain
-    # partner whose estimated collapsed size is COMPARABLE to the prefix's
-    # sketch estimate (within this factor either way). When the two sides
-    # are within 4× of each other, neither broadcast direction is right —
-    # AQE's shuffle-bytes heuristic still converts the narrow (2-3 int
-    # cols) side to a broadcast and single-threads a driver-side
-    # HashedRelation build of 400-720k rows (the JOB 2-family tail at
-    # fixture scale 160, ~24 s/query). Unlike the static byte cap that was
-    # measured −21-27% at scale 160 but +92% at scale 10 (job_corpus.py),
-    # a ratio of plan-time estimates is scale-free: the same query fires
-    # the same way at every fixture scale. 0 disables. A floor keeps
-    # genuinely small joins (both sides tiny) on the broadcast fast path.
+    # Relative anti-broadcast band (round 10; DEFAULT OFF since round 11):
+    # pin SHUFFLE_HASH on a chain partner whose estimated collapsed size is
+    # COMPARABLE to the prefix's sketch estimate (within this factor either
+    # way) — the theory being that when the two sides are within 4× of each
+    # other, neither broadcast direction is right. Round-10 measurement
+    # showed the guard is a NO-OP on its intended target: the sketch
+    # underestimates the 2-family prefix ~10× (est 53,345 vs 509,508
+    # actual), so the band never fires where it was aimed, and the 2-family
+    # was actually converted by re-keying the ABSOLUTE bar on the collapsed
+    # estimate (above). A guard that trusts prefix estimates just shown to
+    # be 10× off where it matters risks perf-only misfires at unintended
+    # ratios, so it ships disabled — an opt-in A/B knob
+    # (SPARK_GRAFT_BROADCAST_REL_FACTOR), same precedent as
+    # SPARK_GRAFT_CORPUS_BROADCAST_CAP. The absolute collapsed-estimate bar
+    # is the one default mechanism on the hint path.
     broadcast_relative_factor: float = field(
         default_factory=lambda: float(
-            os.environ.get("SPARK_GRAFT_BROADCAST_REL_FACTOR", "4")
+            os.environ.get("SPARK_GRAFT_BROADCAST_REL_FACTOR", "0")
         )
     )
     broadcast_floor_rows: int = 100_000
