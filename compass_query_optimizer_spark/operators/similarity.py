@@ -284,6 +284,34 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at its 1M-vector point to show nprobe-bounded growth holding.
 IVF_K = int(os.environ.get("SPARK_GRAFT_IVF_K", "16"))
 IVF_NPROBE = int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", "2"))
+IVF_INCR_MAX_K = 4096  # coarse-codebook cap (incremental + ivfpq auto-K)
+
+# packed-argmin radix: min(d2 * CAP + cidx) over a PRIMITIVE long is a
+# real HashAggregate with map-side partial combine. The obvious
+# min(struct(d2, cid)) spelling has a non-primitive aggregation buffer,
+# which Spark can only execute as SortAggregate — measured 8× slower at
+# 1M vectors (806.6 s vs 97.7 s) because it SORTS the N×K distance
+# expansion instead of hashing it. CAP must exceed the centroid count
+# (IVF_INCR_MAX_K = 4096); the packing is exact while
+# d2 < 2^63/CAP ≈ 2.25e15, i.e. dim·(2·QUANT)² ≤ 2.25e15 → dim ≤ 5.6M.
+_ARGMIN_CAP = 4096
+
+# sim_ann_ivfpq coarse-codebook size: auto-sizes to ceil(sqrt(N)) like the
+# incremental index (round-10 4M measurement: fixed K=16 grew 9.5× over 4×
+# rows — ~250k-member cells make every probe rerank nprobe·N/K ADC
+# candidates, quadratic in the corpus). SPARK_GRAFT_IVFPQ_K pins a fixed K
+# for the A/B (read once at import so the generated DuckDB oracle and the
+# Spark builder always agree).
+_ENV_IVFPQ_K = os.environ.get("SPARK_GRAFT_IVFPQ_K")
+
+
+def ivfpq_k(n_rows: int) -> int:
+    """Plan-time coarse K for sim_ann_ivfpq: the env pin wins; otherwise
+    the same ceil(sqrt(N)) clamp as the incremental index
+    (:func:`ivf_incremental_k`), which the oracle mirrors from COUNT(*)."""
+    if _ENV_IVFPQ_K:
+        return int(_ENV_IVFPQ_K)
+    return ivf_incremental_k(n_rows)
 
 
 @query(
@@ -1009,35 +1037,43 @@ _registry._REGISTRY["dedup_semantic"].oracle = _semantic_oracle()
     "sim_ann_ivfpq",
     None,  # generated below
     doc="IVFADC ANN (Jégou et al. TPAMI 2011): stride-sampled coarse "
-    f"quantizer ({IVF_K} cells, nprobe={IVF_NPROBE}) + product "
-    f"quantization of the residual x − c ({PQ_M}×{PQ_K} sub-codebooks "
-    "sampled at stride offset 1 — offset 0 would sample the centroids "
-    "themselves and collapse the codebook to zeros). Candidates are "
-    "bounded by the probed cells AND compressed to codes; scoring joins "
-    "corpus codes to a broadcast per-(query, cell) ADC table plus the "
-    "2048-row (cell, subspace, code) cross-term table the residual "
-    "algebra needs. Every aggregate is a combiner-friendly min(struct)/"
-    "sum; exact int64 until the final cosine division",
+    "quantizer (K auto-sizes to ceil(sqrt(N)) from the plan-time count, "
+    f"oracle-mirrored; nprobe={IVF_NPROBE}) + product quantization of "
+    f"the residual x − c ({PQ_M}×{PQ_K} sub-codebooks with their OWN "
+    "stride, sampled at offset 1 — offset 0 would sample the centroids "
+    "themselves and collapse the codebook to zeros). Fixed K=16 was "
+    "measured 9.5× over 4× rows at 4M vectors (250k-member cells); "
+    "sqrt-K pins per-probe candidates at nprobe·sqrt(N), and the fixed "
+    "PQ_K residual codebook keeps code assignment linear in N. Both "
+    "argmin assignments are packed-long combiner HashAggregates, never "
+    "min(struct) SortAggregates. Scoring joins corpus codes to a "
+    "broadcast per-(query, cell) ADC table plus the (cell, subspace, "
+    "code) cross-term table the residual algebra needs; exact int64 "
+    "until the final cosine division. SPARK_GRAFT_IVFPQ_K pins a fixed "
+    "K for A/B",
     tags=("similarity", "ivf", "pq"),
 )
 def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     t = load_tables(spark, sf_dir)
     n = _quantized_with_norm(t["embeddings"])
     cnt = t["embeddings"].count()
-    if cnt <= IVF_K:
-        # stride would be 1 and the offset-1 residual-codebook sample
-        # (vec_id % stride == 1) matches nothing: an empty sub-codebook,
-        # empty codes, and a silently-empty result that the oracle would
-        # mirror vacuously. Fail loudly instead — a corpus this small
-        # has no business behind an IVF index (use sim_topk_bruteforce).
+    if cnt <= max(IVF_K, PQ_K):
+        # the offset-1 residual-codebook sample (vec_id % rstride == 1)
+        # would match nothing: an empty sub-codebook, empty codes, and a
+        # silently-empty result that the oracle would mirror vacuously.
+        # Fail loudly instead — a corpus this small has no business
+        # behind an IVF index (use sim_topk_bruteforce).
         raise ValueError(
-            f"sim_ann_ivfpq requires more than IVF_K={IVF_K} vectors "
+            f"sim_ann_ivfpq requires more than {max(IVF_K, PQ_K)} vectors "
             f"(got {cnt}): stride-1 sampling degenerates to an empty "
             "residual codebook"
         )
-    stride = max(1, math.ceil(cnt / IVF_K))
+    k = ivfpq_k(cnt)
+    stride = max(1, (cnt + k - 1) // k)
+    # residual codebook stride is DECOUPLED from the coarse K: PQ codes
+    # stay 4-bit (PQ_K entries) at every corpus size, so code assignment
+    # is N·M·PQ_K — linear in N — while the coarse codebook grows sqrt(N)
+    rstride = max(1, (cnt + PQ_K - 1) // PQ_K)
     coarse = n.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("qv").alias("cv"),
@@ -1050,15 +1086,33 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    # coarse assignment: combiner argmin (no per-vector sort window)
-    cells = (
-        n.join(F.broadcast(coarse), how="cross")
-        .select("vec_id", d2c.alias("d2"), "cid")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select("vec_id", F.col("m.cid").alias("cid"))
+    # coarse assignment: packed-argmin combiner HashAggregate (see
+    # _ARGMIN_CAP — min(struct) would SortAggregate the N×K expansion).
+    # The dense 0..K-1 index is monotone in cid, so min(d2·CAP + cidx)
+    # tie-breaks on cid exactly like the oracle's ORDER BY d2, cid.
+    cent_ids = sorted(r["cid"] for r in coarse.select("cid").collect())
+    if len(cent_ids) > _ARGMIN_CAP:
+        raise ValueError(
+            f"{len(cent_ids)} coarse centroids exceed the argmin packing "
+            f"cap {_ARGMIN_CAP}; raise _ARGMIN_CAP (and re-audit the "
+            "packed-long overflow headroom)"
+        )
+    cidx_map = spark.createDataFrame(
+        [(cid, i) for i, cid in enumerate(cent_ids)], "cid long, cidx long"
     )
-    # residuals against the assigned centroid (16-row broadcast re-join)
+    coarse_i = coarse.select("cid", "cv").join(F.broadcast(cidx_map), "cid")
+    cells = (
+        n.join(F.broadcast(coarse_i), how="cross")
+        .select(
+            "vec_id", (d2c * F.lit(_ARGMIN_CAP) + F.col("cidx")).alias("pk")
+        )
+        .groupBy("vec_id")
+        .agg(F.min("pk").alias("pk"))
+        .select("vec_id", F.pmod("pk", F.lit(_ARGMIN_CAP)).alias("cidx"))
+        .join(F.broadcast(cidx_map), "cidx")
+        .select("vec_id", "cid")
+    )
+    # residuals against the assigned centroid (K-row broadcast re-join)
     resid = (
         n.join(cells, "vec_id")
         .join(F.broadcast(coarse.select("cid", "cv")), "cid")
@@ -1080,7 +1134,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s", "sv"),
     )
-    rcents = rsubs.filter(F.col("vec_id") % stride == 1).select(
+    rcents = rsubs.filter(F.col("vec_id") % rstride == 1).select(
         F.col("vec_id").alias("rcid"),
         "s",
         F.col("sv").alias("rcv"),
@@ -1093,12 +1147,40 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
+    # code assignment: same packed-argmin shape per (vec_id, cid, s) over
+    # the PQ_K-entry sub-codebook (shared rcid set across subspaces)
+    rc_ids = sorted(
+        r["rcid"] for r in rcents.select("rcid").distinct().collect()
+    )
+    if len(rc_ids) > _ARGMIN_CAP:
+        raise ValueError(
+            f"{len(rc_ids)} residual sub-centroids exceed the argmin "
+            f"packing cap {_ARGMIN_CAP}"
+        )
+    ridx_map = spark.createDataFrame(
+        [(rc, i) for i, rc in enumerate(rc_ids)], "rcid long, ridx long"
+    )
+    rcents_i = rcents.select("s", "rcid", "rcv").join(
+        F.broadcast(ridx_map), "rcid"
+    )
     codes = (
-        rsubs.join(F.broadcast(rcents), "s")
-        .select("vec_id", "cid", "s", d2r.alias("d2"), "rcid")
+        rsubs.join(F.broadcast(rcents_i), "s")
+        .select(
+            "vec_id",
+            "cid",
+            "s",
+            (d2r * F.lit(_ARGMIN_CAP) + F.col("ridx")).alias("pk"),
+        )
         .groupBy("vec_id", "cid", "s")
-        .agg(F.min(F.struct("d2", "rcid")).alias("m"))
-        .select("vec_id", "cid", "s", F.col("m.rcid").alias("code"))
+        .agg(F.min("pk").alias("pk"))
+        .select(
+            "vec_id",
+            "cid",
+            "s",
+            F.pmod("pk", F.lit(_ARGMIN_CAP)).alias("ridx"),
+        )
+        .join(F.broadcast(ridx_map), "ridx")
+        .select("vec_id", "cid", "s", F.col("rcid").alias("code"))
     )
     # query probes: nprobe nearest coarse cells + dot(q, c) per probe
     qcd = F.aggregate(
@@ -1202,6 +1284,17 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_oracle() -> str:
     sub = f"list_transform(range(1, {PQ_SUBDIM} + 1), i -> {{v}}[s * {PQ_SUBDIM} + i])"
+    # K mirrors ivfpq_k exactly: the env pin wins, else the sqrt clamp
+    # from COUNT(*) (IEEE sqrt is correctly rounded, so both engines
+    # compute the identical K — the sim_ann_incremental precedent)
+    kexpr = (
+        str(int(_ENV_IVFPQ_K))
+        if _ENV_IVFPQ_K
+        else (
+            f"GREATEST({IVF_K}, LEAST({IVF_INCR_MAX_K}, "
+            f"CAST(ceil(sqrt(cnt)) AS BIGINT)))"
+        )
+    )
     return f"""
     WITH q AS (
       SELECT vec_id,
@@ -1212,8 +1305,10 @@ def _ivfpq_oracle() -> str:
       SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm2 FROM q
     ),
     stride AS (
-      SELECT GREATEST(1, CAST(ceil(COUNT(*) / {IVF_K}.0) AS BIGINT)) AS st
-      FROM embeddings
+      SELECT GREATEST(1, (cnt + k - 1) // k) AS st,
+             GREATEST(1, (cnt + {PQ_K} - 1) // {PQ_K}) AS rst
+      FROM (SELECT cnt, {kexpr} AS k
+            FROM (SELECT COUNT(*) AS cnt FROM embeddings))
     ),
     coarse AS (
       SELECT vec_id AS cid, qv AS cv,
@@ -1241,7 +1336,7 @@ def _ivfpq_oracle() -> str:
     rcents AS (
       SELECT vec_id AS rcid, s, sv AS rcv,
              list_sum(list_transform(sv, x -> x * x)) AS rn
-      FROM rsubs, stride WHERE vec_id % st = 1
+      FROM rsubs, stride WHERE vec_id % rst = 1
     ),
     codes AS (
       SELECT vec_id, cid, s, rcid AS code FROM (
@@ -1757,9 +1852,6 @@ _registry._REGISTRY["sim_hybrid_rrf"].oracle = _hybrid_rrf_oracle
 # ---------------------------------------------------------------------------
 
 
-IVF_INCR_MAX_K = 4096  # coarse-codebook cap for the incremental index
-
-
 def ivf_incremental_k(n_standing: int) -> int:
     """K = ceil(sqrt(N)) clamped to [IVF_K, IVF_INCR_MAX_K]: the standing
     index serves EVERY arrival (not 5 probe queries like sim_ann_ivf), so
@@ -1855,17 +1947,6 @@ def _incr_d2():
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-
-
-# packed-argmin radix: min(d2 * CAP + cidx) over a PRIMITIVE long is a
-# real HashAggregate with map-side partial combine. The obvious
-# min(struct(d2, cid)) spelling has a non-primitive aggregation buffer,
-# which Spark can only execute as SortAggregate — measured 8× slower at
-# 1M vectors (806.6 s vs 97.7 s) because it SORTS the N×K distance
-# expansion instead of hashing it. CAP must exceed the centroid count
-# (IVF_INCR_MAX_K = 4096); the packing is exact while
-# d2 < 2^63/CAP ≈ 2.25e15, i.e. dim·(2·QUANT)² ≤ 2.25e15 → dim ≤ 5.6M.
-_ARGMIN_CAP = 4096
 
 
 def incremental_standing_parts(spark: SparkSession, sf_dir: str):
@@ -1971,16 +2052,18 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
-    import tempfile
+
+    from compass_query_optimizer_spark.session import scratch_dir
 
     t = load_tables(spark, sf_dir)
     n = _quantized_with_norm(t["embeddings"])
     batch2 = n.filter(F.col("vec_id") % 10 == 5)
     cents, members = incremental_standing_parts(spark, sf_dir)
-    # deterministic per-sf_dir path + overwrite (no temp-dir leak across
-    # repeated gate runs — same discipline as bucket_clustered_scan)
+    # per-sf_dir content tag inside the process-scoped scratch root:
+    # reruns in one session overwrite a single dir (no per-run temp leak),
+    # concurrent processes never share a path (round-10 advice)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"annindex_{tag}")
+    base = scratch_dir(spark, "annindex", tag)
     cents.write.mode("overwrite").parquet(os.path.join(base, "cents"))
     members.write.mode("overwrite").parquet(os.path.join(base, "members"))
     cents2 = spark.read.parquet(os.path.join(base, "cents"))

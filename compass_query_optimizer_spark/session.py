@@ -16,6 +16,7 @@ The reference engine's session-level knobs (CPU/GPU mode, COMPASS toggle
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -98,3 +99,27 @@ def configure(spark: SparkSession) -> SparkSession:
             # static confs (e.g. arrow already enabled) can't be reset; fine
             pass
     return spark
+
+
+def scratch_dir(spark: SparkSession, kind: str, tag: str) -> str:
+    """Deterministic-WITHIN-a-process scratch directory for persisted
+    artifacts (ANN index round-trips, clustered-layout rewrites, collapse
+    frames).
+
+    Three requirements pull in different directions: (1) reruns inside one
+    session must REUSE/overwrite a single dir (a fresh uuid per invocation
+    leaked one orphaned temp dir per gate run — round-9 advice), (2) two
+    concurrent processes on the same fixture (bench + pytest, parallel
+    gates) must NEVER share a path, or overwrite races serve
+    partially-written artifacts (round-10 advice), and (3) a predictable
+    /tmp name is a symlink/pre-creation hazard on a shared box. Keying on
+    uid + the Spark applicationId (unique per SparkContext) + the caller's
+    content tag satisfies all three."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_u{os.getuid()}",
+        spark.sparkContext.applicationId,
+        f"{kind}_{tag}",
+    )
+    os.makedirs(base, exist_ok=True)
+    return base

@@ -161,16 +161,18 @@ def _register():
     def bucket_clustered_scan(spark, sf_dir: str):
         import hashlib
         import os
-        import tempfile
+
+        from compass_query_optimizer_spark.session import scratch_dir
 
         li = load_tables(spark, sf_dir)["lineitem"].select(
             "l_orderkey", "l_quantity", "l_extendedprice"
         )
-        # deterministic per-sf_dir path + mode=overwrite: a fresh
-        # uuid-named copy per invocation leaked one orphaned temp dir per
-        # gate/differential run (round-9 advice)
+        # per-sf_dir content tag inside the process-scoped scratch root:
+        # reruns in one session overwrite a single dir (no per-run temp
+        # leak, round-9 advice) and concurrent processes never share a
+        # path (round-10 advice: bench + pytest racing one fixture)
         tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-        path = os.path.join(tempfile.gettempdir(), f"clustered_{tag}")
+        path = os.path.join(scratch_dir(spark, "clustered", tag), "data")
         write_clustered(li, path, "l_orderkey", n_files=8)
         back = spark.read.parquet(path).filter(
             F.col("l_orderkey").between(_CLUSTER_LO, _CLUSTER_HI)

@@ -176,5 +176,5 @@ def test_ivfpq_tiny_corpus_fails_loudly(spark, tmp_path):
         }
     )
     pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
-    with pytest.raises(ValueError, match="IVF_K"):
+    with pytest.raises(ValueError, match="requires more than"):
         sim_ann_ivfpq(spark, str(tmp_path))

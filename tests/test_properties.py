@@ -324,12 +324,13 @@ def test_ivfpq_matches_numpy_reference(spark):
 
     from compass_query_optimizer_spark.operators.dedup import QUANT
     from compass_query_optimizer_spark.operators.similarity import (
-        IVF_K,
         IVF_NPROBE,
         N_QUERIES,
+        PQ_K,
         PQ_M,
         PQ_SUBDIM,
         TOP_K,
+        ivfpq_k,
         sim_ann_ivfpq,
     )
 
@@ -343,7 +344,11 @@ def test_ivfpq_matches_numpy_reference(spark):
     ).astype(np.int64)
     n = len(ids)
     nrm2 = (qv * qv).sum(axis=1)
-    stride = max(1, math.ceil(n / IVF_K))
+    # round 11: coarse K auto-sizes (ceil-sqrt clamp), residual codebook
+    # keeps its own PQ_K stride — mirror both formulas exactly
+    k = ivfpq_k(n)
+    stride = max(1, (n + k - 1) // k)
+    rstride = max(1, (n + PQ_K - 1) // PQ_K)
 
     c_mask = ids % stride == 0
     cids, cv = ids[c_mask], qv[c_mask]
@@ -353,7 +358,7 @@ def test_ivfpq_matches_numpy_reference(spark):
     assign = np.argmin(d2c, axis=1)  # ties: first index = smallest cid
     resid = qv - cv[assign]
 
-    r_mask = ids % stride == 1
+    r_mask = ids % rstride == 1
     rsub = resid.reshape(n, PQ_M, PQ_SUBDIM)
     rcids = ids[r_mask]
     rcv = rsub[r_mask]  # (R, M, SUBDIM): sub-codebook per subspace
