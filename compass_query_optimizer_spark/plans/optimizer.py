@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from compass_query_optimizer_spark.catalog import load_tables
+from compass_query_optimizer_spark.plans.frame_store import get_or_build_frame
 from compass_query_optimizer_spark.plans.graph import JoinGraph, JoinQuerySpec, parse_join_query
 from compass_query_optimizer_spark.plans.pushdown import (
     PushdownConfig,
@@ -663,6 +664,83 @@ class CompassOptimizer:
             return info["ndv"]
         return plan.pushdown.stats[alias].rows
 
+    def _chain_join_cols(
+        self, spec: JoinQuerySpec, order: list[str], pos: int, alias: str
+    ) -> list[str]:
+        """Columns of ``alias`` used when it enters the chain: the join
+        predicates connecting it to the aliases already in the chain (for
+        the seed, to its FIRST partner) — the candidate bucket keys for
+        its persisted collapse frame."""
+        if pos == 0:
+            partners = {order[1]} if len(order) > 1 else set()
+        else:
+            partners = set(order[:pos])
+        cols = set()
+        for a, ca, b, cb in spec.join_preds:
+            if a == alias and b in partners:
+                cols.add(ca)
+            elif b == alias and a in partners:
+                cols.add(cb)
+        return sorted(cols)
+
+    def _collapse_artifact(
+        self,
+        plan: CompassPlan,
+        order: list[str],
+        pos: int,
+        alias: str,
+        key_cols: list[str],
+        skip: bool,
+        f: DataFrame,
+    ) -> DataFrame | None:
+        """Serve this alias's chain frame from the per-catalog BUCKETED
+        artifact store when eligible (unfiltered alias in a tagged
+        catalog, collapsed-frame estimate ≥ ``frame_store_min_rows``, and
+        a chain entry key to bucket on); None → assemble inline. The
+        artifact's bucketed scan reports HashPartitioning on the entry
+        key, so the repeated join-side Exchange of the same
+        multi-million-row frame — the measured scale-160 corpus frontier
+        (plans/frame_store.py) — disappears from every query after the
+        first. Correctness is untouched either way: the artifact stores
+        exactly the frame the inline path would build, and the
+        differential gate runs both shapes (test_compass.py)."""
+        min_rows = self.config.frame_store_min_rows
+        tag = plan.extras.get("dataset_tag")
+        if not min_rows or tag is None or plan.spec.filters.get(alias):
+            return None
+        if self._frame_size_estimate(plan, alias) < min_rows:
+            return None
+        jcols = self._chain_join_cols(plan.spec, order, pos, alias)
+        if not jcols:
+            return None
+        bucket_col = jcols[0]
+        table = plan.spec.tables[alias]
+
+        def build() -> DataFrame:
+            g = f.select(*key_cols)
+            if skip:
+                return g
+            return g.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__cnt"))
+
+        got = get_or_build_frame(
+            self.spark, tag, table, key_cols, bucket_col, skip, build
+        )
+        if got is None:
+            return None
+        art, reused = got
+        plan.extras.setdefault("collapse_artifacts", {})[alias] = {
+            "table": table,
+            "bucket_col": bucket_col,
+            "skip": skip,
+            "reused": reused,
+        }
+        cols = [F.col(c).alias(f"{alias}__{c}") for c in key_cols]
+        if skip:
+            return art.select(*cols).withColumn(
+                "__cnt_new", F.lit(1).cast("long")
+            )
+        return art.select(*cols, F.col("__cnt").alias("__cnt_new"))
+
     def _comparable_sides(
         self, plan: CompassPlan, order: list[str], pos: int, alias: str
     ) -> bool:
@@ -886,9 +964,20 @@ class CompassOptimizer:
                     )
             else:
                 g = f.select(*keys) if keys else f
-                if keys and self._should_skip_collapse(
-                    plan, alias, sorted(c for c in needed[alias] if c in f.columns)
-                ):
+                key_cols = sorted(c for c in needed[alias] if c in f.columns)
+                skip = bool(keys) and self._should_skip_collapse(
+                    plan, alias, key_cols
+                )
+                art = (
+                    self._collapse_artifact(
+                        plan, order, pos, alias, key_cols, skip, f
+                    )
+                    if keys
+                    else None
+                )
+                if art is not None:
+                    agg = art
+                elif skip:
                     # near-distinct keys: enter the chain raw at
                     # multiplicity 1 — the collapse would shuffle the
                     # whole table to shrink it by almost nothing

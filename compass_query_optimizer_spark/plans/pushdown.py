@@ -88,6 +88,22 @@ class PushdownConfig:
         )
     )
     broadcast_floor_rows: int = 100_000
+    # Per-catalog collapse-frame artifact store (round 11; plans/
+    # frame_store.py): an UNFILTERED chain partner whose collapsed-frame
+    # estimate meets this bar is materialized ONCE per catalog as a
+    # parquet table bucketed on its chain join key, and every later query
+    # in the session reads the artifact — killing the repeated scan +
+    # multi-million-row join-side Exchange that the round-10 profile
+    # showed to be the entire scale-160 corpus frontier (the same 5.76M-
+    # row cast_info frame re-assembled per query). 0 disables; env knob
+    # for A/B (SPARK_GRAFT_FRAME_STORE_ROWS). The bar sits at the same
+    # 500k order as collapse_skip_min_rows: below it the frame's exchange
+    # is too small to amortize a write.
+    frame_store_min_rows: int = field(
+        default_factory=lambda: int(
+            os.environ.get("SPARK_GRAFT_FRAME_STORE_ROWS", "500000")
+        )
+    )
     arrow_build: bool = True  # mapInPandas sketch build (vs JVM groupBy)
     parallel_tables: int = 8  # concurrent per-table sketch passes
     # eager COUNT(*) aggregation (optimizer.build_count_join): re-aggregate

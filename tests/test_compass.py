@@ -777,6 +777,54 @@ def test_relative_antibroadcast_count_parity(spark):
     assert forced == base > 0
 
 
+def test_collapse_frame_artifact_count_parity(spark):
+    """Round-11 frame store: with the bar dropped so every eligible chain
+    partner is served from the per-catalog bucketed artifact, the count
+    must equal the default inline-assembly plan (the artifact stores
+    exactly the frame the chain would build), the plan trace must record
+    which aliases were served, and a SECOND plan through the same session
+    must reuse the registered tables instead of rebuilding — the whole
+    point is amortizing one build across a 113-query corpus."""
+    from compass_query_optimizer_spark.plans.job_corpus import (
+        job_tables,
+        load_corpus,
+    )
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+
+    corpus = load_corpus()
+    tables, counts = job_tables(spark, scale=1)
+    opt = CompassOptimizer(
+        spark, config=PushdownConfig(frame_store_min_rows=1)
+    )
+    plan = opt.plan(
+        corpus["8c"], tables=tables, counts=counts, count_cache_tag="fs-gate"
+    )
+    forced = opt.build_count_join(plan).collect()[0]["cnt"]
+    arts = plan.extras.get("collapse_artifacts")
+    assert arts, "bar=1 must serve at least one 8c partner from the store"
+    base = (
+        CompassOptimizer(
+            spark, config=PushdownConfig(frame_store_min_rows=0)
+        )
+        .execute_count(
+            corpus["8c"], tables=tables, counts=counts,
+            count_cache_tag="fs-gate-off",
+        )
+        .collect()[0]["cnt"]
+    )
+    assert forced == base > 0
+    plan2 = opt.plan(
+        corpus["8c"], tables=tables, counts=counts, count_cache_tag="fs-gate"
+    )
+    assert opt.build_count_join(plan2).collect()[0]["cnt"] == base
+    arts2 = plan2.extras["collapse_artifacts"]
+    assert arts2 and all(v["reused"] for v in arts2.values())
+    # the artifact scan must expose its bucketed distribution: the frame's
+    # join-side Exchange is the cost the store exists to remove
+    assert all(v["bucket_col"] for v in arts2.values())
+
+
 def test_antibroadcast_bar_keys_on_collapsed_estimate():
     """The absolute anti-broadcast bar must consult the COLLAPSED frame
     estimate: a 2M-row table whose referenced keys collapse to 50k rows
