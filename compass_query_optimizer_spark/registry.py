@@ -56,71 +56,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # registration order — so adding a query without touching this list still
 # works, it just lands in the unsampled tail until promoted.
 _SAMPLE_PRIORITY = [
-    # ================ round-10 prefix: rotation completion round ========
-    # Order: (1) the nine r5-evidence text profiles explicitly queued by
-    # the round-9 rotation (the last pre-r6 driver evidence anywhere in
-    # the registry), (2) entries whose oracle/impl/plan changed in round
-    # 10 plus the one NEW entry (first driver exposure), (3) as much of
-    # the r6-evidence tail as fits — job_corpus closes the block as the
-    # re-proof of the round-10 relative anti-broadcast guard (it is also
-    # the most expensive single entry). The 13 deferred r6 entries
-    # (q21..q33, all re-proven by the local differential every pytest
-    # run) sit directly after the prefix as the round-11 queue.
-    # -- (1) the queued r5-evidence tail: rotation debt retired --
-    "text_chunk",
-    "text_langid_confusion",
-    "text_length_histogram",
-    "text_ngram_profile",
-    "text_percentile_approx",
-    "text_quality_percentile",
-    "text_source_cap",
-    "text_vocabulary",
-    "text_zipf_coverage",
-    # -- (2) changed in round 10 --
-    "skew_salted_join",               # oracle switched to exact int cents
-    "bucket_clustered_scan",          # deterministic temp path + overwrite
-    "events_funnel",                  # explicit broadcast on scalar joins
-    "sim_ann_persisted",              # NEW: persisted-index serving gate
-    "compass_count_multijoin",        # chain plan: relative guard landed
-    "compass_grouped_count",          # chain plan: relative guard landed
-    # -- (3) r6-evidence tail (34 of 47 fit; q21..q33 deferred) --
-    "compass_grouped_sum",
-    "compass_minmax_multijoin",
-    "compass_sum_multijoin",
-    "dedup_minhash_lsh",
-    "emb_pca_power",
-    "emb_prefix_norm",
-    "events_gap_fill",
-    "mm_audio_decode",
-    "mm_image_decode",
-    "mm_video_frames",
-    "q01_pricing_summary",
-    "q02_topk_parts",
-    "q03_shipping_priority",
-    "q04_semi_join_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_count_star_multijoin",
-    "q08_group_having",
-    "q09_distinct",
-    "q10_agg_kinds",
-    "q11_approx_count_distinct",
-    "q12_case_cast_in",
-    "q13_date_functions",
-    "q14_string_functions",
-    "q15_left_outer_join",
-    "q16_scalar_subquery",
-    "q17_limit_offset",
-    "q18_array_ops",
-    "q19_in_integer_set",
-    "q20_null_semantics",
-    "temporal_asof_join",
-    "text_dsir_weights",
-    "text_lm_perplexity",
-    "text_winnowing",
-    "job_corpus",                     # 113-count differential: guard gate
-    # ---- the 50-entry driver prefix ends here ----
-    # -- r6 remainder (deferred to round 11, leads next rotation) --
+    # ================ round-11 prefix =====================================
+    # Order: (1) the 13 deferred r6-evidence entries q21..q33 — the LAST
+    # pre-r7 driver evidence in the registry; after this sampling every
+    # entry's evidence is r7+ and the multi-round rotation debt is retired
+    # for good, (2) entries whose impl/oracle/plan changed in round 11
+    # (ivfpq auto-K + packed argmin; the compass chain gained the
+    # collapse-frame artifact store and the measures-branch NDV probe,
+    # with job_corpus as the 113-count differential over the changed
+    # planner), (3) as much of the r7-evidence tail as fits — the 13
+    # entries that don't fit sit directly after the prefix as the
+    # round-12 queue.
+    # -- (1) the deferred r6 tail: rotation debt retired --
     "q21_cross_join_small",
     "q22_math_functions",
     "q23_events_rollup",
@@ -134,6 +81,65 @@ _SAMPLE_PRIORITY = [
     "q31_market_basket",
     "q32_correlated_agg_subquery",
     "q33_lateral_topn",
+    # -- (2) changed in round 11 --
+    "sim_ann_ivfpq",                  # auto-sqrt(N) coarse K + packed argmin
+    "sim_ann_persisted",              # scratch-path hardening
+    "bucket_clustered_scan",          # scratch-path hardening
+    "compass_count_multijoin",        # chain: frame store + probe fix
+    "compass_avg_multijoin",          # measures branch: NDV probe landed
+    # -- (3) r7-evidence tail (31 of 46 fit; rest queued for round 12) --
+    "compass_count_distinct_hll",
+    "compass_count_distinct_multijoin",
+    "compass_grouped_count_distinct",
+    "compass_grouped_minmax",
+    "dedup_bloom",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_clusters_twostage",
+    "dedup_edit_distance",
+    "dedup_incremental",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "dialect_shim",
+    "docs_snapshot_diff",
+    "docs_version_churn",
+    "emb_dim_variance",
+    "emb_label_centroid_sim",
+    "emb_norm_outliers",
+    "events_active_users",
+    "events_anomaly",
+    "events_burst_detection",
+    "events_json_extract",
+    "events_pareto_concentration",
+    "geo_functions",
+    "mm_frame_sample",
+    "mm_payload_features",
+    "pipeline_pretrain",
+    "q34_not_in_null_trap",
+    "q35_grouping_cube",
+    "q36_multiset_ops",
+    "job_corpus",                     # 113-count differential: planner
+    #                                   gate over the round-11 frame
+    #                                   store; most expensive entry, so
+    #                                   it closes the prefix
+    # ---- the 50-entry driver prefix ends here ----
+    # -- r7 remainder (round-12 queue) --
+    "q37_listagg",
+    "sim_ann_ivf",
+    "sim_ann_pq",
+    "stream_approx_distinct",
+    "stream_sliding_count",
+    "text_curriculum_stages",
+    "text_epoch_budget",
+    "text_fingerprint",
+    "text_hash_classifier",
+    "text_kl_drift",
+    "text_ngram_novelty",
+    "text_quality",
+    "text_source_lang_entropy",
+    "text_tokens",
+    "text_weighted_sample",
 ]
 
 

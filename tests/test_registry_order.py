@@ -3,12 +3,13 @@ entries since round 4), so the registry's ordering is part of the driver
 contract: operators that still lack driver evidence must sit in the prefix,
 and the ordering must stay a clean permutation of the registry.
 
-Round 10 completes the evidence rotation the r8/r9 verdicts asked for: the
-prefix spends its slots on (a) the nine r5-evidence text profiles queued by
-round 9 (the last pre-r6 driver evidence in the registry), (b) everything
-new or changed in round 10, (c) 34 of the 47 r6-evidence entries, closing
-with job_corpus as the re-proof of the relative anti-broadcast guard. The
-13 deferred r6 entries (q21..q33) are the round-11 queue.
+Round 11 retires the LAST pre-r7 driver evidence: the prefix leads with the
+13 deferred r6-evidence workload queries (q21..q33, queued by round 10),
+then everything changed in round 11 (ivfpq auto-K, scratch-path hardening,
+the compass chain's collapse-frame store + measures-branch probe), then 31
+of the 46 remaining r7-evidence entries, closing with job_corpus as the
+113-count differential over the changed planner. The 15 r7 entries that
+didn't fit are the round-12 queue.
 """
 
 from __future__ import annotations
@@ -19,36 +20,19 @@ import os
 
 from compass_query_optimizer_spark.registry import _SAMPLE_PRIORITY, all_queries
 
-# entries new or changed in round 10 — each needs a fresh driver row
+# entries new or changed in round 11 — each needs a fresh driver row
 CHANGED_THIS_ROUND = {
-    "skew_salted_join",               # oracle switched to exact int cents
-    "bucket_clustered_scan",          # deterministic temp path + overwrite
-    "events_funnel",                  # explicit broadcast on scalar joins
-    "sim_ann_persisted",              # new: persisted-index serving gate
-    "compass_count_multijoin",        # chain plan: relative guard landed
-    "compass_grouped_count",          # chain plan: relative guard landed
-    "job_corpus",                     # 113-count differential: guard gate
+    "sim_ann_ivfpq",                  # auto-sqrt(N) coarse K + packed argmin
+    "sim_ann_persisted",              # scratch-path hardening
+    "bucket_clustered_scan",          # scratch-path hardening
+    "compass_count_multijoin",        # chain: frame store + probe fix
+    "compass_avg_multijoin",          # measures branch: NDV probe landed
+    "job_corpus",                     # 113-count differential: planner gate
 }
 
-# the round-9 rotation's explicit queue: nine r5-evidence text profiles
-# that MUST lead the round-10 prefix (they are the stalest evidence left)
-R5_QUEUE = {
-    "text_chunk",
-    "text_langid_confusion",
-    "text_length_histogram",
-    "text_ngram_profile",
-    "text_percentile_approx",
-    "text_quality_percentile",
-    "text_source_cap",
-    "text_vocabulary",
-    "text_zipf_coverage",
-}
-
-# r6-evidence entries deferred to round 11 (the 50 slots ran out): 13
-# TPC-H-ish workload queries, all re-proven by the local differential
-# (tests/test_oracle.py) every pytest run. They sit directly after the
-# prefix so the round-11 rotation reaches them first.
-NEXT_ROUND_QUEUE = {
+# the round-10 rotation's explicit queue: the 13 r6-evidence workload
+# queries that MUST lead the round-11 prefix (the last pre-r7 evidence)
+R6_QUEUE = {
     "q21_cross_join_small",
     "q22_math_functions",
     "q23_events_rollup",
@@ -62,6 +46,28 @@ NEXT_ROUND_QUEUE = {
     "q31_market_basket",
     "q32_correlated_agg_subquery",
     "q33_lateral_topn",
+}
+
+# r7-evidence entries deferred to round 12 (the 50 slots ran out), all
+# re-proven by the local differential (tests/test_oracle.py) every pytest
+# run. They sit directly after the prefix so the next rotation reaches
+# them first.
+NEXT_ROUND_QUEUE = {
+    "q37_listagg",
+    "sim_ann_ivf",
+    "sim_ann_pq",
+    "stream_approx_distinct",
+    "stream_sliding_count",
+    "text_curriculum_stages",
+    "text_epoch_budget",
+    "text_fingerprint",
+    "text_hash_classifier",
+    "text_kl_drift",
+    "text_ngram_novelty",
+    "text_quality",
+    "text_source_lang_entropy",
+    "text_tokens",
+    "text_weighted_sample",
 }
 
 
@@ -93,19 +99,19 @@ def test_priority_names_all_registered():
 
 
 def test_prefix_serves_the_evidence_gap():
-    """The 50-entry prefix must (a) lead with the queued r5 tail, (b)
-    contain everything new/changed in round 10, (c) spend every other slot
+    """The 50-entry prefix must (a) lead with the queued r6 tail, (b)
+    contain everything new/changed in round 11, (c) spend every other slot
     on the stalest driver evidence — nothing already green in the latest
-    recorded round (r9) may consume a slot unless round 10 changed it."""
+    recorded round (r10) may consume a slot unless round 11 changed it."""
     prefix = list(all_queries())[:50]
-    missing = (R5_QUEUE | CHANGED_THIS_ROUND) - set(prefix)
-    assert not missing, f"round-10 must-sample entries outside the prefix: {missing}"
-    assert set(prefix[:9]) == R5_QUEUE, prefix[:9]
+    missing = (R6_QUEUE | CHANGED_THIS_ROUND) - set(prefix)
+    assert not missing, f"round-11 must-sample entries outside the prefix: {missing}"
+    assert set(prefix[:13]) == R6_QUEUE, prefix[:13]
 
     # pinned to the round this rotation was designed against (re-pin when
     # re-rotating the priority list next round)
     root = os.path.join(os.path.dirname(__file__), "..")
-    latest = set(json.load(open(os.path.join(root, "CORRECTNESS_r09.json"))))
+    latest = set(json.load(open(os.path.join(root, "CORRECTNESS_r10.json"))))
     rotated = [n for n in prefix if n not in CHANGED_THIS_ROUND]
     stale = [n for n in rotated if n in latest]
     assert not stale, (
@@ -115,14 +121,14 @@ def test_prefix_serves_the_evidence_gap():
 
 def test_prefix_retires_the_pre_r7_tail():
     """After this round no registered entry may sit on pre-r7 driver
-    evidence except the explicitly queued round-11 block: the prefix must
-    contain every r5-evidence entry and every r6-evidence entry outside
-    NEXT_ROUND_QUEUE."""
+    evidence at all: the prefix must contain every entry whose latest
+    evidence predates round 7 — the round-11 rotation is the one that
+    finishes the multi-round debt."""
     latest = _latest_evidence()
     registered = set(all_queries())
     stale = {n for n, r in latest.items() if r < 7 and n in registered}
     prefix = set(list(all_queries())[:50])
-    left_out = stale - prefix - NEXT_ROUND_QUEUE
+    left_out = stale - prefix
     assert not left_out, f"pre-r7-evidence entries missing from the prefix: {left_out}"
 
 
@@ -137,21 +143,21 @@ def test_every_registered_query_has_driver_evidence_or_prefix_slot():
 
 
 def test_deferred_queue_sits_directly_after_the_prefix():
-    """The round-11 queue (13 deferred r6 entries) must occupy slots 51-63
+    """The round-12 queue (15 deferred r7 entries) must occupy slots 51-65
     so the next rotation reaches it before anything with fresher
     evidence."""
     names = list(all_queries())
-    assert set(names[50:63]) == NEXT_ROUND_QUEUE, (
-        "round-11 queue not immediately after the prefix: "
-        f"{names[50:63]}"
+    assert set(names[50:65]) == NEXT_ROUND_QUEUE, (
+        "round-12 queue not immediately after the prefix: "
+        f"{names[50:65]}"
     )
 
 
 def test_job_corpus_closes_the_prefix():
     """job_corpus is the most expensive single entry (113-query count
-    differential) AND the re-proof of the round-10 relative anti-broadcast
-    guard — it must be in the prefix, last, so the cheaper entries are
-    never starved by it."""
+    differential) AND the gate over the round-11 collapse-frame store —
+    it must be in the prefix, last, so the cheaper entries are never
+    starved by it."""
     names = list(all_queries())
     assert names[49] == "job_corpus", names[45:50]
 
