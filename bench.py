@@ -387,17 +387,30 @@ def _run(out: dict, sf_dir: str) -> None:
     # the round-over-round quantity — and a REAL regression raises every
     # sample, so the min still catches it.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    out["runs_stat"] = f"min_of_{runs}"
+    out["runs_stat"] = f"min_of_{runs}_pass_interleaved"
     timings = out["queries"]
-    for name in HEADLINE:
-        spec = specs[name]
-        samples = []
-        for _ in range(runs):
+    # pass-INTERLEAVED sampling (round 11, second refinement): sample i of
+    # every query runs as one full pass over the set, so a query's three
+    # samples are separated by a whole pass (~30-60 s) instead of landing
+    # back-to-back. The first r11 run showed why: the box was still
+    # draining when the bench started (calibration start probe 20.8 s vs
+    # end probe 2.0 s) and the first ~15 queries had ALL their samples
+    # inside the churn window — min-of-3 can only reject smear that
+    # doesn't cover all three samples. Pass separation makes early-bench
+    # churn inflate only pass 1; the min recovers from passes 2-3.
+    all_samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for pass_no in range(runs):
+        t_pass = time.perf_counter()
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            spec.build(spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
+            specs[name].build(spark, sf_dir).collect()
+            all_samples[name].append(time.perf_counter() - t0)
+        print(f"  pass {pass_no + 1}/{runs}: "
+              f"{time.perf_counter() - t_pass:.1f}s", file=sys.stderr)
+    for name in HEADLINE:
+        samples = all_samples[name]
         timings[name] = round(min(samples), 3)
-        print(f"  {name}: {timings[name]:.3f}s  (runs: "
+        print(f"  {name}: {timings[name]:.3f}s  (passes: "
               f"{', '.join(f'{s:.2f}' for s in samples)})", file=sys.stderr)
 
     # plan-quality metric (BASELINE.md): Σ estimated intermediate sizes of

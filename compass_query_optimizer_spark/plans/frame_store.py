@@ -36,9 +36,26 @@ from __future__ import annotations
 import hashlib
 import os
 import sys
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Async build registry (round-11 measurement fix): the first scale-160
+# corpus A/B ran the artifact writes SYNCHRONOUSLY on the first query
+# that touched each frame, and three queries blew the per-query 90 s
+# timeout paying for a 5.76M-row bucketed write that belongs to the
+# catalog, not to them (12b/18a/19d DNF — the OFF arm had 0). The build
+# now runs on a daemon thread with its own JVM thread (pinned mode maps
+# Python threads 1:1, so a query-timeout cancelJobGroup can never cancel
+# a build), the requesting query falls back to inline assembly, and
+# later queries read the finished artifact. One attempt per table name
+# per process; failures are remembered so a broken build cannot retry
+# in a loop or serve partial data (the catalog table is only registered
+# by a successful CTAS commit).
+_BUILD_LOCK = threading.Lock()
+_BUILDS: dict[str, threading.Thread] = {}
+_FAILED: set[str] = set()
 
 
 def _artifact_name(
@@ -50,6 +67,41 @@ def _artifact_name(
     return "cqos_frame_" + hashlib.md5(payload.encode()).hexdigest()[:16]
 
 
+def _write_artifact(
+    spark: SparkSession,
+    tag: object,
+    name: str,
+    table: str,
+    bucket_col: str,
+    build: Callable[[], DataFrame],
+) -> None:
+    from compass_query_optimizer_spark.session import scratch_dir
+
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    root = scratch_dir(
+        spark, "frames", hashlib.md5(str(tag).encode()).hexdigest()[:12]
+    )
+    (
+        build()
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .option("path", os.path.join(root, name))
+        .saveAsTable(name)
+    )
+
+
+def wait_for_builds(timeout: float | None = None) -> None:
+    """Block until every dispatched artifact build has finished (per-build
+    ``timeout`` seconds when given). Called at the end of the corpus warm
+    pass so corpus execution starts in steady state — the scale-160 A/B
+    showed queries that overlap a 5.76M-row bucketed write pay for it in
+    contention (2a 1.7→12.9 s) even though the finished artifact makes
+    the same queries faster solo."""
+    for t in list(_BUILDS.values()):
+        t.join(timeout)
+
+
 def get_or_build_frame(
     spark: SparkSession,
     tag: object,
@@ -58,11 +110,18 @@ def get_or_build_frame(
     bucket_col: str,
     skip: bool,
     build: Callable[[], DataFrame],
+    sync: bool = False,
 ) -> tuple[DataFrame, bool] | None:
     """Return ``(artifact_df, reused)`` for the collapse frame of
-    ``table`` under ``key_cols``, building and registering it on first
-    use in this session; None when the artifact can't be served (any
-    failure — the caller assembles the frame inline).
+    ``table`` under ``key_cols``, or None when the artifact isn't ready
+    (the caller assembles the frame inline).
+
+    On first use the build is DISPATCHED to a background thread and None
+    is returned immediately: the requesting query pays nothing beyond
+    sharing executors with the build, and every later query in the
+    session reads the finished bucketed table. ``sync=True`` (tests, and
+    opt-in via ``PushdownConfig.frame_store_sync``) blocks on the build
+    so the very first plan is served from the store.
 
     ``skip`` distinguishes the two frame kinds (they share a cache key
     space but never a key): a collapse-SKIPPED frame stores the bare key
@@ -75,20 +134,39 @@ def get_or_build_frame(
     try:
         if spark.catalog.tableExists(name):
             return spark.table(name), True
-        from compass_query_optimizer_spark.session import scratch_dir
+        with _BUILD_LOCK:
+            if name in _FAILED:
+                return None
+            worker = _BUILDS.get(name)
+            if worker is None:
 
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        root = scratch_dir(
-            spark, "frames", hashlib.md5(str(tag).encode()).hexdigest()[:12]
-        )
-        (
-            build()
-            .write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(n_buckets, bucket_col)
-            .option("path", os.path.join(root, name))
-            .saveAsTable(name)
-        )
+                def _run() -> None:
+                    try:
+                        spark.sparkContext.setJobDescription(
+                            f"frame-store build: {table} [{name}]"
+                        )
+                        _write_artifact(
+                            spark, tag, name, table, bucket_col, build
+                        )
+                    except Exception as e:
+                        with _BUILD_LOCK:
+                            _FAILED.add(name)
+                        print(
+                            f"  frame-store build {table} failed: {e}",
+                            file=sys.stderr,
+                        )
+
+                worker = threading.Thread(
+                    target=_run, name=f"frame-store-{name}", daemon=True
+                )
+                _BUILDS[name] = worker
+                worker.start()
+        if not sync:
+            return None
+        worker.join()
+        with _BUILD_LOCK:
+            if name in _FAILED:
+                return None
         return spark.table(name), False
     except Exception as e:
         print(f"  frame-store artifact {table} skipped: {e}", file=sys.stderr)

@@ -20,6 +20,7 @@ materializes).
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +60,38 @@ _MEASURE_OPS = (
 # class-1 ops: multiplicity-scaled riders (COUNT(col) is SUM of per-key
 # non-null counts — Yan & Larson treat it exactly like SUM)
 _SCALED_OPS = ("sum", "count")
+
+
+def _referenced_cols(
+    spec: JoinQuerySpec, group_by: list[tuple[str, str]] | None
+) -> tuple[dict[str, set[str]], set[tuple[str, str]]]:
+    """Columns each alias must expose when it enters the chain (join-pred
+    endpoints, group-by columns, post-filter residual references) and the
+    (alias, col) pairs that must survive every re-aggregation. Shared by
+    chain assembly (build_count_join) and plan-time artifact dispatch
+    (dispatch_frame_builds) so both agree on a frame's key columns — the
+    artifact cache key includes them."""
+    needed: dict[str, set[str]] = {a: set() for a in spec.tables}
+    for a, ca, b, cb in spec.join_preds:
+        needed[a].add(ca)
+        needed[b].add(cb)
+    residual_cols: set[tuple[str, str]] = set()
+    for al, col in group_by or ():
+        residual_cols.add((al, col))
+        needed[al].add(col)
+    if spec.post_filters:
+        aliases = "|".join(
+            _re.escape(a) for a in sorted(spec.tables, key=len, reverse=True)
+        )
+        pat = _re.compile(rf"\b({aliases})\.([A-Za-z_]\w*)\b")
+        for residual in spec.post_filters:
+            for i, seg in enumerate(_re.split(r"('(?:[^']|'')*')", residual)):
+                if i % 2:
+                    continue
+                for al, col in pat.findall(seg):
+                    residual_cols.add((al, col))
+                    needed[al].add(col)
+    return needed, residual_cols
 
 
 def _measure_seed(measure_op: str, col: str):
@@ -162,8 +195,6 @@ def _rewrite_residual(residual: str, spec: JoinQuerySpec) -> str:
     Only known aliases are rewritten (the naive ``\\b(\\w+)\\.(\\w+)\\b``
     would mangle numeric literals like ``0.5`` into ``0__5``), and string
     literals are left untouched by splitting on quoted segments first."""
-    import re as _re
-
     aliases = "|".join(_re.escape(a) for a in sorted(spec.tables, key=len, reverse=True))
     pat = _re.compile(rf"\b({aliases})\.([A-Za-z_]\w*)\b")
     out = []
@@ -723,7 +754,14 @@ class CompassOptimizer:
             return g.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__cnt"))
 
         got = get_or_build_frame(
-            self.spark, tag, table, key_cols, bucket_col, skip, build
+            self.spark,
+            tag,
+            table,
+            key_cols,
+            bucket_col,
+            skip,
+            build,
+            sync=self.config.frame_store_sync,
         )
         if got is None:
             return None
@@ -740,6 +778,49 @@ class CompassOptimizer:
                 "__cnt_new", F.lit(1).cast("long")
             )
         return art.select(*cols, F.col("__cnt").alias("__cnt_new"))
+
+    def dispatch_frame_builds(self, plan: CompassPlan) -> int:
+        """Plan-time artifact dispatch (round 11): kick off the background
+        bucketed-frame builds for every store-eligible alias of ``plan``
+        WITHOUT assembling its chain, so that by the time the corpus
+        executes, every query reads finished artifacts instead of racing
+        the builds. The scale-160 A/B that motivates this: artifacts ON
+        made every profiled query faster solo (6a 8.52→2.28 s, 16b
+        11.09→5.41 s, identical counts) yet the corpus total barely moved
+        — the first queries to touch each frame overlapped the 5.76M-row
+        bucketed writes and paid the contention (2a 1.7→12.9 s in-corpus).
+        Called from warm_corpus_templates, which already plans every query
+        one-time; returns the number of store-eligible aliases seen.
+
+        Mirrors build_count_join's eligibility path exactly (same
+        _referenced_cols → same key set → same artifact cache key); the
+        dispatched build is get_or_build_frame's usual one-per-name
+        thread, so a later chain assembly can never double-build."""
+        if not self.config.frame_store_min_rows:
+            return 0
+        if plan.extras.get("dataset_tag") is None:
+            return 0
+        spec = plan.spec
+        order = plan.search.order
+        needed, _ = _referenced_cols(spec, None)
+        n = 0
+        for pos, alias in enumerate(order):
+            if spec.filters.get(alias):
+                continue
+            f = plan.pushdown.frames[alias]
+            key_cols = sorted(c for c in needed[alias] if c in f.columns)
+            if not key_cols:
+                continue
+            skip = self._should_skip_collapse(plan, alias, key_cols)
+            if self._frame_size_estimate(plan, alias) < (
+                self.config.frame_store_min_rows
+            ):
+                continue
+            if not self._chain_join_cols(spec, order, pos, alias):
+                continue
+            self._collapse_artifact(plan, order, pos, alias, key_cols, skip, f)
+            n += 1
+        return n
 
     def _comparable_sides(
         self, plan: CompassPlan, order: list[str], pos: int, alias: str
@@ -853,8 +934,6 @@ class CompassOptimizer:
         plan-time routed carriers (auto/bitmap) stay single-measure —
         their stats job and EXPLAIN record are per-plan.
         """
-        import re as _re
-
         spec = plan.spec
         order = plan.search.order
 
@@ -896,26 +975,7 @@ class CompassOptimizer:
         ]
 
         # columns each alias must expose: join-pred endpoints + residuals
-        needed: dict[str, set[str]] = {a: set() for a in spec.tables}
-        for a, ca, b, cb in spec.join_preds:
-            needed[a].add(ca)
-            needed[b].add(cb)
-        residual_cols: set[tuple[str, str]] = set()
-        for al, col in group_by or ():
-            residual_cols.add((al, col))
-            needed[al].add(col)
-        if spec.post_filters:
-            aliases = "|".join(
-                _re.escape(a) for a in sorted(spec.tables, key=len, reverse=True)
-            )
-            pat = _re.compile(rf"\b({aliases})\.([A-Za-z_]\w*)\b")
-            for residual in spec.post_filters:
-                for i, seg in enumerate(_re.split(r"('(?:[^']|'')*')", residual)):
-                    if i % 2:
-                        continue
-                    for al, col in pat.findall(seg):
-                        residual_cols.add((al, col))
-                        needed[al].add(col)
+        needed, residual_cols = _referenced_cols(spec, group_by)
 
         frames = {}
         for pos, alias in enumerate(order):

@@ -104,6 +104,18 @@ class PushdownConfig:
             os.environ.get("SPARK_GRAFT_FRAME_STORE_ROWS", "500000")
         )
     )
+    # Async-by-default artifact builds (round-11 measurement fix): the
+    # synchronous build put a 5.76M-row bucketed write on the first
+    # query's wall and DNF'd three corpus queries under the 90 s timeout
+    # (12b/18a/19d at scale 160); async dispatches the write to its own
+    # thread, the first query assembles inline, later queries read the
+    # artifact. sync=True blocks on the build (tests; A/B knob).
+    frame_store_sync: bool = field(
+        default_factory=lambda: os.environ.get(
+            "SPARK_GRAFT_FRAME_STORE_SYNC", "0"
+        )
+        == "1"
+    )
     arrow_build: bool = True  # mapInPandas sketch build (vs JVM groupBy)
     parallel_tables: int = 8  # concurrent per-table sketch passes
     # eager COUNT(*) aggregation (optimizer.build_count_join): re-aggregate

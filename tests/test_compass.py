@@ -795,7 +795,8 @@ def test_collapse_frame_artifact_count_parity(spark):
     corpus = load_corpus()
     tables, counts = job_tables(spark, scale=1)
     opt = CompassOptimizer(
-        spark, config=PushdownConfig(frame_store_min_rows=1)
+        spark,
+        config=PushdownConfig(frame_store_min_rows=1, frame_store_sync=True),
     )
     plan = opt.plan(
         corpus["8c"], tables=tables, counts=counts, count_cache_tag="fs-gate"
@@ -823,6 +824,94 @@ def test_collapse_frame_artifact_count_parity(spark):
     # the artifact scan must expose its bucketed distribution: the frame's
     # join-side Exchange is the cost the store exists to remove
     assert all(v["bucket_col"] for v in arts2.values())
+
+
+def test_frame_store_async_build_never_blocks_first_query(spark):
+    """Round-11 async fix: with frame_store_sync=False (the runtime
+    default) the FIRST plan must fall back to inline assembly — the
+    artifact write belongs to the catalog, not to whichever query
+    touches the frame first (three scale-160 corpus queries DNF'd under
+    the synchronous build). After the background build thread drains,
+    a later plan must serve the bucketed artifact with the identical
+    count."""
+    from compass_query_optimizer_spark.plans import frame_store
+    from compass_query_optimizer_spark.plans.job_corpus import (
+        job_tables,
+        load_corpus,
+    )
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+
+    corpus = load_corpus()
+    tables, counts = job_tables(spark, scale=1)
+    opt = CompassOptimizer(
+        spark,
+        config=PushdownConfig(frame_store_min_rows=1, frame_store_sync=False),
+    )
+    known = set(frame_store._BUILDS)
+    plan = opt.plan(
+        corpus["8c"], tables=tables, counts=counts, count_cache_tag="fs-async"
+    )
+    base = opt.build_count_join(plan).collect()[0]["cnt"]
+    # first touch: builds dispatched, nothing served synchronously
+    assert "collapse_artifacts" not in plan.extras
+    new = set(frame_store._BUILDS) - known
+    assert new, "first touch must dispatch at least one background build"
+    for n in new:
+        frame_store._BUILDS[n].join(timeout=120)
+    plan2 = opt.plan(
+        corpus["8c"], tables=tables, counts=counts, count_cache_tag="fs-async"
+    )
+    assert opt.build_count_join(plan2).collect()[0]["cnt"] == base > 0
+    arts = plan2.extras.get("collapse_artifacts")
+    assert arts, "drained build must serve the artifact to later plans"
+
+
+def test_dispatch_frame_builds_reaches_steady_state(spark):
+    """Round-11 warm-dispatch: dispatch_frame_builds on a freshly planned
+    query must kick off the same background builds chain assembly would
+    (same artifact cache keys — _referenced_cols is shared), and after
+    wait_for_builds drains them, the FIRST build_count_join through a new
+    optimizer must already be served from the store with the identical
+    count. This is the steady-state guarantee warm_corpus_templates now
+    provides to the corpus run."""
+    from compass_query_optimizer_spark.plans import frame_store
+    from compass_query_optimizer_spark.plans.job_corpus import (
+        job_tables,
+        load_corpus,
+    )
+    from compass_query_optimizer_spark.plans.optimizer import CompassOptimizer
+    from compass_query_optimizer_spark.plans.pushdown import PushdownConfig
+
+    corpus = load_corpus()
+    tables, counts = job_tables(spark, scale=1)
+    cfg = PushdownConfig(frame_store_min_rows=1, frame_store_sync=False)
+    opt = CompassOptimizer(spark, config=cfg)
+    known = set(frame_store._BUILDS)
+    plan = opt.plan(
+        corpus["6a"], tables=tables, counts=counts, count_cache_tag="fs-warm"
+    )
+    n = opt.dispatch_frame_builds(plan)
+    assert n > 0, "bar=1 must find store-eligible aliases in 6a"
+    assert set(frame_store._BUILDS) - known, "dispatch must start builds"
+    frame_store.wait_for_builds(timeout=120)
+    # fresh optimizer, same tag: very first execution reads the artifacts
+    opt2 = CompassOptimizer(spark, config=cfg)
+    plan2 = opt2.plan(
+        corpus["6a"], tables=tables, counts=counts, count_cache_tag="fs-warm"
+    )
+    got = opt2.build_count_join(plan2).collect()[0]["cnt"]
+    arts = plan2.extras.get("collapse_artifacts")
+    assert arts, "first post-warm execution must be served from the store"
+    base = (
+        CompassOptimizer(spark, config=PushdownConfig(frame_store_min_rows=0))
+        .execute_count(
+            corpus["6a"], tables=tables, counts=counts,
+            count_cache_tag="fs-warm-off",
+        )
+        .collect()[0]["cnt"]
+    )
+    assert got == base > 0
 
 
 def test_antibroadcast_bar_keys_on_collapsed_estimate():
