@@ -96,12 +96,21 @@ class PushdownConfig:
     # multi-million-row join-side Exchange that the round-10 profile
     # showed to be the entire scale-160 corpus frontier (the same 5.76M-
     # row cast_info frame re-assembled per query). 0 disables; env knob
-    # for A/B (SPARK_GRAFT_FRAME_STORE_ROWS). The bar sits at the same
-    # 500k order as collapse_skip_min_rows: below it the frame's exchange
-    # is too small to amortize a write.
+    # for A/B (SPARK_GRAFT_FRAME_STORE_ROWS). Bar measured at scale 160
+    # (round 11, warm-dispatched builds, 6-way corpus, fresh process per
+    # arm): 500k bar = 109.6 s corpus wall — the mid-size (0.5-2M)
+    # artifacts pin their joins to the 32-bucket layout where AQE's
+    # runtime choices (coalesced exchanges, broadcast) were already
+    # winning, costing +3-5 s on the 16/17/19 families and cancelling the
+    # big-frame wins; 2M bar = 84.9 s / 0 DNF vs 105.6 s store-OFF (-20%,
+    # measured from the WORSE box position), keeping exactly the
+    # multi-million-row frames (cast_info 5.76M, movie_info 7.3M) whose
+    # repeated Exchange was the measured frontier (6-family 12.1 -> 3.7 s
+    # in-corpus). The bar is a frame-row threshold, so eligibility scales
+    # with the catalog, not with this box.
     frame_store_min_rows: int = field(
         default_factory=lambda: int(
-            os.environ.get("SPARK_GRAFT_FRAME_STORE_ROWS", "500000")
+            os.environ.get("SPARK_GRAFT_FRAME_STORE_ROWS", "2000000")
         )
     )
     # Async-by-default artifact builds (round-11 measurement fix): the
