@@ -304,6 +304,176 @@ _ARGMIN_CAP = 4096
 # Spark builder always agree).
 _ENV_IVFPQ_K = os.environ.get("SPARK_GRAFT_IVFPQ_K")
 
+# N×K assignment implementation (round 11, guide §4.2): the JVM packed-
+# argmin crossJoin evaluates the 64-element zip_with/aggregate lambda
+# N·K times through Catalyst's higher-order-function interpreter — with
+# the auto-√N codebook that term became the ANN family's wall (1M-vector
+# ivfpq: 534.7 s, of which the coarse assignment is ~10⁹ lambda evals).
+# The Arrow path hands whole record batches to one BLAS matmul per
+# chunk: argmin_c d2(x,c) = argmin_c(‖c‖² − 2x·c) — ‖x‖² is constant
+# per row — computed in float64, which is EXACT here: |qv| ≤ ~6·QUANT
+# per coordinate, so every product ≤ ~4e9 and every 64-term sum
+# ≤ ~3e11 ≪ 2^53; a per-batch guard checks the bound and falls back to
+# int64 matmul (exact at any magnitude) if data ever violates it.
+# numpy's stable argsort/argmin pick the LOWEST index on ties — the
+# centroid matrix is ordered by cid, so tie-breaking matches the JVM
+# packed form and the oracle's ORDER BY d2, cid exactly.
+#   SPARK_GRAFT_ANN_ASSIGN=jvm   pins the old path (A/B; parity-gated)
+_ANN_ASSIGN = os.environ.get("SPARK_GRAFT_ANN_ASSIGN", "arrow")
+# driver-side centroid collect bound: K·dim·8B ≤ ~32 MB at this cap, and
+# every caller's K is already clamped to IVF_INCR_MAX_K=4096 by auto-K
+_CENT_COLLECT_CAP = 65536
+
+
+def _collect_centroids(cents: DataFrame):
+    """cid-sorted (ids, K×dim float64 matrix) of a centroid table — the
+    plan-time artifact both assignment paths key on (the JVM path already
+    collected the id list for its dense-index map)."""
+    import numpy as np
+
+    rows = cents.select("cid", "cv").collect()
+    if len(rows) > _CENT_COLLECT_CAP:
+        raise ValueError(
+            f"{len(rows)} centroids exceed the driver collect cap "
+            f"{_CENT_COLLECT_CAP}"
+        )
+    rows.sort(key=lambda r: r["cid"])
+    ids = [r["cid"] for r in rows]
+    mat = np.asarray([list(r["cv"]) for r in rows], dtype=np.int64)
+    return ids, mat
+
+
+def nearest_cells(
+    df: DataFrame,
+    cents: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    impl: str | None = None,
+) -> DataFrame:
+    """(id_col, crk, cid): each vector's ``nprobe`` nearest centroids by
+    exact quantized squared-L2, crk 1..nprobe, ties broken on smallest
+    cid — the one assignment primitive behind the IVF family (standing
+    fold, ivfpq coarse cells, arrival probes).
+
+    impl='arrow' (default): one mapInPandas over (id, qv) only (§4.1 —
+    pass just the columns the function needs), scoring each chunk with a
+    single float64 BLAS matmul; exact per the module-comment bound, with
+    an int64-matmul fallback guarded per batch. impl='jvm': the packed
+    argmin HashAggregate (nprobe=1) / row_number window (nprobe>1) —
+    kept for A/B and gated identical by test_ann_assign_paths_agree."""
+    impl = impl or _ANN_ASSIGN
+    if impl != "arrow":
+        return _nearest_cells_jvm(df, cents, nprobe, id_col)
+    import numpy as np
+
+    cent_ids, cmat = _collect_centroids(cents)
+    k = len(cent_ids)
+    take = min(nprobe, k)
+    cid_arr = np.asarray(cent_ids, dtype=np.int64)
+    cmat_f = cmat.astype(np.float64)
+    cn_f = (cmat_f * cmat_f).sum(axis=1)
+    cmax = float(np.abs(cmat_f).max(initial=0.0))
+    dim = cmat.shape[1] if k else 0
+    # chunk rows so the chunk×K score matrix stays ~32 MB per task
+    chunk = max(1, (1 << 22) // max(k, 1))
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            x_all = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            out_ids, out_crk, out_cid = [], [], []
+            for lo in range(0, len(pdf), chunk):
+                x = x_all[lo : lo + chunk]
+                xmax = float(np.abs(x).max(initial=0.0))
+                # float64 is exact while every product and 64-term sum
+                # stays under 2^53; generated data sits ~4 decades below
+                if dim * xmax * cmax * 2.0 + cn_f.max(initial=0.0) < 2.0**52:
+                    scores = cn_f[None, :] - 2.0 * (
+                        x.astype(np.float64) @ cmat_f.T
+                    )
+                else:  # exact at any magnitude, ~20× slower
+                    scores = (cmat * cmat).sum(axis=1)[None, :] - 2 * (
+                        x @ cmat.T
+                    )
+                if take == 1:
+                    best = scores.argmin(axis=1)
+                    out_ids.append(ids[lo : lo + chunk])
+                    out_crk.append(np.ones(len(x), dtype=np.int32))
+                    out_cid.append(cid_arr[best])
+                else:
+                    order = np.argsort(scores, axis=1, kind="stable")[
+                        :, :take
+                    ]
+                    out_ids.append(
+                        np.repeat(ids[lo : lo + chunk], take)
+                    )
+                    out_crk.append(
+                        np.tile(
+                            np.arange(1, take + 1, dtype=np.int32), len(x)
+                        )
+                    )
+                    out_cid.append(cid_arr[order].ravel())
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "crk": np.concatenate(out_crk),
+                    "cid": np.concatenate(out_cid),
+                }
+            )
+
+    return df.select(id_col, "qv").mapInPandas(
+        assign, schema=f"{id_col} long, crk int, cid long"
+    )
+
+
+def _nearest_cells_jvm(
+    df: DataFrame, cents: DataFrame, nprobe: int, id_col: str
+) -> DataFrame:
+    """The round-9/10 JVM shapes: packed-long combiner argmin for
+    nprobe=1 (see _ARGMIN_CAP), per-vector row_number window for
+    nprobe>1 (batch-sized callers only)."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    if nprobe > 1:
+        dists = df.join(F.broadcast(cents), how="cross").select(
+            id_col, "cid", d2.alias("d2")
+        )
+        w = Window.partitionBy(id_col).orderBy("d2", "cid")
+        return (
+            dists.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= nprobe)
+            .select(id_col, F.col("crk").cast("int").alias("crk"), "cid")
+        )
+    spark = df.sparkSession
+    cent_ids = sorted(r["cid"] for r in cents.select("cid").collect())
+    if len(cent_ids) > _ARGMIN_CAP:
+        raise ValueError(
+            f"{len(cent_ids)} centroids exceed the argmin packing cap "
+            f"{_ARGMIN_CAP}; raise _ARGMIN_CAP (and re-audit the "
+            "packed-long overflow headroom)"
+        )
+    idx = spark.createDataFrame(
+        [(cid, i) for i, cid in enumerate(cent_ids)], "cid long, cidx long"
+    )
+    cents_i = cents.select("cid", "cv").join(F.broadcast(idx), "cid")
+    return (
+        df.join(F.broadcast(cents_i), how="cross")
+        .select(id_col, (d2 * F.lit(_ARGMIN_CAP) + F.col("cidx")).alias("pk"))
+        .groupBy(id_col)
+        .agg(F.min("pk").alias("pk"))
+        .select(id_col, F.pmod("pk", F.lit(_ARGMIN_CAP)).alias("cidx"))
+        .join(F.broadcast(idx), "cidx")
+        .select(id_col, F.lit(1).cast("int").alias("crk"), "cid")
+    )
+
 
 def ivfpq_k(n_rows: int) -> int:
     """Plan-time coarse K for sim_ann_ivfpq: the env pin wins; otherwise
@@ -1086,31 +1256,13 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    # coarse assignment: packed-argmin combiner HashAggregate (see
-    # _ARGMIN_CAP — min(struct) would SortAggregate the N×K expansion).
-    # The dense 0..K-1 index is monotone in cid, so min(d2·CAP + cidx)
-    # tie-breaks on cid exactly like the oracle's ORDER BY d2, cid.
-    cent_ids = sorted(r["cid"] for r in coarse.select("cid").collect())
-    if len(cent_ids) > _ARGMIN_CAP:
-        raise ValueError(
-            f"{len(cent_ids)} coarse centroids exceed the argmin packing "
-            f"cap {_ARGMIN_CAP}; raise _ARGMIN_CAP (and re-audit the "
-            "packed-long overflow headroom)"
-        )
-    cidx_map = spark.createDataFrame(
-        [(cid, i) for i, cid in enumerate(cent_ids)], "cid long, cidx long"
-    )
-    coarse_i = coarse.select("cid", "cv").join(F.broadcast(cidx_map), "cid")
-    cells = (
-        n.join(F.broadcast(coarse_i), how="cross")
-        .select(
-            "vec_id", (d2c * F.lit(_ARGMIN_CAP) + F.col("cidx")).alias("pk")
-        )
-        .groupBy("vec_id")
-        .agg(F.min("pk").alias("pk"))
-        .select("vec_id", F.pmod("pk", F.lit(_ARGMIN_CAP)).alias("cidx"))
-        .join(F.broadcast(cidx_map), "cidx")
-        .select("vec_id", "cid")
+    # coarse assignment: the N×K argmin runs through nearest_cells (one
+    # vectorized mapInPandas by default — with the auto-√N codebook this
+    # term is ~10⁹ distance lambdas on the JVM path and was measured as
+    # the operator's wall at 1M vectors; tie-breaking matches the
+    # oracle's ORDER BY d2, cid on both paths).
+    cells = nearest_cells(n, coarse.select("cid", "cv"), nprobe=1).select(
+        "vec_id", "cid"
     )
     # residuals against the assigned centroid (K-row broadcast re-join)
     resid = (
@@ -1941,29 +2093,20 @@ def _ann_incremental_oracle(arrival_pred: str = "vec_id % 10 = 0") -> str:
     """
 
 
-def _incr_d2():
-    return F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def incremental_standing_parts(spark: SparkSession, sf_dir: str):
     """(cents, index_members) of the incremental IVF index, PRE-checkpoint.
 
     Exposed separately so the plan gate can assert the standing fold's
-    shape: the corpus-sized assignment is a map-side combiner argmin —
-    `min(d2 * CAP + cidx)` over a packed primitive long, so partial
-    aggregation collapses the N×K distance rows to N inside the scan
-    stage before any exchange (HashAggregate; see _ARGMIN_CAP for why
-    not min(struct)). Never a per-vector `row_number` window, whose sort
-    exchange would carry all N×K rows. The centroid table gets a dense
-    0..K-1 index from one driver-side collect (≤4096 rows, a plan-time
-    artifact like the table counts); the index is monotone in cid, so
-    the packed min tie-breaks on cid exactly like the oracle's
-    ORDER BY d2, cid. The member payload (qv, nrm2) re-joins by vec_id
-    AFTER the argmin, so only (vec_id, packed) pairs cross the combiner."""
+    shape: the corpus-sized N×K assignment runs through
+    :func:`nearest_cells` — by default ONE vectorized mapInPandas whose
+    chunks score against the collected centroid matrix with a single
+    BLAS matmul (round 11; the JVM packed-argmin evaluated the
+    64-element distance lambda N·K times and was measured as the ANN
+    wall at 1M vectors), never a per-vector `row_number` window (sort
+    exchange of all N×K rows) and never min(struct) (SortAggregate).
+    Tie-breaking matches the oracle's ORDER BY d2, cid on both paths.
+    The member payload (qv, nrm2) re-joins by vec_id AFTER the argmin,
+    so only (vec_id, cid) pairs leave the assignment."""
     t = load_tables(spark, sf_dir)
     n = _quantized_with_norm(t["embeddings"])
     standing = n.filter(F.col("vec_id") % 10 != 0)
@@ -1973,30 +2116,7 @@ def incremental_standing_parts(spark: SparkSession, sf_dir: str):
     cents = standing.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    cent_ids = sorted(r["cid"] for r in cents.select("cid").collect())
-    if len(cent_ids) > _ARGMIN_CAP:
-        # packing invariant: min(d2*CAP + cidx) is exact only while
-        # cidx < CAP. The count here is the stride-multiple count (not
-        # ivf_incremental_k's clamp), so it is NOT structurally bounded —
-        # and a bare assert would vanish under `python -O`.
-        raise ValueError(
-            f"{len(cent_ids)} centroids exceed the argmin packing cap "
-            f"{_ARGMIN_CAP}; raise _ARGMIN_CAP (and re-audit the double "
-            "mantissa headroom: d2*CAP must stay exactly representable)"
-        )
-    idx = spark.createDataFrame(
-        [(cid, i) for i, cid in enumerate(cent_ids)], "cid long, cidx long"
-    )
-    cents_i = cents.join(F.broadcast(idx), "cid")
-    packed = _incr_d2() * F.lit(_ARGMIN_CAP) + F.col("cidx")
-    cells = (
-        standing.join(F.broadcast(cents_i), how="cross")
-        .select("vec_id", packed.alias("pk"))
-        .groupBy("vec_id")
-        .agg(F.min("pk").alias("pk"))
-        .select("vec_id", F.pmod("pk", F.lit(_ARGMIN_CAP)).alias("cidx"))
-        .join(F.broadcast(idx), "cidx")
-    )
+    cells = nearest_cells(standing, cents, nprobe=1)
     index_members = standing.join(cells, "vec_id").select(
         "cid",
         F.col("vec_id").alias("neighbor_id"),
@@ -2080,17 +2200,13 @@ def serve_arrivals(
     neighbor_id/qb/nb) so the caller decides its provenance — freshly
     folded, localCheckpoint'ed, or `spark.read.parquet` of a persisted
     artifact; the persisted round-trip test serves a second batch from
-    reloaded tables through this exact path. Arrival probes keep the
-    window: each arrival needs its IVF_NPROBE nearest cells (top-n per
-    vector, not argmin), and the arrival side is batch-sized, not
-    corpus-sized."""
-    dists = arrivals.join(F.broadcast(cents), how="cross").select(
-        "vec_id", "qv", "nrm2", "cid", _incr_d2().alias("d2")
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    reloaded tables through this exact path. Arrival probes go through
+    :func:`nearest_cells` with nprobe=IVF_NPROBE (top-n per vector) and
+    re-join the (qv, nrm2) payload by vec_id, so the batch×K distance
+    expansion never carries vectors."""
     probes = (
-        dists.withColumn("crk", F.row_number().over(w_cell))
-        .filter(F.col("crk") <= IVF_NPROBE)
+        nearest_cells(arrivals, cents, nprobe=IVF_NPROBE)
+        .join(arrivals.select("vec_id", "qv", "nrm2"), "vec_id")
         .select(
             F.col("vec_id").alias("arrival_id"),
             F.col("qv").alias("qa"),

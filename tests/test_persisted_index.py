@@ -86,3 +86,37 @@ def test_registered_persisted_entry_matches_in_session_fold(spark):
     )
     assert [tuple(r) for r in via_entry] == [tuple(r) for r in in_session]
     assert len(via_entry) > 0
+
+
+def test_ann_assign_paths_agree(spark):
+    """Round 11: nearest_cells has two implementations — the default
+    Arrow path (vectorized float64 BLAS matmul per chunk; exact because
+    every product and 64-term sum of quantized coordinates sits ~4
+    decades under 2^53) and the round-9/10 JVM path (packed-argmin
+    HashAggregate / row_number window). They must return IDENTICAL
+    (id, crk, cid) rows for both the argmin (nprobe=1) and top-n
+    (nprobe=2) shapes, including d2 ties broken on smallest cid."""
+    from compass_query_optimizer_spark.operators.similarity import (
+        nearest_cells,
+    )
+
+    n = _quantized_with_norm(load_tables(spark, SF_DIR)["embeddings"])
+    standing = n.filter(F.col("vec_id") % 10 != 0)
+    cents = standing.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    for nprobe in (1, 2):
+        arrow = sorted(
+            tuple(r)
+            for r in nearest_cells(
+                standing, cents, nprobe=nprobe, impl="arrow"
+            ).collect()
+        )
+        jvm = sorted(
+            tuple(r)
+            for r in nearest_cells(
+                standing, cents, nprobe=nprobe, impl="jvm"
+            ).collect()
+        )
+        assert arrow == jvm
+        assert len(arrow) == standing.count() * nprobe
