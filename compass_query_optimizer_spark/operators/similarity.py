@@ -2191,8 +2191,73 @@ def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_arrivals(batch2, cents2, members2)
 
 
+def _rerank_cells_arrow(probes: DataFrame, index_members: DataFrame) -> DataFrame:
+    """Per-(arrival, probed cell) exact top-TOP_K via one cogrouped
+    matmul per cell (round 11, guide §4.2): the JVM rerank evaluates a
+    64-dim cosine lambda per (arrival, member) pair —
+    arrivals·nprobe·cell-size evaluations, the term that kept
+    sim_ann_incremental superlinear after the assignment fix (~1.6e9
+    pairs at 4M). Here each cell's probe matrix Q and member matrix M
+    meet in ONE float64 Q·Mᵀ: integer dots are exact under the same
+    2^53 bound as nearest_cells, and cos = dot / (√na·√nb) applies the
+    identical IEEE multiply-then-divide as the JVM `_cos`, so values are
+    bit-identical. The global top-TOP_K per arrival is a subset of the
+    union of its per-cell top-TOP_K (if TOP_K members of one cell beat a
+    candidate, they beat it globally), so emitting per-cell top-TOP_K
+    rows preserves the final ranking exactly while the downstream window
+    sees nprobe·TOP_K rows per arrival instead of whole cells."""
+    import numpy as np
+    import pandas as pd
+
+    def rerank(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"arrival_id": [], "neighbor_id": [], "cos_raw": []}
+            )
+        q = np.vstack(left["qa"].to_numpy()).astype(np.int64)
+        m = np.vstack(right["qb"].to_numpy()).astype(np.int64)
+        na = left["na"].to_numpy().astype(np.float64)
+        nb = right["nb"].to_numpy().astype(np.float64)
+        nid = right["neighbor_id"].to_numpy()
+        qmax = float(np.abs(q).max(initial=0.0))
+        mmax = float(np.abs(m).max(initial=0.0))
+        if q.shape[1] * qmax * mmax < 2.0**52:
+            dots = q.astype(np.float64) @ m.astype(np.float64).T
+        else:  # exact at any magnitude
+            dots = (q @ m.T).astype(np.float64)
+        cos = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        take = min(TOP_K, cos.shape[1])
+        out_a, out_n, out_c = [], [], []
+        aid = left["arrival_id"].to_numpy()
+        for i in range(cos.shape[0]):
+            # ties on cos break toward the smallest neighbor_id, exactly
+            # the window's ORDER BY cos_raw DESC, neighbor_id
+            order = np.lexsort((nid, -cos[i]))[:take]
+            out_a.append(np.full(take, aid[i]))
+            out_n.append(nid[order])
+            out_c.append(cos[i][order])
+        return pd.DataFrame(
+            {
+                "arrival_id": np.concatenate(out_a),
+                "neighbor_id": np.concatenate(out_n),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        probes.groupBy("cid")
+        .cogroup(index_members.select("cid", "neighbor_id", "qb", "nb").groupBy("cid"))
+        .applyInPandas(
+            rerank, schema="arrival_id long, neighbor_id long, cos_raw double"
+        )
+    )
+
+
 def serve_arrivals(
-    arrivals: DataFrame, cents: DataFrame, index_members: DataFrame
+    arrivals: DataFrame,
+    cents: DataFrame,
+    index_members: DataFrame,
+    impl: str | None = None,
 ) -> DataFrame:
     """Probe a standing incremental-IVF index with an arrival batch.
 
@@ -2203,9 +2268,12 @@ def serve_arrivals(
     reloaded tables through this exact path. Arrival probes go through
     :func:`nearest_cells` with nprobe=IVF_NPROBE (top-n per vector) and
     re-join the (qv, nrm2) payload by vec_id, so the batch×K distance
-    expansion never carries vectors."""
+    expansion never carries vectors; the per-cell exact rerank runs
+    through :func:`_rerank_cells_arrow` by default (JVM cosine lambdas
+    under impl='jvm'; test_ann_serve_paths_agree gates both identical)."""
+    impl = impl or _ANN_ASSIGN
     probes = (
-        nearest_cells(arrivals, cents, nprobe=IVF_NPROBE)
+        nearest_cells(arrivals, cents, nprobe=IVF_NPROBE, impl=impl)
         .join(arrivals.select("vec_id", "qv", "nrm2"), "vec_id")
         .select(
             F.col("vec_id").alias("arrival_id"),
@@ -2214,9 +2282,12 @@ def serve_arrivals(
             "cid",
         )
     )
-    scored = probes.join(index_members, "cid").withColumn(
-        "cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
-    )
+    if impl == "arrow":
+        scored = _rerank_cells_arrow(probes, index_members)
+    else:
+        scored = probes.join(index_members, "cid").withColumn(
+            "cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
+        )
     w = Window.partitionBy("arrival_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )

@@ -120,3 +120,23 @@ def test_ann_assign_paths_agree(spark):
         )
         assert arrow == jvm
         assert len(arrow) == standing.count() * nprobe
+
+
+def test_ann_serve_paths_agree(spark):
+    """Round 11: serve_arrivals' per-cell cogrouped-matmul rerank must
+    return rows IDENTICAL to the JVM cosine-lambda path — including the
+    float cos values (integer dots are exact in float64 and the final
+    multiply-then-divide is the same IEEE sequence on both sides) and
+    rank ties broken on neighbor_id."""
+    from compass_query_optimizer_spark.operators.similarity import (
+        serve_arrivals,
+    )
+
+    n = _quantized_with_norm(load_tables(spark, SF_DIR)["embeddings"])
+    arrivals = n.filter(F.col("vec_id") % 10 == 0)
+    cents, members = incremental_standing_parts(spark, SF_DIR)
+    members = members.localCheckpoint(eager=True)
+    arrow = serve_arrivals(arrivals, cents, members, impl="arrow").collect()
+    jvm = serve_arrivals(arrivals, cents, members, impl="jvm").collect()
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in jvm]
+    assert len(arrow) > 0
