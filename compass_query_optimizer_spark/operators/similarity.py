@@ -475,6 +475,106 @@ def _nearest_cells_jvm(
     )
 
 
+def _collect_subcodebooks(cents: DataFrame, id_col: str, vec_col: str):
+    """s-keyed, id-sorted (ids, K_s×subdim matrices) of a per-subspace
+    sub-codebook table — the plan-time artifact the Arrow PQ encoder keys
+    on (M·K rows total, KBs)."""
+    import numpy as np
+
+    rows = cents.select("s", id_col, vec_col).collect()
+    if len(rows) > _CENT_COLLECT_CAP:
+        raise ValueError(
+            f"{len(rows)} sub-centroids exceed the driver collect cap "
+            f"{_CENT_COLLECT_CAP}"
+        )
+    by_s: dict[int, list] = {}
+    for r in rows:
+        by_s.setdefault(int(r["s"]), []).append((r[id_col], list(r[vec_col])))
+    books = {}
+    for s, lst in by_s.items():
+        lst.sort()  # id-sorted: numpy's lowest-index tie-break = smallest id
+        ids = np.asarray([c for c, _ in lst], dtype=np.int64)
+        mat = np.asarray([v for _, v in lst], dtype=np.int64)
+        books[s] = (ids, mat)
+    return books
+
+
+def pq_codes_arrow(
+    df: DataFrame,
+    cents: DataFrame,
+    subdim: int,
+    id_cols: tuple[str, ...] = ("vec_id",),
+    vec_col: str = "qv",
+    cent_id_col: str = "cid",
+    cent_vec_col: str = "cv",
+) -> DataFrame:
+    """(*id_cols, s, code): per-subspace argmin sub-centroid for each
+    row's ``vec_col`` (length n_sub·subdim), ties broken on the smallest
+    centroid id — the PQ encode primitive behind sim_ann_pq and
+    sim_ann_ivfpq's residual codes.
+
+    One mapInPandas over (*id_cols, vec_col) only (guide §4.1/§4.2),
+    scoring every subspace of a chunk with one small matmul against the
+    collected sub-codebooks, instead of the N·M·K broadcast-join row
+    expansion whose per-pair distance lambda runs through Catalyst's
+    higher-order-function interpreter. Exact by the same bound as
+    nearest_cells: scores = ‖c_s‖² − 2·x_s·c_s (the per-row ‖x_s‖² term
+    cannot change an argmin) and every product/sum of quantized
+    coordinates sits ~4 decades under 2^53, so float64 arithmetic is
+    exact; a per-batch guard falls back to int64 matmul. The JVM
+    packed-argmin spelling stays under SPARK_GRAFT_ANN_ASSIGN=jvm in the
+    callers and test_pq_encode_paths_agree gates both row-identical."""
+    import numpy as np
+
+    books = _collect_subcodebooks(cents, cent_id_col, cent_vec_col)
+    n_sub = len(books)
+    if sorted(books) != list(range(n_sub)):
+        raise ValueError(f"non-contiguous subspace ids: {sorted(books)}")
+    prepared = []
+    for s in range(n_sub):
+        ids_s, mat_s = books[s]
+        mat_f = mat_s.astype(np.float64)
+        cn_f = (mat_f * mat_f).sum(axis=1)
+        cmax = float(np.abs(mat_f).max(initial=0.0))
+        prepared.append((ids_s, mat_s, mat_f, cn_f, cmax))
+    s_tile = np.arange(n_sub, dtype=np.int32)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x_all = np.vstack(pdf[vec_col].to_numpy()).astype(np.int64)
+            rows = len(pdf)
+            codes = np.empty((rows, n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                ids_s, mat_s, mat_f, cn_f, cmax = prepared[s]
+                xs = x_all[:, s * subdim : (s + 1) * subdim]
+                xmax = float(np.abs(xs).max(initial=0.0))
+                if subdim * xmax * cmax * 2.0 + cn_f.max(initial=0.0) < 2.0**52:
+                    scores = cn_f[None, :] - 2.0 * (
+                        xs.astype(np.float64) @ mat_f.T
+                    )
+                else:  # exact at any magnitude, slower
+                    scores = (mat_s * mat_s).sum(axis=1)[None, :] - 2 * (
+                        xs @ mat_s.T
+                    )
+                codes[:, s] = ids_s[scores.argmin(axis=1)]
+            out = {
+                c: np.repeat(pdf[c].to_numpy(), n_sub) for c in id_cols
+            }
+            out["s"] = np.tile(s_tile, rows)
+            out["code"] = codes.ravel()
+            yield pd.DataFrame(out)
+
+    id_schema = ", ".join(f"{c} long" for c in id_cols)
+    return df.select(*id_cols, vec_col).mapInPandas(
+        encode, schema=f"{id_schema}, s int, code long"
+    )
+
+
 def ivfpq_k(n_rows: int) -> int:
     """Plan-time coarse K for sim_ann_ivfpq: the env pin wins; otherwise
     the same ceil(sqrt(N)) clamp as the incremental index
@@ -510,26 +610,29 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = n.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    # exact quantized squared-L2 to every centroid (broadcast: K rows)
-    d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    dists = n.join(F.broadcast(cents), how="cross").select(
-        "vec_id", "qv", "nrm2", "cid", d2.alias("d2")
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    cells = dists.withColumn("crk", F.row_number().over(w_cell))
-    corpus = cells.filter(F.col("crk") == 1).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("qv").alias("qb"),
-        F.col("nrm2").alias("nb"),
-        "cid",
+    # cell assignment (round 11): the N×K argmin + query top-nprobe run
+    # through nearest_cells — ONE vectorized mapInPandas over (vec_id, qv)
+    # scoring each chunk against the collected centroid matrix with a
+    # single BLAS matmul, instead of materializing the N×K crossJoin with
+    # a 64-element distance lambda per pair and sorting it through a
+    # per-vector row_number window exchange that carried the (qv, nrm2)
+    # payloads. Tie-breaking (smallest cid) matches the oracle's
+    # ORDER BY d2, cid on both paths; the (qv, nrm2) payload re-joins by
+    # vec_id AFTER the argmin, so only skinny rows leave the assignment.
+    cells = nearest_cells(n, cents, nprobe=IVF_NPROBE)
+    corpus = (
+        cells.filter(F.col("crk") == 1)
+        .join(n, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qv").alias("qb"),
+            F.col("nrm2").alias("nb"),
+            "cid",
+        )
     )
     probes = (
-        cells.filter(F.col("crk") <= IVF_NPROBE)
-        .filter(F.col("vec_id") < N_QUERIES)
+        cells.filter(F.col("vec_id") < N_QUERIES)
+        .join(n.filter(F.col("vec_id") < N_QUERIES), "vec_id")
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("qv").alias("qa"),
@@ -1053,16 +1156,24 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    # encode: argmin centroid per (vector, subspace). min(struct(d2, cid))
-    # is the deterministic tie-break (smallest cid) AND keeps map-side
-    # partial aggregation — a row_number window here would sort instead.
-    codes = (
-        subs.join(F.broadcast(cents), "s")
-        .select("vec_id", "s", "cid", d2.alias("d2"))
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select("vec_id", "s", F.col("m.cid").alias("code"))
-    )
+    # encode: argmin centroid per (vector, subspace) — by default ONE
+    # vectorized mapInPandas over (vec_id, qv) scoring all M subspaces of
+    # each chunk against the collected sub-codebooks (round 11: the
+    # N·M·K broadcast-join expansion evaluated an 8-element distance
+    # lambda per row through Catalyst's interpreter, and min(struct)'s
+    # non-primitive buffer degrades to SortAggregate). The JVM spelling
+    # stays under SPARK_GRAFT_ANN_ASSIGN=jvm; tie-break (smallest cid)
+    # is identical on both paths and in the oracle.
+    if _ANN_ASSIGN == "arrow":
+        codes = pq_codes_arrow(n, cents, subdim=PQ_SUBDIM)
+    else:
+        codes = (
+            subs.join(F.broadcast(cents), "s")
+            .select("vec_id", "s", "cid", d2.alias("d2"))
+            .groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", "s", F.col("m.cid").alias("code"))
+        )
     # ADC lookup table: query × every (subspace, centroid) partial dot
     pdot = F.aggregate(
         F.zip_with(F.col("sv"), F.col("cv"), lambda x, c: x * c),
@@ -1300,7 +1411,13 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     # code assignment: same packed-argmin shape per (vec_id, cid, s) over
-    # the PQ_K-entry sub-codebook (shared rcid set across subspaces)
+    # the PQ_K-entry sub-codebook (shared rcid set across subspaces).
+    # Round 11 measured the pq_codes_arrow conversion HERE and reverted
+    # it: unlike sim_ann_pq's min(struct) SortAggregate, this spelling is
+    # already a primitive-buffer HashAggregate, and the Arrow version's
+    # extra Python boundary + (vec_id, cid, rv) payload join measured
+    # SLOWER at 1M vectors (interleaved fresh-process A/B: 62.5-108.5 s
+    # packed-argmin vs 79.3-192.1 s Arrow) — see OPTIMIZATION_r11.md.
     rc_ids = sorted(
         r["rcid"] for r in rcents.select("rcid").distinct().collect()
     )

@@ -140,3 +140,53 @@ def test_ann_serve_paths_agree(spark):
     jvm = serve_arrivals(arrivals, cents, members, impl="jvm").collect()
     assert [tuple(r) for r in arrow] == [tuple(r) for r in jvm]
     assert len(arrow) > 0
+
+
+def test_pq_encode_paths_agree(spark):
+    """Round 11: PQ code assignment has two implementations — the default
+    Arrow path (pq_codes_arrow: one mapInPandas scoring all M subspaces
+    per chunk against the collected sub-codebooks) and the JVM
+    broadcast-join + combiner-argmin expansion. They must return
+    IDENTICAL (vec_id, s, code) rows, including d2 ties broken on the
+    smallest centroid id."""
+    from compass_query_optimizer_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+        pq_codes_arrow,
+    )
+
+    n = _quantized_with_norm(load_tables(spark, SF_DIR)["embeddings"])
+    subs = n.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("qv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("s", "sv"),
+    )
+    cents = subs.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv")
+    )
+    arrow = sorted(
+        tuple(r)
+        for r in pq_codes_arrow(n, cents, subdim=PQ_SUBDIM).collect()
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    jvm = sorted(
+        tuple(r)
+        for r in subs.join(F.broadcast(cents), "s")
+        .select("vec_id", "s", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("code"))
+        .collect()
+    )
+    assert arrow == jvm
+    assert len(arrow) == n.count() * PQ_M

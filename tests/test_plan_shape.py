@@ -300,13 +300,16 @@ def test_mm_decode_payloads_stay_in_scan_stage(spark, name):
 def test_pq_scoring_joins_codes_to_broadcast_tables(spark):
     """PQ-ADC's scale contract: sub-centroid and ADC tables BROADCAST
     (M*K and queries*M*K rows), the corpus side never joins vector to
-    vector, and encode's argmin is an aggregate (map-side partials),
-    never a per-(vector, subspace) sort window."""
+    vector, and encode is the vectorized Arrow argmin (round 11: one
+    mapInPandas scoring all M subspaces per chunk), never the N·M·K
+    broadcast-join lambda expansion or a per-(vector, subspace) sort
+    window."""
     plan = formatted_plan(spark, "sim_ann_pq")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3  # encode + ADC-build + score
-    assert "partial_min" in plan  # argmin encode combines map-side
+    assert plan.count("BroadcastHashJoin") >= 2  # ADC-build + score
+    assert "MapInPandas" in plan  # vectorized PQ encode
+    assert "SortAggregate" not in plan
 
 
 def test_kl_drift_joins_only_observed_pairs(spark):
@@ -346,12 +349,16 @@ def test_pipeline_pretrain_exchanges_are_body_free(spark):
 
 
 def test_ivfpq_assign_and_encode_combine_map_side(spark):
-    """IVFADC's scale contract: coarse assignment and residual encode are
-    combiner argmin aggregates against broadcast centroid tables (never a
-    per-vector sort window over the N×K expansion), and scoring joins
-    codes to broadcast lookup tables — no vector-to-vector join."""
+    """IVFADC's scale contract: the coarse N×K assignment is the
+    vectorized Arrow argmin (round 11: one mapInPandas, never a
+    per-vector sort window over the expansion), the residual encode is
+    the packed-long combiner argmin (HashAggregate partial_min — the
+    Arrow conversion HERE was measured slower and reverted, see
+    OPTIMIZATION_r11.md), and scoring joins codes to broadcast lookup
+    tables — no vector-to-vector join."""
     plan = formatted_plan(spark, "sim_ann_ivfpq")
-    assert "partial_min" in plan
+    assert "MapInPandas" in plan  # vectorized coarse assign
+    assert "partial_min" in plan  # packed-argmin residual encode
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
 
