@@ -785,6 +785,72 @@ _DUP_PLANES = [
 ]
 
 
+def _bucket_pairs_arrow(
+    members: DataFrame,
+    threshold: float,
+    keys: tuple[str, ...] = ("t", "c"),
+) -> DataFrame:
+    """(id_a, id_b, cos_raw) of every same-bucket pair (id_a < id_b) with
+    exact quantized cosine ≥ threshold — ONE chunked B×B matmul per
+    bucket via applyInPandas (round 11, guide §8/§4.2).
+
+    The pair-join spelling materializes every candidate pair as a row
+    carrying TWO 64-long payloads through two id-keyed shuffles and
+    evaluates a per-pair cosine lambda through Catalyst's interpreter —
+    at 1M vectors that is ~30M pair rows ≈ tens of GB shuffled to compare
+    a few bytes of outcome. Here the payload is shuffled once per
+    (table, code) bucket and each bucket scores as an integer matmul:
+    dots are exact in float64 under the same 2^53 bound as nearest_cells
+    (per-bucket guard falls back to int64), and the divide is the
+    identical IEEE sequence as the JVM `_cos`, so surviving values are
+    bit-identical. Chunked so a pathological hot bucket builds a
+    chunk×B score matrix, never B×B."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = len(pdf)
+        if b < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cos_raw": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        q = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+        nr = np.sqrt(pdf["nrm2"].to_numpy().astype(np.float64))
+        qmax = float(np.abs(q).max(initial=0.0))
+        exact64 = q.shape[1] * qmax * qmax < 2.0**52
+        chunk = max(1, (1 << 22) // b)  # chunk×B floats ≈ 32 MB cap
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, b, chunk):
+            x = q[lo : lo + chunk]
+            if exact64:
+                dots = x.astype(np.float64) @ q.astype(np.float64).T
+            else:  # exact at any magnitude
+                dots = (x @ q.T).astype(np.float64)
+            cos = dots / (nr[lo : lo + chunk, None] * nr[None, :])
+            ii, jj = np.nonzero(
+                (cos >= threshold) & (ids[lo : lo + chunk, None] < ids[None, :])
+            )
+            out_a.append(ids[lo + ii])
+            out_b.append(ids[jj])
+            out_c.append(cos[ii, jj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    return members.groupBy(*keys).applyInPandas(
+        score, schema="id_a long, id_b long, cos_raw double"
+    )
+
+
 def dup_lsh_bits(n_rows: int) -> int:
     """Plan-time per-table code width for the near-dup LSH tables."""
     if _ENV_DUP_BITS:
@@ -822,6 +888,24 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _plane_dot_codes(
         n, [p[:bits] for p in _DUP_PLANES]
     ).localCheckpoint()
+    if _ANN_ASSIGN == "arrow":
+        # verify INSIDE each (table, code) bucket with one chunked matmul
+        # (round 11): the payload joins the skinny code table once per
+        # table row, and a pair colliding in several tables yields
+        # bit-identical cos_raw in each (exact integer dots, same IEEE
+        # divide), so the post-scoring distinct() collapses duplicates
+        # exactly as the old pre-verify candidate distinct() did.
+        members = codes.join(n, "vec_id").select(
+            "t", "c", "vec_id", "qv", "nrm2"
+        )
+        verified = _bucket_pairs_arrow(
+            members, COSINE_DUP_THRESHOLD
+        ).distinct()
+        return verified.select(
+            "id_a", "id_b", F.round("cos_raw", 6).alias("cos")
+        ).orderBy("id_a", "id_b")
+    # JVM A/B path (gated row-identical by test_dup_lsh_paths_agree):
+    # pair list materializes, then both payloads join back per pair
     ca = codes.select(F.col("vec_id").alias("id_a"), "t", "c")
     cb = codes.select(F.col("vec_id").alias("id_b"), "t", "c")
     cands = (

@@ -190,3 +190,47 @@ def test_pq_encode_paths_agree(spark):
     )
     assert arrow == jvm
     assert len(arrow) == n.count() * PQ_M
+
+
+def test_dup_lsh_paths_agree(spark, monkeypatch, tmp_path):
+    """Round 11: dedup_embedding_lsh's exact verify has two
+    implementations — the default per-bucket chunked-matmul path
+    (_bucket_pairs_arrow) and the JVM pair-join + cosine-lambda path.
+    They must return IDENTICAL (id_a, id_b, cos) rows: integer dots are
+    exact in float64 and the divide is the same IEEE sequence, so the
+    threshold cut and the rounding agree bit-for-bit. The driver
+    fixtures plant no embedding near-dups (the entry is green at 0 rows
+    there), so this gate generates a corpus with planted ≥0.95-cosine
+    pairs to exercise the verify non-vacuously."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from compass_query_optimizer_spark.operators import similarity
+    from compass_query_optimizer_spark.registry import all_queries
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(300, 64).astype(np.float32)
+    # plant near-duplicates: tiny perturbation keeps cosine ~0.9999 and
+    # identical hyperplane sign codes, so candidates AND the threshold
+    # cut both fire
+    for i in range(0, 60, 2):
+        vecs[i + 1] = vecs[i] + rng.randn(64).astype(np.float32) * 1e-3
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    build = all_queries()["dedup_embedding_lsh"].build
+    monkeypatch.setattr(similarity, "_ANN_ASSIGN", "arrow")
+    arrow = [tuple(r) for r in build(spark, str(tmp_path)).collect()]
+    monkeypatch.setattr(similarity, "_ANN_ASSIGN", "jvm")
+    jvm = [tuple(r) for r in build(spark, str(tmp_path)).collect()]
+    assert arrow == jvm
+    assert len(arrow) >= 30
