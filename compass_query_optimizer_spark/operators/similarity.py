@@ -1092,24 +1092,39 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "qv", "nrm2", "cid", "sub")
     )
-    a = sub_cells.select(
-        F.col("vec_id").alias("va"), F.col("qv").alias("qa"),
-        F.col("nrm2").alias("na"), "cid", "sub",
-    )
-    b = sub_cells.select(
-        F.col("vec_id").alias("vb"), F.col("qv").alias("qb"),
-        F.col("nrm2").alias("nb"), "cid", "sub",
-    )
-    dropped = (
-        a.join(b, ["cid", "sub"])
-        .filter(F.col("vb") < F.col("va"))
-        .withColumn(
-            "cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
+    if _ANN_ASSIGN == "arrow":
+        # pairwise verify INSIDE each (cell, sub) bucket with one chunked
+        # matmul (round 11, same primitive as dedup_embedding_lsh): the
+        # self-join spelling shipped BOTH payloads per candidate pair; a
+        # vector is dropped iff it is the id_b (larger id) of a surviving
+        # pair, which is exactly the vb < va ∧ cos ≥ threshold condition.
+        dropped = (
+            _bucket_pairs_arrow(
+                sub_cells, COSINE_DUP_THRESHOLD, keys=("cid", "sub")
+            )
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
         )
-        .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
-        .select(F.col("va").alias("vec_id"))
-        .distinct()
-    )
+    else:  # JVM A/B path (gated row-identical by test_semantic_paths_agree)
+        a = sub_cells.select(
+            F.col("vec_id").alias("va"), F.col("qv").alias("qa"),
+            F.col("nrm2").alias("na"), "cid", "sub",
+        )
+        b = sub_cells.select(
+            F.col("vec_id").alias("vb"), F.col("qv").alias("qb"),
+            F.col("nrm2").alias("nb"), "cid", "sub",
+        )
+        dropped = (
+            a.join(b, ["cid", "sub"])
+            .filter(F.col("vb") < F.col("va"))
+            .withColumn(
+                "cos_raw",
+                _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")),
+            )
+            .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
+            .select(F.col("va").alias("vec_id"))
+            .distinct()
+        )
     return (
         cells.join(dropped.withColumn("hit", F.lit(1)), "vec_id", "left")
         .select(

@@ -234,3 +234,40 @@ def test_dup_lsh_paths_agree(spark, monkeypatch, tmp_path):
     jvm = [tuple(r) for r in build(spark, str(tmp_path)).collect()]
     assert arrow == jvm
     assert len(arrow) >= 30
+
+
+def test_semantic_paths_agree(spark, monkeypatch, tmp_path):
+    """Round 11: dedup_semantic's in-cell pairwise verify has two
+    implementations — the default per-(cell, sub) chunked-matmul path and
+    the JVM self-join + cosine-lambda path. Row-identical on a corpus
+    with planted ≥0.95-cosine near-dups (the driver fixtures plant none,
+    so the entry's oracle gate alone is value-vacuous)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from compass_query_optimizer_spark.operators import similarity
+    from compass_query_optimizer_spark.registry import all_queries
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 64).astype(np.float32)
+    for i in range(0, 60, 2):
+        vecs[i + 1] = vecs[i] + rng.randn(64).astype(np.float32) * 1e-3
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    build = all_queries()["dedup_semantic"].build
+    monkeypatch.setattr(similarity, "_ANN_ASSIGN", "arrow")
+    arrow = [tuple(r) for r in build(spark, str(tmp_path)).collect()]
+    monkeypatch.setattr(similarity, "_ANN_ASSIGN", "jvm")
+    jvm = [tuple(r) for r in build(spark, str(tmp_path)).collect()]
+    assert arrow == jvm
+    assert sum(1 for r in arrow if not r[2]) >= 30  # planted dups dropped
