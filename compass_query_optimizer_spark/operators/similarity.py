@@ -151,10 +151,63 @@ def _plane_dot_codes(n: DataFrame, plane_tables: list) -> DataFrame:
     """(vec_id, t, c): hyperplane sign codes for each hash table.
 
     plane dot = Σ ±qv[j]; bit i of table t's code = 1 iff its dot ≥ 0.
-    Computed via ONE posexplode over the vector and per-plane codegen SUM
-    aggregates (`x * element_at(±1-literal-array, j+1)`), with map-side
-    partial aggregation collapsing each partition to one row per vector
-    before the shuffle. The obvious alternative — per-plane
+    Default (round 11, guide §4.2): ONE mapInPandas over (vec_id, qv)
+    scoring each chunk against every table's ±1 plane matrix with one
+    matmul — integer dots are exact in float64 (|dot| ≤ dim·max|qv|,
+    ~4 decades under 2^53; per-batch guard falls back to int64) and the
+    ≥ 0 sign test is identical to the JVM aggregate's. The aggregate
+    form below stays under SPARK_GRAFT_ANN_ASSIGN=jvm, parity-gated by
+    test_plane_codes_paths_agree."""
+    if _ANN_ASSIGN == "arrow":
+        import numpy as np
+
+        mats = [np.asarray(planes, dtype=np.int64) for planes in plane_tables]
+        mats_f = [m.astype(np.float64) for m in mats]
+        weights = [
+            (1 << np.arange(m.shape[0], dtype=np.int64)) for m in mats
+        ]
+        dim = mats[0].shape[1] if mats else 0
+
+        def codes_fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["vec_id"].to_numpy()
+                x = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+                xmax = float(np.abs(x).max(initial=0.0))
+                out_id, out_t, out_c = [], [], []
+                for l, m in enumerate(mats):
+                    if dim * xmax < 2.0**52:
+                        dots = x.astype(np.float64) @ mats_f[l].T
+                    else:  # exact at any magnitude
+                        dots = x @ m.T
+                    c = ((dots >= 0) * weights[l][None, :]).sum(axis=1)
+                    out_id.append(ids)
+                    out_t.append(np.full(len(ids), l, dtype=np.int32))
+                    out_c.append(c)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(out_id),
+                        "t": np.concatenate(out_t),
+                        "c": np.concatenate(out_c),
+                    }
+                )
+
+        return n.select("vec_id", "qv").mapInPandas(
+            codes_fn, schema="vec_id long, t int, c long"
+        )
+    return _plane_dot_codes_jvm(n, plane_tables)
+
+
+def _plane_dot_codes_jvm(n: DataFrame, plane_tables: list) -> DataFrame:
+    """The aggregate form of _plane_dot_codes: ONE posexplode over the
+    vector and per-plane codegen SUM aggregates
+    (`x * element_at(±1-literal-array, j+1)`), with map-side partial
+    aggregation collapsing each partition to one row per vector before
+    the shuffle. The obvious alternative — per-plane
     `aggregate(zip_with(...))` higher-order functions — is interpreted
     expression eval (no whole-stage codegen) and benches ~5× slower on
     32 planes; this formulation mirrors simhash_codes' conditional-sum
@@ -848,6 +901,70 @@ def _bucket_pairs_arrow(
 
     return members.groupBy(*keys).applyInPandas(
         score, schema="id_a long, id_b long, cos_raw double"
+    )
+
+
+def _bucket_topk_arrow(
+    members: DataFrame, k: int, key: str = "code"
+) -> DataFrame:
+    """(vec_id, neighbor_id, cos_raw): for every vector, its bucket-mates
+    whose exact cosine reaches the vector's k-th best — ONE chunked B×B
+    matmul per bucket (round 11, guide §8/§4.2), instead of
+    materializing every bucket-mate pair with two payloads through the
+    self-join and ranking the expansion in a corpus-wide window.
+
+    Ties at the k-th boundary are ALL emitted (cos ≥ k-th value, not an
+    arbitrary k-subset), so the output is a superset of the true top-k
+    and the downstream exact window applies the oracle's
+    (cos DESC, neighbor_id) tie-break unchanged. cos values are
+    bit-identical to the JVM `_cos` (exact integer dots in float64 under
+    the 2^53 bound, int64 fallback guarded per bucket, same IEEE
+    divide)."""
+    import numpy as np
+    import pandas as pd
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = len(pdf)
+        if b < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "cos_raw": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        q = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+        nr = np.sqrt(pdf["nrm2"].to_numpy().astype(np.float64))
+        qmax = float(np.abs(q).max(initial=0.0))
+        exact64 = q.shape[1] * qmax * qmax < 2.0**52
+        kk = min(k, b - 1)
+        chunk = max(1, (1 << 22) // b)  # chunk×B floats ≈ 32 MB cap
+        out_v, out_n, out_c = [], [], []
+        for lo in range(0, b, chunk):
+            x = q[lo : lo + chunk]
+            if exact64:
+                dots = x.astype(np.float64) @ q.astype(np.float64).T
+            else:  # exact at any magnitude
+                dots = (x @ q.T).astype(np.float64)
+            cos = dots / (nr[lo : lo + chunk, None] * nr[None, :])
+            rows = len(x)
+            cos[np.arange(rows), lo + np.arange(rows)] = -np.inf  # self
+            kth = -np.partition(-cos, kk - 1, axis=1)[:, kk - 1]
+            ii, jj = np.nonzero(cos >= kth[:, None])
+            out_v.append(ids[lo + ii])
+            out_n.append(ids[jj])
+            out_c.append(cos[ii, jj])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "neighbor_id": np.concatenate(out_n),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    return members.groupBy(key).applyInPandas(
+        topk, schema="vec_id long, neighbor_id long, cos_raw double"
     )
 
 
@@ -2038,22 +2155,33 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "vec_id",
     )
-    left = n.select(
-        "vec_id", F.col("qv").alias("qa"), F.col("nrm2").alias("na"), "code"
-    )
-    right = n.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("qv").alias("qb"),
-        F.col("nrm2").alias("nb"),
-        "code",
-    )
-    scored = (
-        left.join(right, "code")
-        .filter(F.col("neighbor_id") != F.col("vec_id"))
-        .withColumn(
-            "cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
+    if _ANN_ASSIGN == "arrow":
+        # per-bucket top-k via one chunked matmul per code bucket (round
+        # 11): the self-join spelling shipped both payloads per
+        # bucket-mate pair and ranked the whole expansion in the window;
+        # each vector lives in exactly one bucket, so the bucket-local
+        # candidates ARE its full candidate set, and the boundary-tie
+        # superset keeps the window's exact (cos DESC, neighbor_id) cut.
+        scored = _bucket_topk_arrow(
+            n.select("code", "vec_id", "qv", "nrm2"), KNN_K
         )
-    )
+    else:  # JVM A/B path (gated row-identical by test_knn_paths_agree)
+        left = n.select(
+            "vec_id", F.col("qv").alias("qa"), F.col("nrm2").alias("na"), "code"
+        )
+        right = n.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qv").alias("qb"),
+            F.col("nrm2").alias("nb"),
+            "code",
+        )
+        scored = (
+            left.join(right, "code")
+            .filter(F.col("neighbor_id") != F.col("vec_id"))
+            .withColumn(
+                "cos_raw", _cos(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
+            )
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )

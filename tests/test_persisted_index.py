@@ -271,3 +271,44 @@ def test_semantic_paths_agree(spark, monkeypatch, tmp_path):
     jvm = [tuple(r) for r in build(spark, str(tmp_path)).collect()]
     assert arrow == jvm
     assert sum(1 for r in arrow if not r[2]) >= 30  # planted dups dropped
+
+
+def test_plane_codes_paths_agree(spark, monkeypatch):
+    """Round 11: the hyperplane code pass has two implementations — the
+    default mapInPandas ±1-matmul and the JVM posexplode + conditional-sum
+    aggregate. Identical (vec_id, t, c) rows across multiple tables and
+    widths (the ≥ 0 sign test is exact on both sides)."""
+    from compass_query_optimizer_spark.operators import similarity
+    from compass_query_optimizer_spark.operators.similarity import (
+        _DUP_PLANES,
+        _plane_dot_codes,
+        _plane_dot_codes_jvm,
+    )
+
+    n = _quantized_with_norm(load_tables(spark, SF_DIR)["embeddings"])
+    tables = [p[:9] for p in _DUP_PLANES]
+    arrow = sorted(
+        tuple(r) for r in _plane_dot_codes(n, tables).collect()
+    )
+    jvm = sorted(
+        tuple(r) for r in _plane_dot_codes_jvm(n, tables).collect()
+    )
+    assert arrow == jvm
+    assert len(arrow) == n.count() * len(tables)
+
+
+def test_knn_paths_agree(spark, monkeypatch):
+    """Round 11: emb_knn_graph's per-bucket top-k matmul (boundary ties
+    all emitted, exact window cut downstream) must be row-identical to
+    the JVM bucket self-join + cosine-lambda + window path — including
+    rank ties broken on neighbor_id."""
+    from compass_query_optimizer_spark.operators import similarity
+    from compass_query_optimizer_spark.registry import all_queries
+
+    build = all_queries()["emb_knn_graph"].build
+    monkeypatch.setattr(similarity, "_ANN_ASSIGN", "arrow")
+    arrow = [tuple(r) for r in build(spark, SF_DIR).collect()]
+    monkeypatch.setattr(similarity, "_ANN_ASSIGN", "jvm")
+    jvm = [tuple(r) for r in build(spark, SF_DIR).collect()]
+    assert arrow == jvm
+    assert len(arrow) > 0
