@@ -600,6 +600,12 @@ def pq_codes_arrow(
             if len(pdf) == 0:
                 continue
             x_all = np.vstack(pdf[vec_col].to_numpy()).astype(np.int64)
+            if x_all.shape[1] != n_sub * subdim:
+                raise ValueError(
+                    f"pq_codes_arrow: vector width {x_all.shape[1]} != "
+                    f"n_sub*subdim = {n_sub}*{subdim} — refusing to "
+                    "silently truncate trailing dims"
+                )
             rows = len(pdf)
             codes = np.empty((rows, n_sub), dtype=np.int64)
             for s in range(n_sub):
@@ -874,14 +880,22 @@ def _bucket_pairs_arrow(
         ids = pdf["vec_id"].to_numpy().astype(np.int64)
         q = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
         nr = np.sqrt(pdf["nrm2"].to_numpy().astype(np.float64))
+        if not nr.all():  # 0/0 → NaN ranks differently here vs SQL/oracle
+            raise ValueError(
+                "_bucket_pairs_arrow: zero-norm quantized vector — "
+                "out of contract (numpy drops NaN cosines at >=, Spark "
+                "SQL and DuckDB rank NaN greatest)"
+            )
         qmax = float(np.abs(q).max(initial=0.0))
         exact64 = q.shape[1] * qmax * qmax < 2.0**52
+        qf_t = q.astype(np.float64).T if exact64 else None  # hoisted: one
+        # B×dim float copy per bucket, not one per chunk iteration
         chunk = max(1, (1 << 22) // b)  # chunk×B floats ≈ 32 MB cap
         out_a, out_b, out_c = [], [], []
         for lo in range(0, b, chunk):
             x = q[lo : lo + chunk]
             if exact64:
-                dots = x.astype(np.float64) @ q.astype(np.float64).T
+                dots = x.astype(np.float64) @ qf_t
             else:  # exact at any magnitude
                 dots = (x @ q.T).astype(np.float64)
             cos = dots / (nr[lo : lo + chunk, None] * nr[None, :])
@@ -936,15 +950,23 @@ def _bucket_topk_arrow(
         ids = pdf["vec_id"].to_numpy().astype(np.int64)
         q = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
         nr = np.sqrt(pdf["nrm2"].to_numpy().astype(np.float64))
+        if not nr.all():  # 0/0 → NaN ranks differently here vs SQL/oracle
+            raise ValueError(
+                "_bucket_topk_arrow: zero-norm quantized vector — "
+                "out of contract (numpy drops NaN cosines at >=, Spark "
+                "SQL and DuckDB rank NaN greatest)"
+            )
         qmax = float(np.abs(q).max(initial=0.0))
         exact64 = q.shape[1] * qmax * qmax < 2.0**52
+        qf_t = q.astype(np.float64).T if exact64 else None  # hoisted: one
+        # B×dim float copy per bucket, not one per chunk iteration
         kk = min(k, b - 1)
         chunk = max(1, (1 << 22) // b)  # chunk×B floats ≈ 32 MB cap
         out_v, out_n, out_c = [], [], []
         for lo in range(0, b, chunk):
             x = q[lo : lo + chunk]
             if exact64:
-                dots = x.astype(np.float64) @ q.astype(np.float64).T
+                dots = x.astype(np.float64) @ qf_t
             else:  # exact at any magnitude
                 dots = (x @ q.T).astype(np.float64)
             cos = dots / (nr[lo : lo + chunk, None] * nr[None, :])
