@@ -414,19 +414,25 @@ def simhash_codes(docs: DataFrame) -> DataFrame:
     # materialize the hash once per token — referencing the raw expression
     # inside all the per-bit aggregates would re-run md5 BITS× per row
     toks = toks.select("doc_id", spark_portable_hash(F.col("word")).alias("h"))
-    h = F.col("h")
+    # server-side expression strings (round 12): the Column-built form
+    # created ~350 py4j round-trip Column objects (48 shiftright sums +
+    # a 48-branch CASE chain) ≈ 0.6 s of driver-side build wall per
+    # invocation; the parsed expressions are identical, so the plan and
+    # results are unchanged.
     bit_sums = [
-        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+        F.expr(f"sum((shiftright(h, {j}) & 1))").alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
     per_doc = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_toks"), *bit_sums
     )
-    code = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        code = code + F.when(
-            F.col(f"b{j}") * 2 > F.col("n_toks"), F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    code = F.expr(
+        "CAST(0 AS BIGINT)"
+        + "".join(
+            f" + CASE WHEN b{j} * 2 > n_toks THEN {1 << j}L ELSE 0L END"
+            for j in range(SIMHASH_BITS)
+        )
+    )
     return per_doc.select("doc_id", code.alias("code"))
 
 
@@ -784,6 +790,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free the blocks of a SUPERSEDED localCheckpoint'd frame.
+
+    Only call when nothing will ever read the frame again: a local
+    checkpoint truncates lineage, so evicted blocks cannot be recomputed
+    and a late reader would fail. The iterative CC loops call this on
+    round i's frame once round i+1 is materialized — without it a long
+    multi-query session (the bench runs 3 × 54 queries in one JVM)
+    accumulates dead checkpoint blocks in the block manager.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # hygiene only; never fail the query over cleanup
+
+
 def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     """(id, lbl): connected components of the undirected pair graph by
     min-label propagation — each node repeatedly takes the minimum label
@@ -808,11 +830,15 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     sym = sym.persist()  # probed every round
+    # LAZY checkpoints (round 12): the convergence aggregate right below
+    # each checkpoint materializes it, so every round costs ONE driver
+    # action instead of two (eager checkpoint + collect) — the measured
+    # per-round wall at bench scale was scheduling overhead, not data.
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     try:
         # per-node labels only ever decrease under min-propagation, so the
@@ -828,9 +854,13 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                 labels.unionAll(prop)
                 .groupBy("id")
                 .agg(F.min("lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             new_sum = new.agg(F.sum("lbl")).collect()[0][0]
+            # the superseded round's blocks are never read again (round
+            # i+1 is materialized); free them so a long bench run does
+            # not accumulate dead checkpoint blocks in the block manager
+            _unpersist_checkpoint(labels)
             labels = new
             if new_sum == cur_sum:
                 return labels
@@ -865,6 +895,10 @@ def connected_components_star(edges: DataFrame, max_iters: int = 40) -> DataFram
     worst-case (measured ~5 on real graphs), independent of diameter. At
     fixpoint the edge set IS the answer: (node → component minimum) stars.
     """
+    # LAZY checkpoint (round 12): the initial checksum below materializes
+    # canon in the same job, one driver action instead of two. nodes is
+    # NOT checkpointed at all — it is read exactly once (the fixpoint
+    # roots anti-join) and recomputes cheaply from canon's blocks.
     canon = (
         edges.select(
             F.col("doc_a").cast("long").alias("a"),
@@ -875,13 +909,12 @@ def connected_components_star(edges: DataFrame, max_iters: int = 40) -> DataFram
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         canon.select(F.col("u").alias("id"))
         .unionAll(canon.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _canon(df: DataFrame) -> DataFrame:
@@ -918,10 +951,15 @@ def connected_components_star(edges: DataFrame, max_iters: int = 40) -> DataFram
         return (row.n, row.h)
 
     cur = canon
-    prev = checksum(cur)
+    prev = checksum(cur)  # materializes the lazy canon checkpoint
     for _ in range(max_iters):
-        cur = small_star(large_star(cur)).localCheckpoint(eager=True)
-        now = checksum(cur)
+        new = small_star(large_star(cur)).localCheckpoint(eager=False)
+        now = checksum(new)  # materializes the round's lazy checkpoint
+        if cur is not canon:
+            # the superseded round's blocks are never read again (never
+            # canon: the roots anti-join still derives nodes from it)
+            _unpersist_checkpoint(cur)
+        cur = new
         if now == prev:
             # fixpoint: cur is (node -> component min) stars
             labels = cur.select(F.col("u").alias("id"), F.col("v").alias("lbl"))

@@ -634,6 +634,123 @@ def pq_codes_arrow(
     )
 
 
+def ivfpq_assign_encode_arrow(
+    df: DataFrame,
+    cents: DataFrame,
+    rcents: DataFrame,
+    subdim: int,
+) -> DataFrame:
+    """(vec_id, cid, s, code): FUSED coarse argmin + residual PQ encode —
+    one mapInPandas over (vec_id, qv) only (round 12, guide §2.3/§4.2).
+
+    Round 11 converted the residual encode ALONE to Arrow and measured
+    it slower (a second Python boundary plus a (vec_id, cid, rv) payload
+    join); the fusion avoids exactly that: the coarse assignment's
+    mapInPandas already holds the vector AND the collected centroid
+    matrix, so the residual x − c and all M sub-codebook argmins run in
+    the same batch loop, and the N-row 64-long residual payload never
+    exists as a DataFrame at all. What the fused pass replaces at scale:
+    the resid double join (N rows × 64-long arrays), the N·M posexplode,
+    and the N·M·PQ_K broadcast-join expansion whose per-row zip_with
+    distance lambda runs through Catalyst's interpreter (the recorded
+    residual-encode term of ivfpq's 4M wall).
+
+    Exactness: identical bounds and tie-breaks as nearest_cells /
+    pq_codes_arrow — float64 scores are exact while every product and
+    64-term sum sits under 2^53 (guard per batch; int64-matmul fallback
+    otherwise), and numpy's argmin lowest-index tie-break over
+    id-sorted codebooks equals the packed-long min(d2·CAP + idx) and
+    the oracle's ORDER BY d2, id. The JVM spelling stays under
+    SPARK_GRAFT_ANN_ASSIGN=jvm and test_ivfpq_fused_paths_agree gates
+    both row-identical."""
+    import numpy as np
+
+    cent_ids, cmat = _collect_centroids(cents)
+    cid_arr = np.asarray(cent_ids, dtype=np.int64)
+    cmat_f = cmat.astype(np.float64)
+    cn_f = (cmat_f * cmat_f).sum(axis=1)
+    cmax = float(np.abs(cmat).max(initial=0.0))
+    dim = cmat.shape[1] if len(cent_ids) else 0
+    books = _collect_subcodebooks(rcents, "rcid", "rcv")
+    n_sub = len(books)
+    if sorted(books) != list(range(n_sub)):
+        raise ValueError(f"non-contiguous subspace ids: {sorted(books)}")
+    prepared = []
+    for s in range(n_sub):
+        ids_s, mat_s = books[s]
+        mat_f = mat_s.astype(np.float64)
+        prepared.append(
+            (ids_s, mat_s, mat_f, (mat_f * mat_f).sum(axis=1),
+             float(np.abs(mat_s).max(initial=0.0)))
+        )
+    s_tile = np.arange(n_sub, dtype=np.int32)
+    chunk = max(1, (1 << 22) // max(len(cent_ids), 1))
+
+    def assign_encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_all = pdf["vec_id"].to_numpy()
+            x_full = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            if x_full.shape[1] != n_sub * subdim:
+                raise ValueError(
+                    f"ivfpq_assign_encode_arrow: vector width "
+                    f"{x_full.shape[1]} != n_sub*subdim = {n_sub}*{subdim}"
+                )
+            out = []
+            for lo in range(0, len(pdf), chunk):
+                x = x_full[lo : lo + chunk]
+                xmax = float(np.abs(x).max(initial=0.0))
+                if dim * xmax * cmax * 2.0 + cn_f.max(initial=0.0) < 2.0**52:
+                    scores = cn_f[None, :] - 2.0 * (
+                        x.astype(np.float64) @ cmat_f.T
+                    )
+                else:  # exact at any magnitude, slower
+                    scores = (cmat * cmat).sum(axis=1)[None, :] - 2 * (
+                        x @ cmat.T
+                    )
+                best = scores.argmin(axis=1)
+                r = x - cmat[best]  # int64 residuals, |r| <= 2*xmax-ish
+                rows = len(x)
+                codes = np.empty((rows, n_sub), dtype=np.int64)
+                rmax = float(np.abs(r).max(initial=0.0))
+                for s in range(n_sub):
+                    ids_s, mat_s, mat_f, rn_f, bmax = prepared[s]
+                    rs = r[:, s * subdim : (s + 1) * subdim]
+                    if (
+                        subdim * rmax * bmax * 2.0 + rn_f.max(initial=0.0)
+                        < 2.0**52
+                    ):
+                        sc = rn_f[None, :] - 2.0 * (
+                            rs.astype(np.float64) @ mat_f.T
+                        )
+                    else:  # exact at any magnitude
+                        sc = (mat_s * mat_s).sum(axis=1)[None, :] - 2 * (
+                            rs @ mat_s.T
+                        )
+                    codes[:, s] = ids_s[sc.argmin(axis=1)]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.repeat(ids_all[lo : lo + chunk],
+                                                n_sub),
+                            "cid": np.repeat(cid_arr[best], n_sub),
+                            "s": np.tile(s_tile, rows),
+                            "code": codes.ravel(),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return df.select("vec_id", "qv").mapInPandas(
+        assign_encode, schema="vec_id long, cid long, s int, code long"
+    )
+
+
 def ivfpq_k(n_rows: int) -> int:
     """Plan-time coarse K for sim_ann_ivfpq: the env pin wins; otherwise
     the same ceil(sqrt(N)) clamp as the incremental index
@@ -1605,90 +1722,127 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    # coarse assignment: the N×K argmin runs through nearest_cells (one
-    # vectorized mapInPandas by default — with the auto-√N codebook this
-    # term is ~10⁹ distance lambdas on the JVM path and was measured as
-    # the operator's wall at 1M vectors; tie-breaking matches the
-    # oracle's ORDER BY d2, cid on both paths).
-    cells = nearest_cells(n, coarse.select("cid", "cv"), nprobe=1).select(
-        "vec_id", "cid"
-    )
-    # residuals against the assigned centroid (K-row broadcast re-join)
-    resid = (
-        n.join(cells, "vec_id")
-        .join(F.broadcast(coarse.select("cid", "cv")), "cid")
-        .select(
-            "vec_id",
-            "cid",
-            F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: x - c).alias("rv"),
-        )
-    )
-    rsubs = resid.select(
-        "vec_id",
-        "cid",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("rv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-                    for s in range(PQ_M)
-                ]
+    if _ANN_ASSIGN == "arrow":
+        # FUSED coarse assign + residual encode (round 12): the residual
+        # sub-codebooks come from the SAMPLED vectors only (the stride
+        # filter commutes with the residual computation — round 11 built
+        # residuals for ALL N rows and then filtered), and one
+        # mapInPandas emits (vec_id, cid, s, code) for the whole corpus.
+        # Round 11's encode-only Arrow conversion was measured slower
+        # and reverted because it added a second Python boundary plus a
+        # (vec_id, cid, rv) payload join; the fusion removes both — see
+        # ivfpq_assign_encode_arrow.
+        sampled = n.filter(F.col("vec_id") % rstride == 1)
+        scells = nearest_cells(
+            sampled, coarse.select("cid", "cv"), nprobe=1
+        ).select("vec_id", "cid")
+        sresid = (
+            sampled.join(scells, "vec_id")
+            .join(F.broadcast(coarse.select("cid", "cv")), "cid")
+            .select(
+                "vec_id",
+                F.zip_with(
+                    F.col("qv"), F.col("cv"), lambda x, c: x - c
+                ).alias("rv"),
             )
-        ).alias("s", "sv"),
-    )
-    rcents = rsubs.filter(F.col("vec_id") % rstride == 1).select(
-        F.col("vec_id").alias("rcid"),
-        "s",
-        F.col("sv").alias("rcv"),
-        F.aggregate(
-            F.col("sv"), F.lit(0).cast("long"), lambda a, x: a + x * x
-        ).alias("rn"),
-    )
-    d2r = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("rcv"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    # code assignment: same packed-argmin shape per (vec_id, cid, s) over
-    # the PQ_K-entry sub-codebook (shared rcid set across subspaces).
-    # Round 11 measured the pq_codes_arrow conversion HERE and reverted
-    # it: unlike sim_ann_pq's min(struct) SortAggregate, this spelling is
-    # already a primitive-buffer HashAggregate, and the Arrow version's
-    # extra Python boundary + (vec_id, cid, rv) payload join measured
-    # SLOWER at 1M vectors (interleaved fresh-process A/B: 62.5-108.5 s
-    # packed-argmin vs 79.3-192.1 s Arrow) — see OPTIMIZATION_r11.md.
-    rc_ids = sorted(
-        r["rcid"] for r in rcents.select("rcid").distinct().collect()
-    )
-    if len(rc_ids) > _ARGMIN_CAP:
-        raise ValueError(
-            f"{len(rc_ids)} residual sub-centroids exceed the argmin "
-            f"packing cap {_ARGMIN_CAP}"
         )
-    ridx_map = spark.createDataFrame(
-        [(rc, i) for i, rc in enumerate(rc_ids)], "rcid long, ridx long"
-    )
-    rcents_i = rcents.select("s", "rcid", "rcv").join(
-        F.broadcast(ridx_map), "rcid"
-    )
-    codes = (
-        rsubs.join(F.broadcast(rcents_i), "s")
-        .select(
+        rcents = sresid.select(
+            F.col("vec_id").alias("rcid"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col("rv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                        for s in range(PQ_M)
+                    ]
+                )
+            ).alias("s", "rcv"),
+        ).select(
+            "rcid",
+            "s",
+            "rcv",
+            F.aggregate(
+                F.col("rcv"), F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).alias("rn"),
+        )
+        codes = ivfpq_assign_encode_arrow(
+            n, coarse.select("cid", "cv"), rcents, PQ_SUBDIM
+        )
+    else:
+        # JVM A/B path (SPARK_GRAFT_ANN_ASSIGN=jvm): coarse assignment
+        # through the packed-argmin crossJoin, residual encode as the
+        # packed-long combiner HashAggregate over the N·M·PQ_K
+        # broadcast-join expansion. Kept verbatim for the parity gate.
+        cells = nearest_cells(n, coarse.select("cid", "cv"), nprobe=1).select(
+            "vec_id", "cid"
+        )
+        # residuals against the assigned centroid (K-row broadcast re-join)
+        resid = (
+            n.join(cells, "vec_id")
+            .join(F.broadcast(coarse.select("cid", "cv")), "cid")
+            .select(
+                "vec_id",
+                "cid",
+                F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: x - c).alias("rv"),
+            )
+        )
+        rsubs = resid.select(
             "vec_id",
             "cid",
-            "s",
-            (d2r * F.lit(_ARGMIN_CAP) + F.col("ridx")).alias("pk"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col("rv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                        for s in range(PQ_M)
+                    ]
+                )
+            ).alias("s", "sv"),
         )
-        .groupBy("vec_id", "cid", "s")
-        .agg(F.min("pk").alias("pk"))
-        .select(
-            "vec_id",
-            "cid",
+        rcents = rsubs.filter(F.col("vec_id") % rstride == 1).select(
+            F.col("vec_id").alias("rcid"),
             "s",
-            F.pmod("pk", F.lit(_ARGMIN_CAP)).alias("ridx"),
+            F.col("sv").alias("rcv"),
+            F.aggregate(
+                F.col("sv"), F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).alias("rn"),
         )
-        .join(F.broadcast(ridx_map), "ridx")
-        .select("vec_id", "cid", "s", F.col("rcid").alias("code"))
-    )
+        d2r = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("rcv"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        rc_ids = sorted(
+            r["rcid"] for r in rcents.select("rcid").distinct().collect()
+        )
+        if len(rc_ids) > _ARGMIN_CAP:
+            raise ValueError(
+                f"{len(rc_ids)} residual sub-centroids exceed the argmin "
+                f"packing cap {_ARGMIN_CAP}"
+            )
+        ridx_map = spark.createDataFrame(
+            [(rc, i) for i, rc in enumerate(rc_ids)], "rcid long, ridx long"
+        )
+        rcents_i = rcents.select("s", "rcid", "rcv").join(
+            F.broadcast(ridx_map), "rcid"
+        )
+        codes = (
+            rsubs.join(F.broadcast(rcents_i), "s")
+            .select(
+                "vec_id",
+                "cid",
+                "s",
+                (d2r * F.lit(_ARGMIN_CAP) + F.col("ridx")).alias("pk"),
+            )
+            .groupBy("vec_id", "cid", "s")
+            .agg(F.min("pk").alias("pk"))
+            .select(
+                "vec_id",
+                "cid",
+                "s",
+                F.pmod("pk", F.lit(_ARGMIN_CAP)).alias("ridx"),
+            )
+            .join(F.broadcast(ridx_map), "ridx")
+            .select("vec_id", "cid", "s", F.col("rcid").alias("code"))
+        )
     # query probes: nprobe nearest coarse cells + dot(q, c) per probe
     qcd = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: x * c),

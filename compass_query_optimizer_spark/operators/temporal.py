@@ -1588,25 +1588,29 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("ua").agg(F.count(F.lit(1)).alias("deg"))
     rank = nodes.select(
         "u", F.lit(_PR_MASS // n_nodes).cast("long").alias("r")
-    ).localCheckpoint(eager=True)
+    )
     base = (15 * _PR_MASS) // (100 * n_nodes)
+    # The iteration count is FIXED, so the whole 3-iteration DAG stays
+    # lazy and executes as ONE job over the checkpointed edge RDD —
+    # round 11 paid a localCheckpoint(eager) driver round-trip per
+    # iteration (plus one for the seed) that measured as ~1 s of
+    # build-time wall at sf0.1 with 0.075 s of execution (round-12
+    # probe). Lineage depth is bounded at _PR_ITERS joins, so no
+    # checkpoint is needed for plan size either. Per iteration the
+    # node-sized rank⋈deg join runs FIRST and the edge set is touched
+    # once (r div deg is constant per source node — identical values,
+    # one edges-sized join per iteration instead of two).
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(rank, edges["ua"] == rank["u"])
+        rd = (
+            rank.select(F.col("u").alias("ua"), "r")
             .join(deg, "ua")
-            .select(
-                F.col("ub").alias("u"),
-                F.expr("r div deg").alias("c"),
-            )
+            .select("ua", F.expr("r div deg").alias("c"))
         )
-        rank = (
-            contrib.groupBy("u")
-            .agg(
-                (F.lit(base) + F.expr("(85 * sum(c)) div 100"))
-                .cast("long")
-                .alias("r")
-            )
-            .localCheckpoint(eager=True)
+        contrib = edges.join(rd, "ua").select(F.col("ub").alias("u"), "c")
+        rank = contrib.groupBy("u").agg(
+            (F.lit(base) + F.expr("(85 * sum(c)) div 100"))
+            .cast("long")
+            .alias("r")
         )
     return rank.select(F.col("u").alias("user_id"), F.col("r").alias("rank_int")).orderBy(
         "user_id"

@@ -15,7 +15,7 @@ from compass_query_optimizer_spark.operators.similarity import (
     incremental_standing_parts,
     serve_arrivals,
 )
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_ORACLE
 
 
 def test_persisted_incremental_index_roundtrip(spark, tmp_path):
@@ -295,6 +295,25 @@ def test_plane_codes_paths_agree(spark, monkeypatch):
     )
     assert arrow == jvm
     assert len(arrow) == n.count() * len(tables)
+
+
+def test_ivfpq_fused_paths_agree(spark, monkeypatch):
+    """Round 12: sim_ann_ivfpq's fused coarse-assign + residual-encode
+    mapInPandas must produce results row-identical to the JVM path
+    (packed-argmin crossJoin assignment + broadcast-join combiner-argmin
+    encode) end to end — same codes, same ADC algebra inputs, same final
+    cos values and rank tie-breaks."""
+    from compass_query_optimizer_spark.operators import similarity
+    from compass_query_optimizer_spark.registry import all_queries
+
+    build = all_queries()["sim_ann_ivfpq"].build
+    sf = SF_DIR_ORACLE  # sf0.001 is below the operator's corpus-size bar
+    monkeypatch.setattr(similarity, "_ANN_ASSIGN", "arrow")
+    arrow = [tuple(r) for r in build(spark, sf).collect()]
+    monkeypatch.setattr(similarity, "_ANN_ASSIGN", "jvm")
+    jvm = [tuple(r) for r in build(spark, sf).collect()]
+    assert arrow == jvm
+    assert len(arrow) > 0
 
 
 def test_knn_paths_agree(spark, monkeypatch):

@@ -177,11 +177,15 @@ def test_semantic_dedup_code_pass_combines_map_side(spark):
     matmul (the posexploded aggregate form stays under
     SPARK_GRAFT_ANN_ASSIGN=jvm, where it must combine map-side)."""
     plan = formatted_plan(spark, "dedup_semantic")
-    assert "MapInPandas" in plan  # vectorized code pass + bucket verify
     import os
 
     if os.environ.get("SPARK_GRAFT_ANN_ASSIGN") == "jvm":
+        # A/B pin: the posexploded aggregate form combines map-side and
+        # no Python map stage appears
+        assert "MapInPandas" not in plan
         assert "partial_sum" in plan or "partial sum" in plan.lower()
+    else:
+        assert "MapInPandas" in plan  # vectorized code pass
 
 
 def test_sessionize_windows_are_user_keyed(spark):
@@ -361,21 +365,25 @@ def test_pipeline_pretrain_exchanges_are_body_free(spark):
 
 
 def test_ivfpq_assign_and_encode_combine_map_side(spark):
-    """IVFADC's scale contract: the coarse N×K assignment is the
-    vectorized Arrow argmin (round 11: one mapInPandas, never a
-    per-vector sort window over the expansion), the residual encode is
-    the packed-long combiner argmin (HashAggregate partial_min — the
-    Arrow conversion HERE was measured slower and reverted, see
-    OPTIMIZATION_r11.md), and scoring joins codes to broadcast lookup
-    tables — no vector-to-vector join."""
+    """IVFADC's scale contract: the corpus pass is ONE fused mapInPandas
+    (round 12: coarse argmin + residual PQ encode in the same batch
+    loop — the N-row residual payload never exists as a DataFrame and
+    the N·M·PQ_K broadcast-join expansion is gone), and scoring joins
+    codes to broadcast lookup tables — no vector-to-vector join. Under
+    the SPARK_GRAFT_ANN_ASSIGN=jvm A/B pin the round-11 all-JVM shape
+    (packed-argmin crossJoin + combiner-argmin encode) is asserted
+    instead."""
     plan = formatted_plan(spark, "sim_ann_ivfpq")
     import os
 
     if os.environ.get("SPARK_GRAFT_ANN_ASSIGN") == "jvm":
         assert "MapInPandas" not in plan  # A/B pin: all-JVM argmins
+        assert "partial_min" in plan  # packed-argmin residual encode
     else:
-        assert "MapInPandas" in plan  # vectorized coarse assign
-    assert "partial_min" in plan  # packed-argmin residual encode
+        assert "MapInPandas" in plan  # fused assign+encode
+        # the N·M posexplode feeds only the PQ_K-row sampled codebook
+        # build now, never a corpus-sized expansion with a sort
+        assert "SortAggregate" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
 
