@@ -61,6 +61,18 @@ STATIC_CONF: dict[str, str] = {
     # default 1g driver heap OOMs on wide intermediate joins at sf0.1;
     # in local mode the driver JVM hosts all 32 executor threads
     "spark.driver.memory": "16g",
+    # The engine serves a 206-entry query surface from one session; each
+    # query compiles several whole-stage-codegen classes, so the default
+    # 100-entry codegen cache thrashes and every query RE-COMPILES its
+    # generated classes on every revisit. Round 12 traced text_winnowing's
+    # four-round +67% "drift" to exactly this: its per-pass sample paid
+    # ~0.8 s of Janino recompilation after 34 other queries evicted its
+    # classes (1.35 s vs 2.28 s with the cache sized to the workload, and
+    # a full 54-query pass dropped 37.2 -> 30.1 s). 4096 entries bounds
+    # the cache at roughly the registry's working set x stages; the same
+    # sizing reasoning applies to any long-lived driver serving a wide
+    # query mix, independent of cluster size.
+    "spark.sql.codegen.cache.maxEntries": "4096",
 }
 
 
