@@ -56,78 +56,37 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # registration order — so adding a query without touching this list still
 # works, it just lands in the unsampled tail until promoted.
 _SAMPLE_PRIORITY = [
-    # ================ round-11 prefix =====================================
-    # Order: (1) the 13 deferred r6-evidence entries q21..q33 — the LAST
-    # pre-r7 driver evidence in the registry; after this sampling every
-    # entry's evidence is r7+ and the multi-round rotation debt is retired
-    # for good, (2) entries whose impl/oracle/plan changed in round 11
-    # (ivfpq auto-K + packed argmin; the compass chain gained the
-    # collapse-frame artifact store and the measures-branch NDV probe,
-    # with job_corpus as the 113-count differential over the changed
-    # planner), (3) as much of the r7-evidence tail as fits — the 13
-    # entries that don't fit sit directly after the prefix as the
-    # round-12 queue.
-    # -- (1) the deferred r6 tail: rotation debt retired --
-    "q21_cross_join_small",
-    "q22_math_functions",
-    "q23_events_rollup",
-    "q24_sessionization",
-    "q25_window_functions",
-    "q26_set_operations",
-    "q27_grouping_rollup",
-    "q28_not_exists_anti_join",
-    "q29_full_outer_join",
-    "q30_pivot",
-    "q31_market_basket",
-    "q32_correlated_agg_subquery",
-    "q33_lateral_topn",
-    # -- (2) changed in round 11 --
-    "sim_ann_ivfpq",                  # auto-sqrt(N) coarse K + packed argmin
-    "sim_ann_persisted",              # scratch-path hardening
-    "bucket_clustered_scan",          # scratch-path hardening
-    "compass_count_multijoin",        # chain: frame store + probe fix
-    "compass_avg_multijoin",          # measures branch: NDV probe landed
-    # -- (3) r7-evidence tail (31 of 46 fit; rest queued for round 12) --
-    "compass_count_distinct_hll",
-    "compass_count_distinct_multijoin",
-    "compass_grouped_count_distinct",
-    "compass_grouped_minmax",
-    "dedup_bloom",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_clusters_twostage",
-    "dedup_edit_distance",
-    "dedup_incremental",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "dialect_shim",
-    "docs_snapshot_diff",
-    "docs_version_churn",
-    "emb_dim_variance",
-    "emb_label_centroid_sim",
-    "emb_norm_outliers",
-    "events_active_users",
-    "events_anomaly",
-    "events_burst_detection",
-    "events_json_extract",
-    "events_pareto_concentration",
-    "geo_functions",
-    "mm_frame_sample",
-    "mm_payload_features",
-    "pipeline_pretrain",
-    "q34_not_in_null_trap",
-    "q35_grouping_cube",
-    "q36_multiset_ops",
-    "job_corpus",                     # 113-count differential: planner
-    #                                   gate over the round-11 frame
-    #                                   store; most expensive entry, so
-    #                                   it closes the prefix
-    # ---- the 50-entry driver prefix ends here ----
-    # -- r7 remainder (round-12 queue) --
-    "q37_listagg",
+    # ================ round-12 prefix =====================================
+    # Order: (1) everything whose execution path changed in round 12
+    # (fused ivfpq assign+encode, expression-string rewrites, the lazy
+    # checkpoint CC loops, the pagerank single-DAG loop, the codegen-
+    # cache conf that text_winnowing's drift traced to), (2) the six
+    # entries whose Arrow conversions landed in round 11 AFTER that
+    # round's prefix froze — the r11 verdict's one evidence gap: the
+    # driver's oracle has never seen their Arrow-path output, (3) the 15
+    # r7-evidence entries queued by round 11, (4) the stalest remaining
+    # evidence (r8) up to the 50-slot prefix; the r8 remainder sits
+    # directly after the prefix as the round-13 queue.
+    # -- (1) changed in round 12 --
+    "sim_ann_ivfpq",                  # fused Arrow assign+encode
+    "emb_random_projection",          # expression-string rewrite
+    "dedup_simhash",                  # expression-string rewrite
+    "events_pagerank",                # single-DAG iteration loop
+    "dedup_clusters",                 # lazy-checkpoint CC loop
+    "dedup_clusters_star",            # lazy-checkpoint star CC
+    "dedup_clusters_twostage",        # lazy-checkpoint CC loop
+    "dedup_clusters_hardened",        # lazy-checkpoint star CC
+    "dedup_semantic",                 # bucket-verify zero-norm guard
+    "text_winnowing",                 # codegen-cache drift fix evidence
+    # -- (2) round-11 Arrow conversions the r11 prefix missed --
     "sim_ann_ivf",
     "sim_ann_pq",
+    "sim_ann_lsh",
+    "emb_knn_graph",
+    "dedup_embedding_lsh",
+    "sim_ann_incremental",
+    # -- (3) the r7-evidence queue from round 11 --
+    "q37_listagg",
     "stream_approx_distinct",
     "stream_sliding_count",
     "text_curriculum_stages",
@@ -140,6 +99,45 @@ _SAMPLE_PRIORITY = [
     "text_source_lang_entropy",
     "text_tokens",
     "text_weighted_sample",
+    # -- (4) stalest remaining evidence (r8), alphabetical --
+    "compass_avg_left_outer",
+    "compass_count_distinct_auto",
+    "compass_count_distinct_bitmap",
+    "compass_count_left_outer",
+    "compass_cross_table_measures",
+    "compass_grouped_count_left_outer",
+    "compass_grouped_distinct_auto",
+    "compass_multi_measure",
+    "compass_sum_distinct",
+    "dedup_containment",
+    "dedup_incremental_spans",
+    "dedup_keep_best",
+    "dedup_span_removal",
+    "dedup_substring_spans",
+    "docs_dataset_fingerprint",
+    "emb_davies_bouldin",
+    "emb_pq_distortion",
+    "events_attribution",
+    "events_forecast_baseline",
+    "events_graph_distances",
+    "events_rfm_segments",
+    # ---- the 50-entry driver prefix ends here ----
+    # -- r8 remainder (round-13 queue) --
+    "events_triangle_count",
+    "mm_audio_energy",
+    "mm_phash_dedup",
+    "mm_scene_change",
+    "pipeline_multimodal",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    "q38_qualify",
+    "q39_range_frames",
+    "q40_percentile_within_group",
+    "q41_pivot",
+    "q42_recursive_cte",
+    "q43_grouping_sets",
+    "q44_session_window",
 ]
 
 

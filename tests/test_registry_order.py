@@ -3,13 +3,14 @@ entries since round 4), so the registry's ordering is part of the driver
 contract: operators that still lack driver evidence must sit in the prefix,
 and the ordering must stay a clean permutation of the registry.
 
-Round 11 retires the LAST pre-r7 driver evidence: the prefix leads with the
-13 deferred r6-evidence workload queries (q21..q33, queued by round 10),
-then everything changed in round 11 (ivfpq auto-K, scratch-path hardening,
-the compass chain's collapse-frame store + measures-branch probe), then 31
-of the 46 remaining r7-evidence entries, closing with job_corpus as the
-113-count differential over the changed planner. The 15 r7 entries that
-didn't fit are the round-12 queue.
+Round 12 rotation: the prefix leads with everything whose execution path
+changed in round 12 (fused ivfpq assign+encode, expression-string
+rewrites, lazy-checkpoint CC loops, the pagerank single-DAG loop, the
+codegen-cache conf behind text_winnowing's drift), then the six entries
+whose round-11 Arrow conversions landed AFTER that round's prefix froze
+(the r11 verdict's one named evidence gap), then the 15-entry r7 queue
+round 11 left, then the stalest remaining evidence (r8) up to 50 slots.
+The r8 remainder sits directly after the prefix as the round-13 queue.
 """
 
 from __future__ import annotations
@@ -20,42 +21,37 @@ import os
 
 from compass_query_optimizer_spark.registry import _SAMPLE_PRIORITY, all_queries
 
-# entries new or changed in round 11 — each needs a fresh driver row
+# entries whose execution path changed in round 12 — each needs a fresh
+# driver row over the new path
 CHANGED_THIS_ROUND = {
-    "sim_ann_ivfpq",                  # auto-sqrt(N) coarse K + packed argmin
-    "sim_ann_persisted",              # scratch-path hardening
-    "bucket_clustered_scan",          # scratch-path hardening
-    "compass_count_multijoin",        # chain: frame store + probe fix
-    "compass_avg_multijoin",          # measures branch: NDV probe landed
-    "job_corpus",                     # 113-count differential: planner gate
+    "sim_ann_ivfpq",                  # fused Arrow assign+encode
+    "emb_random_projection",          # expression-string rewrite
+    "dedup_simhash",                  # expression-string rewrite
+    "events_pagerank",                # single-DAG iteration loop
+    "dedup_clusters",                 # lazy-checkpoint CC loop
+    "dedup_clusters_star",            # lazy-checkpoint star CC
+    "dedup_clusters_twostage",        # lazy-checkpoint CC loop
+    "dedup_clusters_hardened",        # lazy-checkpoint star CC
+    "dedup_semantic",                 # bucket-verify zero-norm guard
+    "text_winnowing",                 # codegen-cache drift fix evidence
 }
 
-# the round-10 rotation's explicit queue: the 13 r6-evidence workload
-# queries that MUST lead the round-11 prefix (the last pre-r7 evidence)
-R6_QUEUE = {
-    "q21_cross_join_small",
-    "q22_math_functions",
-    "q23_events_rollup",
-    "q24_sessionization",
-    "q25_window_functions",
-    "q26_set_operations",
-    "q27_grouping_rollup",
-    "q28_not_exists_anti_join",
-    "q29_full_outer_join",
-    "q30_pivot",
-    "q31_market_basket",
-    "q32_correlated_agg_subquery",
-    "q33_lateral_topn",
-}
-
-# r7-evidence entries deferred to round 12 (the 50 slots ran out), all
-# re-proven by the local differential (tests/test_oracle.py) every pytest
-# run. They sit directly after the prefix so the next rotation reaches
-# them first.
-NEXT_ROUND_QUEUE = {
-    "q37_listagg",
+# round-11 Arrow conversions that missed the r11 oracle sample (the r11
+# prefix froze before commits 28c428e..b3b504f landed): the driver's
+# oracle has never seen their Arrow-path output — r11 verdict item #3
+R11_ARROW_GAP = {
     "sim_ann_ivf",
     "sim_ann_pq",
+    "sim_ann_lsh",
+    "emb_knn_graph",
+    "dedup_embedding_lsh",
+    "sim_ann_incremental",
+}
+
+# the r7-evidence queue round 11 left (minus sim_ann_ivf/sim_ann_pq,
+# promoted into R11_ARROW_GAP above)
+R7_QUEUE = {
+    "q37_listagg",
     "stream_approx_distinct",
     "stream_sliding_count",
     "text_curriculum_stages",
@@ -68,6 +64,28 @@ NEXT_ROUND_QUEUE = {
     "text_source_lang_entropy",
     "text_tokens",
     "text_weighted_sample",
+}
+
+# r8-evidence entries deferred to round 13 (the 50 slots ran out), all
+# re-proven by the local differential (tests/test_oracle.py) every pytest
+# run. They sit directly after the prefix so the next rotation reaches
+# them first.
+NEXT_ROUND_QUEUE = {
+    "events_triangle_count",
+    "mm_audio_energy",
+    "mm_phash_dedup",
+    "mm_scene_change",
+    "pipeline_multimodal",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    "q38_qualify",
+    "q39_range_frames",
+    "q40_percentile_within_group",
+    "q41_pivot",
+    "q42_recursive_cte",
+    "q43_grouping_sets",
+    "q44_session_window",
 }
 
 
@@ -99,19 +117,19 @@ def test_priority_names_all_registered():
 
 
 def test_prefix_serves_the_evidence_gap():
-    """The 50-entry prefix must (a) lead with the queued r6 tail, (b)
-    contain everything new/changed in round 11, (c) spend every other slot
-    on the stalest driver evidence — nothing already green in the latest
-    recorded round (r10) may consume a slot unless round 11 changed it."""
+    """The 50-entry prefix must (a) contain everything changed in round
+    12, (b) contain the six r11 Arrow conversions the r11 sample missed,
+    (c) contain the whole r7 queue, and (d) spend every other slot on the
+    stalest driver evidence — nothing already green in the latest recorded
+    round (r11) may consume a slot unless round 12 changed it."""
     prefix = list(all_queries())[:50]
-    missing = (R6_QUEUE | CHANGED_THIS_ROUND) - set(prefix)
-    assert not missing, f"round-11 must-sample entries outside the prefix: {missing}"
-    assert set(prefix[:13]) == R6_QUEUE, prefix[:13]
+    missing = (CHANGED_THIS_ROUND | R11_ARROW_GAP | R7_QUEUE) - set(prefix)
+    assert not missing, f"round-12 must-sample entries outside the prefix: {missing}"
 
     # pinned to the round this rotation was designed against (re-pin when
     # re-rotating the priority list next round)
     root = os.path.join(os.path.dirname(__file__), "..")
-    latest = set(json.load(open(os.path.join(root, "CORRECTNESS_r10.json"))))
+    latest = set(json.load(open(os.path.join(root, "CORRECTNESS_r11.json"))))
     rotated = [n for n in prefix if n not in CHANGED_THIS_ROUND]
     stale = [n for n in rotated if n in latest]
     assert not stale, (
@@ -119,17 +137,16 @@ def test_prefix_serves_the_evidence_gap():
     )
 
 
-def test_prefix_retires_the_pre_r7_tail():
-    """After this round no registered entry may sit on pre-r7 driver
-    evidence at all: the prefix must contain every entry whose latest
-    evidence predates round 7 — the round-11 rotation is the one that
-    finishes the multi-round debt."""
+def test_prefix_retires_the_r7_tail():
+    """After this rotation no registered entry may sit on pre-r8 driver
+    evidence: the prefix must contain every entry whose latest evidence
+    predates round 8."""
     latest = _latest_evidence()
     registered = set(all_queries())
-    stale = {n for n, r in latest.items() if r < 7 and n in registered}
+    stale = {n for n, r in latest.items() if r < 8 and n in registered}
     prefix = set(list(all_queries())[:50])
     left_out = stale - prefix
-    assert not left_out, f"pre-r7-evidence entries missing from the prefix: {left_out}"
+    assert not left_out, f"pre-r8-evidence entries missing from the prefix: {left_out}"
 
 
 def test_every_registered_query_has_driver_evidence_or_prefix_slot():
@@ -143,23 +160,23 @@ def test_every_registered_query_has_driver_evidence_or_prefix_slot():
 
 
 def test_deferred_queue_sits_directly_after_the_prefix():
-    """The round-12 queue (15 deferred r7 entries) must occupy slots 51-65
+    """The round-13 queue (15 deferred r8 entries) must occupy slots 51-65
     so the next rotation reaches it before anything with fresher
     evidence."""
     names = list(all_queries())
     assert set(names[50:65]) == NEXT_ROUND_QUEUE, (
-        "round-12 queue not immediately after the prefix: "
+        "round-13 queue not immediately after the prefix: "
         f"{names[50:65]}"
     )
 
 
-def test_job_corpus_closes_the_prefix():
-    """job_corpus is the most expensive single entry (113-query count
-    differential) AND the gate over the round-11 collapse-frame store —
-    it must be in the prefix, last, so the cheaper entries are never
-    starved by it."""
+def test_changed_entries_lead_the_prefix():
+    """The entries whose execution path changed this round carry the
+    highest correctness risk — they must head the prefix so a truncated
+    sample still covers them."""
     names = list(all_queries())
-    assert names[49] == "job_corpus", names[45:50]
+    assert set(names[:10]) == CHANGED_THIS_ROUND, names[:10]
+    assert set(names[10:16]) == R11_ARROW_GAP, names[10:16]
 
 
 def test_order_is_a_permutation_of_the_registry():
