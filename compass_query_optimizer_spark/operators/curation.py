@@ -329,13 +329,25 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(t["documents"])
     is_eval = (F.col("doc_id") % EVAL_MOD) == 0
     toks = _toks(F.col("text"))
-    # scan 1: every per-doc quality/dedup input, bodies dropped in-scan
-    flags = docs.filter(~is_eval).select(
+    # ONE tokenize pass, materialized (round 12, guide §8): the quality
+    # flags, the dedup fingerprints, and BOTH sides of the shingle probe
+    # previously tokenized the corpus in two separate scans; the per-doc
+    # feature frame (ids, counters, fp, shingle set — never text) is now
+    # checkpointed once and every consumer reads its blocks. At 100 TB
+    # this deletes a full tokenize pass over the corpus; the eval rows'
+    # quality columns are computed unnecessarily (1/EVAL_MOD of docs) and
+    # dropped by the flags filter — same rows, same values as before.
+    base = docs.select(
         "doc_id",
         "lang",
+        is_eval.alias("is_eval"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("uniq"),
         F.md5(F.array_join(toks, " ")).alias("fp"),
+        F.array_distinct(_grams(toks, SHINGLE_N)).alias("sh"),
+    ).localCheckpoint(eager=False)
+    flags = base.filter(~F.col("is_eval")).select(
+        "doc_id", "lang", "n_tokens", "uniq", "fp"
     )
     quality_ok = (
         F.col("n_tokens").between(QUAL_MIN_TOKENS, QUAL_MAX_TOKENS)
@@ -350,20 +362,16 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(1).alias("is_first"))
     )
-    # scan 2: contamination probe — shingles re-derived scan-side, eval
-    # set distinct-reduced and broadcast (text_contamination's shape)
-    shingled = docs.select(
-        "doc_id",
-        F.array_distinct(_grams(_toks(F.col("text")), SHINGLE_N)).alias("sh"),
-    )
+    # contamination probe — eval shingle set distinct-reduced and
+    # broadcast (text_contamination's shape), both sides from `base`
     eval_sh = (
-        shingled.filter(is_eval)
+        base.filter(F.col("is_eval"))
         .select(F.explode("sh").alias("shingle"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     cont = (
-        shingled.filter(~is_eval)
+        base.filter(~F.col("is_eval"))
         .select("doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle"))
         .join(F.broadcast(eval_sh), "shingle", "left")
         .groupBy("doc_id")
