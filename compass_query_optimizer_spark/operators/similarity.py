@@ -1133,17 +1133,16 @@ from compass_query_optimizer_spark.operators.dedup import (  # noqa: E402
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    # materialized once: three consumers (code table + both verify sides)
-    # would otherwise each re-run quantization over the scan
-    n = _quantized_with_norm(t["embeddings"]).localCheckpoint()
+    # materialized once (LAZY, round 12: the first consumer's job
+    # materializes it — an eager checkpoint was one extra driver action):
+    # the code pass and the verify side would otherwise each re-run
+    # quantization over the scan
+    n = _quantized_with_norm(t["embeddings"]).localCheckpoint(eager=False)
     # plan-time width (first `bits` planes of each table == masking the
     # full-width code to its low bits, which is what the oracle does)
     bits = dup_lsh_bits(t["embeddings"].count())
-    # one row per (vector, hash table): an equi-join key of (table, code);
-    # materialized so both self-join sides reuse one code pass
-    codes = _plane_dot_codes(
-        n, [p[:bits] for p in _DUP_PLANES]
-    ).localCheckpoint()
+    # one row per (vector, hash table): an equi-join key of (table, code)
+    codes = _plane_dot_codes(n, [p[:bits] for p in _DUP_PLANES])
     if _ANN_ASSIGN == "arrow":
         # verify INSIDE each (table, code) bucket with one chunked matmul
         # (round 11): the payload joins the skinny code table once per
@@ -1161,7 +1160,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", F.round("cos_raw", 6).alias("cos")
         ).orderBy("id_a", "id_b")
     # JVM A/B path (gated row-identical by test_dup_lsh_paths_agree):
-    # pair list materializes, then both payloads join back per pair
+    # pair list materializes, then both payloads join back per pair.
+    # The code table is checkpointed HERE only — it has two self-join
+    # consumers on this path, but exactly one on the Arrow path above
+    # (where a checkpoint would be a pure extra materialization).
+    codes = codes.localCheckpoint(eager=False)
     ca = codes.select(F.col("vec_id").alias("id_a"), "t", "c")
     cb = codes.select(F.col("vec_id").alias("id_b"), "t", "c")
     cands = (
@@ -1303,8 +1306,9 @@ def sem_cell_bits(n_rows: int) -> int:
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    # materialized once: the code pass + both verify sides reuse it
-    n = _quantized_with_norm(t["embeddings"]).localCheckpoint()
+    # materialized once, lazily (round 12): the code pass + both verify
+    # sides reuse it; the first consumer's job materializes the blocks
+    n = _quantized_with_norm(t["embeddings"]).localCheckpoint(eager=False)
     bits = sem_cell_bits(t["embeddings"].count())
     # cell id = first `bits` planes of the full-width sign code, computed
     # by the codegen aggregate form (_plane_dot_codes) and joined back on
@@ -2667,8 +2671,10 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _quantized_with_norm(t["embeddings"])
     arrivals = n.filter(F.col("vec_id") % 10 == 0)
     cents, members = incremental_standing_parts(spark, sf_dir)
-    # the standing index: one fold, persistable as (cents, index_members)
-    index_members = members.localCheckpoint(eager=True)
+    # the standing index: one fold, persistable as (cents, index_members);
+    # lazy checkpoint (round 12) — the serve job materializes it, one
+    # driver action instead of two
+    index_members = members.localCheckpoint(eager=False)
     return serve_arrivals(arrivals, cents, index_members)
 
 
