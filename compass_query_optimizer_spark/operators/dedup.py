@@ -576,7 +576,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(t["documents"])
         .select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g"))
         .select("doc_id", spark_portable_hash(F.col("g")).alias("gram"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Global gram rarity. The char-3-gram vocabulary is bounded (~|charset|³),
@@ -643,7 +643,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # verify joins start from the surviving pairs instead of replaying
         # the candidate join inside their own plan
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Exact verification, fully distributed: each doc's (distinct) grams
     # become one sorted array row; the candidate pair list joins to that
@@ -677,7 +677,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # barrier: without it Catalyst inlines `i` into the join condition
         # AND the projection, running the (hash-set-per-row) intersect
         # twice per pair; the checkpoint pins the narrow 5-column result
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
@@ -1676,7 +1676,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # post-hash distinct: a 48-bit collision inside one doc would
         # otherwise double-count a gram that the oracle's DISTINCT dedupes
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -1732,7 +1732,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_small", "doc_big", "n_small", "n_big")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     gsets = grams.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("g")).alias("gs")
@@ -1757,7 +1757,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_big",
             F.size(F.array_intersect("gs_a", "gs_b")).alias("n_shared"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return (
         inter.filter(

@@ -1369,12 +1369,12 @@ def events_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ua") != F.col("ub"))
         .select("ua", "ub")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     seed = edges.agg(F.min("ua").alias("user_id")).select(
         "user_id", F.lit(0).cast("int").alias("dist")
     )
-    dist = seed.localCheckpoint(eager=True)
+    dist = seed.localCheckpoint(eager=False)
     frontier = dist
     for k in range(1, BFS_MAX_HOPS + 1):
         nxt = (
@@ -1384,10 +1384,10 @@ def events_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("dist", F.lit(k).cast("int"))
         )
         new = nxt.join(dist.select("user_id"), "user_id", "left_anti")
-        new = new.localCheckpoint(eager=True)
+        new = new.localCheckpoint(eager=False)
         if new.isEmpty():
             break
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     return dist.orderBy("user_id")
 
@@ -1453,7 +1453,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ua") != F.col("ub"))
         .select("ua", "ub")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1508,7 +1508,7 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
             "deg_dst"
         ),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     o1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"),
         F.col("deg_dst").alias("deg_b2"),

@@ -1575,7 +1575,7 @@ def winnow_pairs(docs: DataFrame) -> DataFrame:
     """
     # materialized once: three consumers (the df filter + both join sides)
     # would otherwise each re-run the gram scan + window + distinct
-    fp = winnow_fingerprints(docs).localCheckpoint()
+    fp = winnow_fingerprints(docs).localCheckpoint(eager=False)
     rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= WINNOW_MAX_DF
     )
@@ -2644,7 +2644,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\u00b7"),
             F.regexp_replace(F.col("word"), "(.)", "$1\u00b7"),
         ).alias("seg"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     out_rows = []
     toks_arr = F.filter(F.split(F.col("seg"), "\u00b7"), lambda x: x != "")
     for it in range(1, BPE_TRAIN_ITERS + 1):
@@ -2680,7 +2680,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .drop("pa", "pb", "pcnt")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_after = state.select(
             F.sum(F.col("cnt") * F.size(toks_arr)).alias("n_tokens")
